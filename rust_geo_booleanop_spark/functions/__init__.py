@@ -1,0 +1,23 @@
+from .cells import (
+    bbox_cover_cells,
+    bbox_cover_cells_batch,
+    cell_bounds,
+    cell_size,
+    decode_cell,
+    encode_cells,
+    parent_cell,
+    point_cells,
+    LEVEL0_SIZE,
+)
+
+__all__ = [
+    "bbox_cover_cells",
+    "bbox_cover_cells_batch",
+    "cell_bounds",
+    "cell_size",
+    "decode_cell",
+    "encode_cells",
+    "parent_cell",
+    "point_cells",
+    "LEVEL0_SIZE",
+]

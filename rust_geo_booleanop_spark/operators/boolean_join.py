@@ -1,0 +1,100 @@
+"""Pairwise boolean operations as a Spark operator.
+
+Relational shell: subjects ⋈ clippings on case_id (one shuffle; AQE handles
+skew and coalescing), then the Martinez-Rueda kernel runs over Arrow
+batches via mapInPandas — thousands of geometry pairs per Python worker
+call, never per-row Python.
+
+Reference semantics: the four ops of lib/src/boolean/mod.rs:21-50, with
+diff_ba = diff with swapped operands (tests/src/helper.rs:35-43).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.booleanop import boolean_op
+from ..kernel.geojson import (
+    multipolygon_bbox,
+    parse_multipolygon,
+    serialize_multipolygon,
+)
+
+DEFAULT_OPS = ("intersection", "union", "diff", "xor")
+
+BOOLEAN_RESULTS_SCHEMA = (
+    "case_id long, subject_url string, clipping_url string, op string, "
+    "result_json string, n_polys int, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+
+def pair_candidates(geoms: DataFrame) -> DataFrame:
+    """Form (subject, clipping) candidate pairs per case via an equi-join.
+
+    Column-pruned before the shuffle so only the join key + payload move.
+    """
+    subjects = (
+        geoms.filter(F.col("role") == "subject")
+        .select(
+            F.col("case_id"),
+            F.col("url").alias("subject_url"),
+            F.col("geom_json").alias("subject_json"),
+        )
+    )
+    clippings = (
+        geoms.filter(F.col("role") == "clipping")
+        .select(
+            F.col("case_id"),
+            F.col("url").alias("clipping_url"),
+            F.col("geom_json").alias("clipping_json"),
+        )
+    )
+    return subjects.join(clippings, on="case_id")
+
+
+def _make_kernel_batches(ops: Sequence[str]):
+    def kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "case_id", "subject_url", "clipping_url", "op",
+                "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax",
+            )}
+            for case_id, s_url, c_url, s_json, c_json in zip(
+                pdf["case_id"], pdf["subject_url"], pdf["clipping_url"],
+                pdf["subject_json"], pdf["clipping_json"],
+            ):
+                subject = parse_multipolygon(s_json)
+                clipping = parse_multipolygon(c_json)
+                for op in ops:
+                    result = boolean_op(subject, clipping, op)
+                    if result:
+                        xmin, ymin, xmax, ymax = multipolygon_bbox(result)
+                    else:
+                        xmin = ymin = xmax = ymax = float("nan")
+                    rows["case_id"].append(case_id)
+                    rows["subject_url"].append(s_url)
+                    rows["clipping_url"].append(c_url)
+                    rows["op"].append(op)
+                    rows["result_json"].append(serialize_multipolygon(result))
+                    rows["n_polys"].append(len(result))
+                    rows["xmin"].append(xmin)
+                    rows["ymin"].append(ymin)
+                    rows["xmax"].append(xmax)
+                    rows["ymax"].append(ymax)
+            yield pd.DataFrame(rows)
+
+    return kernel_batches
+
+
+def apply_boolean_ops(pairs: DataFrame, ops: Sequence[str] = DEFAULT_OPS) -> DataFrame:
+    """(case_id, *_url, *_json) pairs -> one result row per (pair, op)."""
+    return pairs.mapInPandas(_make_kernel_batches(tuple(ops)), schema=BOOLEAN_RESULTS_SCHEMA)
+
+
+def boolean_pipeline(geoms: DataFrame, ops: Sequence[str] = DEFAULT_OPS) -> DataFrame:
+    return apply_boolean_ops(pair_candidates(geoms), ops)

@@ -1,0 +1,77 @@
+"""Geometry extraction from web pages (html binary -> GeoJSON + bbox).
+
+The extraction stage parses the `<script type="application/geo+json">`
+block out of the page bytes, computes the geometry's bounding box (the
+pushdown-able spatial predicate columns), and carries `url`, case lineage,
+and the untouched `text` column through.
+
+Invariant (BASELINE input_hint): `text` is byte-identical per url across
+this stage — extraction never rewrites it.
+
+Runs as mapInPandas over Arrow batches; pattern matching is bytes-level
+regex per batch (no JVM->Python per-row round trips).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from ..kernel.geojson import multipolygon_bbox, parse_multipolygon
+
+GEO_SCRIPT_RE = re.compile(rb'<script type="application/geo\+json">(.*?)</script>', re.S)
+CASE_URL_RE = re.compile(r"/case/(\d+)/(subject|clipping)$")
+
+GEOMETRIES_SCHEMA = (
+    "url string, case_id long, role string, geom_json string, "
+    "xmin double, ymin double, xmax double, ymax double, text string, lang string"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "url": [],
+            "case_id": [],
+            "role": [],
+            "geom_json": [],
+            "xmin": [],
+            "ymin": [],
+            "xmax": [],
+            "ymax": [],
+            "text": [],
+            "lang": [],
+        }
+        for url, html, text, lang in zip(
+            pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
+        ):
+            if html is None:
+                continue
+            m = GEO_SCRIPT_RE.search(bytes(html))
+            if not m:
+                continue  # page without geometry: filtered out here
+            geom_json = m.group(1).decode("utf-8")
+            mp = parse_multipolygon(geom_json)
+            xmin, ymin, xmax, ymax = multipolygon_bbox(mp)
+            um = CASE_URL_RE.search(url)
+            case_id = int(um.group(1)) if um else -1
+            role = um.group(2) if um else "unknown"
+            out["url"].append(url)
+            out["case_id"].append(case_id)
+            out["role"].append(role)
+            out["geom_json"].append(geom_json)
+            out["xmin"].append(xmin)
+            out["ymin"].append(ymin)
+            out["xmax"].append(xmax)
+            out["ymax"].append(ymax)
+            out["text"].append(text)
+            out["lang"].append(lang)
+        yield pd.DataFrame(out)
+
+
+def extract_geometries(documents_df):
+    """documents -> geometries(url, case_id, role, geom_json, bbox, text, lang)."""
+    cols = [c for c in ("url", "html", "text", "lang") if c in documents_df.columns]
+    return documents_df.select(*cols).mapInPandas(_extract_batches, schema=GEOMETRIES_SCHEMA)

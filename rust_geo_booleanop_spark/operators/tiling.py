@@ -1,0 +1,76 @@
+"""Tile assignment and clipping of result geometries.
+
+Every boolean-op result (or any geometry row with a bbox) is assigned to
+the grid cells ("tiles") its bbox covers; optionally each geometry is
+clipped to its tile square with the kernel's intersection op — the same
+code path the fixture suite verifies.
+
+Plan shape: a pandas UDF computes the covering cell array from the bbox
+columns (pure NumPy), then `explode` fans rows out per tile — Catalyst
+keeps the scan pruned and the explode JVM-side; only the cell math and the
+clip run in Python workers over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.cells import bbox_cover_cells, cell_bounds
+from ..kernel.booleanop import boolean_op
+from ..kernel.geojson import parse_multipolygon, serialize_multipolygon
+
+DEFAULT_TILE_LEVEL = 4
+
+
+def assign_tiles(results: DataFrame, level: int = DEFAULT_TILE_LEVEL) -> DataFrame:
+    """Add tile_id (exploded): one output row per (row, covering tile)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bbox_cover_cells(a, b, c, d, level)
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    with_cells = results.withColumn(
+        "tile_ids", cover_udf("xmin", "ymin", "xmax", "ymax")
+    )
+    return with_cells.withColumn("tile_id", F.explode("tile_ids")).drop("tile_ids")
+
+
+_CLIP_SCHEMA = "tile_id long, url string, op string, clipped_json string, n_polys int"
+
+
+def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"tile_id": [], "url": [], "op": [], "clipped_json": [], "n_polys": []}
+        for tile_id, url, op, geom_json in zip(
+            pdf["tile_id"], pdf["url"], pdf["op"], pdf["geom_json"]
+        ):
+            x0, y0, x1, y1 = cell_bounds(int(tile_id))
+            tile_sq = [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
+            clipped = boolean_op(parse_multipolygon(geom_json), tile_sq, "intersection")
+            out["tile_id"].append(tile_id)
+            out["url"].append(url)
+            out["op"].append(op)
+            out["clipped_json"].append(serialize_multipolygon(clipped))
+            out["n_polys"].append(len(clipped))
+        yield pd.DataFrame(out)
+
+
+def clip_to_tiles(tiled: DataFrame, geom_col: str = "result_json", url_col: str = "subject_url") -> DataFrame:
+    """Clip each geometry to its assigned tile square (kernel intersection)."""
+    prepared = tiled.select(
+        F.col("tile_id"),
+        F.col(url_col).alias("url"),
+        F.col("op"),
+        F.col(geom_col).alias("geom_json"),
+    )
+    return prepared.mapInPandas(_clip_batches, schema=_CLIP_SCHEMA)

@@ -1,0 +1,108 @@
+"""Spark-path end-to-end tests.
+
+1. The reference fixture suite THROUGH the Spark mapInPandas kernel path:
+   JVM -> Arrow -> Python kernel -> Arrow -> JVM must be fixture-exact
+   (SURVEY.md §5 test plan, layer b).
+2. The synthetic documents pipeline: extraction keeps `text`
+   byte-identical per url (BASELINE input_hint invariant), and the Spark
+   boolean results equal a local kernel run on identical inputs.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.kernel import (
+    boolean_op,
+    load_fixture,
+    parse_multipolygon,
+    serialize_multipolygon,
+)
+from rust_geo_booleanop_spark.kernel.geojson import multipolygon_to_geometry
+from rust_geo_booleanop_spark.operators import (
+    apply_boolean_ops,
+    boolean_pipeline,
+    extract_geometries,
+    pair_candidates,
+)
+from rust_geo_booleanop_spark.sources import build_documents
+
+FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="reference corpus missing")
+def test_fixture_suite_through_spark(spark):
+    rows = []
+    expect = {}
+    for path in sorted(glob.glob(f"{FIXTURE_DIR}/*.geojson")):
+        name = os.path.basename(path)
+        subject, clipping, expected = load_fixture(path)
+        s_json = json.dumps(multipolygon_to_geometry(subject))
+        c_json = json.dumps(multipolygon_to_geometry(clipping))
+        for op, exp, _swap in expected:
+            rows.append((name, f"{name}/s", f"{name}/c", op, s_json, c_json))
+            expect[(name, op)] = exp
+
+    pairs = spark.createDataFrame(
+        [(hash(r[0]) % 10**9, r[1], r[2], r[4], r[5], r[0], r[3]) for r in rows],
+        "case_id long, subject_url string, clipping_url string, "
+        "subject_json string, clipping_json string, fixture string, only_op string",
+    )
+    # one op per row: run the kernel over Arrow batches for exactly that op
+    out = []
+    for op in sorted({r[3] for r in rows}):
+        subset = pairs.filter(F.col("only_op") == op).drop("only_op")
+        res = apply_boolean_ops(subset, ops=(op,))
+        out.extend(res.select("subject_url", "op", "result_json").collect())
+
+    assert len(out) == len(rows)
+    for row in out:
+        fixture = row.subject_url[: -len("/s")]
+        got = parse_multipolygon(row.result_json)
+        assert got == expect[(fixture, row.op)], f"{fixture}/{row.op} deviates via Spark"
+
+
+def test_text_byte_identical_invariant(spark):
+    docs = build_documents(spark, SF_DIR)
+    geoms = extract_geometries(docs)
+    joined = (
+        docs.select("url", F.col("text").alias("text_in"))
+        .join(geoms.select("url", F.col("text").alias("text_out")), on="url")
+    )
+    n = joined.count()
+    assert n > 0
+    mismatched = joined.filter(
+        ~(F.col("text_in").eqNullSafe(F.col("text_out")))
+    ).count()
+    assert mismatched == 0
+
+
+def test_spark_results_match_local_kernel(spark):
+    docs = build_documents(spark, SF_DIR)
+    geoms = extract_geometries(docs)
+    results = boolean_pipeline(geoms)
+    collected = results.select(
+        "case_id", "op", "result_json", "subject_url", "clipping_url"
+    ).collect()
+    assert len(collected) > 0
+
+    from rust_geo_booleanop_spark.sources import case_geometry
+
+    for row in collected:
+        subject, clipping = case_geometry(row.case_id)
+        local = boolean_op(subject, clipping, row.op)
+        assert serialize_multipolygon(local) == row.result_json, (
+            f"case {row.case_id} op {row.op}: Spark result != local kernel"
+        )
+
+
+def test_pair_join_cardinality(spark):
+    docs = build_documents(spark, SF_DIR)
+    geoms = extract_geometries(docs)
+    n_cases = geoms.filter(F.col("role") == "subject").count()
+    pairs = pair_candidates(geoms)
+    assert pairs.count() == n_cases
