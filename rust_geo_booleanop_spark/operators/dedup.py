@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+- exact: hash-groupBy on normalized text (one shuffle, map-side partial agg)
+- MinHash + LSH: shingle → minhash signature → banded bucket join
+- SimHash: 64-bit signature + banded hamming candidate generation
+- n-gram Jaccard verification of candidate pairs
+
+All signatures are computed in vectorized pandas UDFs (Arrow batches);
+candidate generation is plain relational (explode + equi-join on bucket
+keys) so Catalyst plans the shuffles. Deterministic hashing throughout
+(no Python hash randomization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+_TOKEN_RE = re.compile(r"\W+", re.UNICODE)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def normalized_text_key(col="text"):
+    """Trimmed, whitespace-collapsed, lowercased md5 — the exact-dup key."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per normalized-text group (deterministic
+    representative). One shuffle; partial aggregation is map-side."""
+    w = Window.partitionBy("dup_key").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("dup_key", normalized_text_key(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "dup_key")
+    )
+
+
+def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        docs.withColumn("dup_key", normalized_text_key(text_col))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("representative"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_shingles(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of the k-gram word shingles of `text`."""
+    tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if len(tokens) < k:
+        shingles = [" ".join(tokens)] if tokens else [""]
+    else:
+        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = struct.unpack("<Q", hashlib.blake2b(s.encode(), digest_size=8).digest())[0]
+    return out
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> list:
+    h = _hash_shingles(text, k)
+    # (a*h + b) mod p, vectorized over shingles x perms
+    hv = h.astype(object)[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]
+    hv = hv % _MERSENNE
+    return [int(x) for x in np.min(np.array(hv, dtype=np.uint64), axis=0)]
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) whose signatures collide in ≥1 band."""
+    rows = num_perm // bands
+    a_params, b_params = _perm_params(num_perm)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def band_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sig = minhash_signature(t or "", num_perm, shingle_k, a_params, b_params)
+            bh = []
+            for bi in range(bands):
+                chunk = bytes()
+                for v in sig[bi * rows : (bi + 1) * rows]:
+                    chunk += struct.pack("<q", v - (1 << 63) if v >= (1 << 63) else v)
+                digest = hashlib.blake2b(chunk + bytes([bi]), digest_size=8).digest()
+                bh.append(struct.unpack("<q", digest)[0])
+            out.append(bh)
+        return pd.Series(out)
+
+    banded = (
+        docs.select(id_col, text_col)
+        .withColumn("band_hash", F.explode(band_hashes(F.col(text_col))))
+        .select(id_col, "band_hash")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band_hash")
+    return (
+        left.join(right, on="band_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs ≥ threshold."""
+    texted = (
+        candidates.join(
+            docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a")), on="id_a"
+        ).join(
+            docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), on="id_b"
+        )
+    )
+
+    def jac_batches(batches):
+        for pdf in batches:
+            sims = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa = set(_hash_shingles(ta or "", shingle_k).tolist())
+                sb = set(_hash_shingles(tb or "", shingle_k).tolist())
+                union = len(sa | sb)
+                sims.append(len(sa & sb) / union if union else 1.0)
+            out = pdf[["id_a", "id_b"]].copy()
+            out["jaccard"] = sims
+            yield out
+
+    verified = texted.mapInPandas(jac_batches, schema="id_a long, id_b long, jaccard double")
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame, threshold: float = 0.8, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Near-duplicate pairs over the documents table (candidates + verify)."""
+    cands = minhash_candidates(docs, num_perm=num_perm, bands=bands)
+    return jaccard_verify(cands, docs, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    tokens = [t for t in _TOKEN_RE.split((text or "").lower()) if t]
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = struct.unpack("<Q", hashlib.blake2b(t.encode(), digest_size=8).digest())[0]
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    sig = 0
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= 1 << i
+    return sig - (1 << 63) if sig >= (1 << 63) else sig
+
+
+def simhash_candidates(
+    docs: DataFrame, n_blocks: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-dup pairs whose simhash agrees on ≥1 of n_blocks
+    16-bit blocks (catches pairs within small hamming distance)."""
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([_simhash64(t) for t in texts])
+
+    sigged = docs.select(id_col, text_col).withColumn("simhash", simhash_udf(F.col(text_col)))
+    block_cols = []
+    u = (F.col("simhash").cast("long") + F.lit(0)).bitwiseAND(F.lit(-1))
+    for bi in range(n_blocks):
+        block = F.shiftrightunsigned(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF))
+        block_cols.append(F.struct(F.lit(bi).alias("block_no"), block.alias("block_val")))
+    blocked = sigged.withColumn("blk", F.explode(F.array(*block_cols))).select(
+        F.col(id_col), "simhash", F.col("blk.block_no").alias("block_no"), F.col("blk.block_val").alias("block_val")
+    )
+    left = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "block_no", "block_val"
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "block_no", "block_val"
+    )
+    pairs = (
+        left.join(right, on=["block_no", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", hamming)
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    return simhash_candidates(docs).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

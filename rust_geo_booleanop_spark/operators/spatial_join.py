@@ -1,0 +1,190 @@
+"""Spatial joins over cell keys (the scale path for 100 TB inputs).
+
+All joins follow the same two-phase shape:
+  1. **Candidate generation** — both sides get grid-cell keys
+     (functions/cells.py), candidates co-locate via a plain equi-join on
+     cell_id (sort-merge by default; broadcast when one side is small).
+     Catalyst/AQE handle partition coalescing and runtime skew; explicitly
+     hot cells can additionally be salted (operators/skew.py).
+  2. **Refinement** — cheap bbox predicate JVM-side, exact geometry test
+     (kernel) only on surviving pairs, Arrow-batched.
+
+Duplicate-candidate elimination uses the reference-point trick: a pair is
+emitted only in the single cell that contains the upper-left corner of the
+bbox intersection — no distinct/shuffle needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.cells import bbox_cover_cells, cell_size, point_cells
+from ..kernel.geojson import parse_multipolygon
+from ..kernel.pip import point_in_multipolygon
+
+DEFAULT_CELL_LEVEL = 4
+
+
+def with_cover_cells(df: DataFrame, level: int = DEFAULT_CELL_LEVEL, prefix: str = "") -> DataFrame:
+    """Explode bbox cover cells: one row per (row, covering cell)."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [bbox_cover_cells(a, b, c, d, level) for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
+        )
+
+    c = lambda name: f"{prefix}{name}"  # noqa: E731
+    return df.withColumn(
+        "cell_id", F.explode(cover_udf(c("xmin"), c("ymin"), c("xmax"), c("ymax")))
+    )
+
+
+def with_point_cells(points: DataFrame, level: int = DEFAULT_CELL_LEVEL, x="x", y="y") -> DataFrame:
+    @F.pandas_udf(LongType())
+    def cell_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(point_cells(xs.to_numpy(np.float64), ys.to_numpy(np.float64), level))
+
+    return points.withColumn("cell_id", cell_udf(F.col(x), F.col(y)))
+
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    level: int = DEFAULT_CELL_LEVEL,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Bbox-overlapping (left, right) pairs, deduplicated by reference point.
+
+    Inputs need (url, geom_json, xmin..ymax) columns; outputs prefixed l_/r_.
+    """
+    l = with_cover_cells(left, level).select(
+        F.col("cell_id"),
+        *[F.col(c).alias(f"l_{c}") for c in ("url", "geom_json", "xmin", "ymin", "xmax", "ymax")],
+    )
+    r = with_cover_cells(right, level).select(
+        F.col("cell_id"),
+        *[F.col(c).alias(f"r_{c}") for c in ("url", "geom_json", "xmin", "ymin", "xmax", "ymax")],
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    joined = l.join(r, on="cell_id").filter(
+        (F.col("l_xmin") <= F.col("r_xmax"))
+        & (F.col("r_xmin") <= F.col("l_xmax"))
+        & (F.col("l_ymin") <= F.col("r_ymax"))
+        & (F.col("r_ymin") <= F.col("l_ymax"))
+    )
+
+    # Reference-point dedup: keep the pair only in the cell that contains
+    # the lower-left corner of the bbox intersection.
+    size = cell_size(level)
+    ref_x = F.greatest("l_xmin", "r_xmin")
+    ref_y = F.greatest("l_ymin", "r_ymin")
+    ref_cell_ix = F.floor(ref_x / F.lit(size)).cast("long")
+    ref_cell_iy = F.floor(ref_y / F.lit(size)).cast("long")
+    cell_ix = (
+        F.shiftrightunsigned(F.col("cell_id"), 29).bitwiseAND(F.lit((1 << 29) - 1))
+        - F.lit(1 << 28)
+    )
+    cell_iy = F.col("cell_id").bitwiseAND(F.lit((1 << 29) - 1)) - F.lit(1 << 28)
+    return joined.filter((ref_cell_ix == cell_ix) & (ref_cell_iy == cell_iy))
+
+
+_PIP_SCHEMA_SUFFIX = "point_id long, x double, y double, zone_key string"
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = DEFAULT_CELL_LEVEL,
+    broadcast_polygons: bool = True,
+) -> DataFrame:
+    """points(point_id, x, y) ⨝ polygons(zone_key, geom_json, xmin..ymax).
+
+    Returns (point_id, x, y, zone_key) rows where the point is inside (or
+    on the boundary of) the zone geometry. Candidates by cell equi-join +
+    bbox refine JVM-side; the exact kernel PIP test runs Arrow-batched with
+    a per-batch parsed-geometry cache.
+    """
+    pts = with_point_cells(points, level)
+    polys = with_cover_cells(polygons, level).select(
+        "cell_id", "zone_key", "geom_json", "xmin", "ymin", "xmax", "ymax"
+    )
+    if broadcast_polygons:
+        polys = F.broadcast(polys)
+
+    cand = pts.join(polys, on="cell_id").filter(
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin"))
+        & (F.col("y") <= F.col("ymax"))
+    ).select("point_id", "x", "y", "zone_key", "geom_json")
+
+    def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geom_cache: dict[str, object] = {}
+        for pdf in batches:
+            keep = []
+            for i, (x, y, gj) in enumerate(zip(pdf["x"], pdf["y"], pdf["geom_json"])):
+                mp = geom_cache.get(gj)
+                if mp is None:
+                    mp = parse_multipolygon(gj)
+                    geom_cache[gj] = mp
+                if point_in_multipolygon(float(x), float(y), mp):
+                    keep.append(i)
+            yield pdf.iloc[keep][["point_id", "x", "y", "zone_key"]]
+
+    return cand.mapInPandas(pip_batches, schema=_PIP_SCHEMA_SUFFIX)
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """For each query(query_id, qx, qy): the k nearest points by squared
+    euclidean distance (ties broken by point_id).
+
+    Broadcast the (small) query side; the big point table is scanned once,
+    distance is computed JVM-side, and per-query top-k goes through one
+    shuffle on query_id (window row_number). The cell-ring expansion
+    variant for huge query sets would bucket both sides by cell instead.
+    """
+    from pyspark.sql.window import Window
+
+    crossed = points.crossJoin(F.broadcast(queries))
+    # plain multiplications (not pow) so the arithmetic is bit-identical
+    # to the SQL oracle's (a-b)*(a-b) form
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    dist = dx * dx + dy * dy
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+    return (
+        crossed.withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "point_id", "x", "y", "dist", "rank")
+    )
+
+
+def zonal_stats_join(
+    points: DataFrame,
+    zones: DataFrame,
+    value_col: str = "value",
+    level: int = DEFAULT_CELL_LEVEL,
+) -> DataFrame:
+    """Raster→vector zonal statistics: PIP-join pixels/points into zones,
+    then aggregate per zone (count, sum, avg, min, max)."""
+    pip = point_in_polygon_join(
+        points.select("point_id", "x", "y", value_col), zones, level
+    )
+    withv = pip.join(points.select("point_id", value_col), on="point_id")
+    return withv.groupBy("zone_key").agg(
+        F.count("*").alias("n_points"),
+        F.sum(value_col).alias("sum_value"),
+        F.avg(value_col).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )

@@ -1,0 +1,96 @@
+"""Text analysis operators for the documents table.
+
+Everything here is expressed with built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen) except language-ID, whose stopword scoring runs as a
+vectorized pandas UDF. Each built-in-only operator has an exact ANSI-SQL
+oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# Token counting / quality scoring (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def token_count_col(col="text"):
+    """Whitespace token count; empty/blank text counts 0."""
+    trimmed = F.trim(F.col(col))
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def with_text_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """n_chars_obs, n_tokens, space_ratio, upper_ratio, digit_ratio."""
+    length = F.length(F.col(col))
+    no_space = F.length(F.regexp_replace(F.col(col), r"\s", ""))
+    no_upper = F.length(F.regexp_replace(F.col(col), r"[A-Z]", ""))
+    no_digit = F.length(F.regexp_replace(F.col(col), r"[0-9]", ""))
+    safe_len = F.when(length > 0, length.cast("double")).otherwise(F.lit(1.0))
+    return (
+        docs.withColumn("n_chars_obs", length)
+        .withColumn("n_tokens", token_count_col(col))
+        .withColumn("space_ratio", (length - no_space) / safe_len)
+        .withColumn("upper_ratio", (length - no_upper) / safe_len)
+        .withColumn("digit_ratio", (length - no_digit) / safe_len)
+    )
+
+
+def quality_score(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1]: favor mid-length documents with
+    sane whitespace and low digit density."""
+    stats = with_text_stats(docs, col)
+    length_score = F.least(F.col("n_chars_obs").cast("double") / F.lit(500.0), F.lit(1.0))
+    space_score = F.when(
+        (F.col("space_ratio") >= 0.05) & (F.col("space_ratio") <= 0.3), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    digit_score = F.lit(1.0) - F.least(F.col("digit_ratio") * 4.0, F.lit(1.0))
+    return stats.withColumn(
+        "quality", (length_score + space_score + digit_score) / F.lit(3.0)
+    )
+
+
+def document_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased collapsed text) —
+    the key for exact-dup detection and content-addressed storage."""
+    return docs.withColumn(
+        "fingerprint", F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification (n-gram/stopword heuristic, pandas UDF)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"},
+    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "pour"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"},
+}
+_WORD_RE = re.compile(r"[a-zA-Zäöüßéèêàçñ]+")
+
+
+def detect_language(text: str) -> str:
+    words = [w.lower() for w in _WORD_RE.findall(text or "")][:200]
+    if not words:
+        return "unknown"
+    best_lang, best_hits = "unknown", 0
+    for lang, stops in _STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits > 0 else "unknown"
+
+
+def with_detected_language(docs: DataFrame, col: str = "text") -> DataFrame:
+    @F.pandas_udf(StringType())
+    def langid_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([detect_language(t) for t in texts])
+
+    return docs.withColumn("detected_lang", langid_udf(F.col(col)))

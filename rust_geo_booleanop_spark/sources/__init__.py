@@ -1,5 +1,11 @@
 from .corpus import case_geometry, case_template, CORPUS_SIZE
 from .documents import build_documents, DOCUMENTS_SCHEMA
+from .checkpoint import (
+    checkpointed_write,
+    completed_partitions,
+    read_checkpointed,
+    read_manifest,
+)
 
 __all__ = [
     "case_geometry",
@@ -7,4 +13,8 @@ __all__ = [
     "CORPUS_SIZE",
     "build_documents",
     "DOCUMENTS_SCHEMA",
+    "checkpointed_write",
+    "completed_partitions",
+    "read_checkpointed",
+    "read_manifest",
 ]

@@ -147,16 +147,18 @@ def _translate(mp, dx, dy):
     return [[[(x + dx, y + dy) for (x, y) in ring] for ring in poly] for poly in mp]
 
 
-def replica_offset(replica: int):
-    return (PITCH * (replica % 4096), PITCH * (replica // 4096))
+def case_offset(case_idx: int):
+    """Every case gets its own spatial slot on a PITCH grid, so geometries
+    of different cases never overlap — candidate spatial joins then pair
+    exactly the intended subject/clipping per case."""
+    return (PITCH * (case_idx % 4096), PITCH * (case_idx // 4096))
 
 
 def case_geometry(case_idx: int):
-    """(subject, clipping) for a global case index, translated per replica."""
+    """(subject, clipping) for a global case index, translated to its slot."""
     if case_idx % HEAVY_EVERY == 0 and case_idx > 0:
         subject, clipping = heavy_template()
     else:
         subject, clipping = case_template(case_idx % CORPUS_SIZE)
-    replica = case_idx // CORPUS_SIZE
-    dx, dy = replica_offset(replica)
+    dx, dy = case_offset(case_idx)
     return _translate(subject, dx, dy), _translate(clipping, dx, dy)

@@ -77,11 +77,26 @@ def _build_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def build_documents(spark, sf_dir: str):
+def build_documents(spark, sf_dir: str, replicate: int = 1):
     """documents DataFrame in input_hint schema (plus doc_id lineage column).
 
     Reads only the columns it needs from the driver parquet (column pruning
     reaches the scan) and synthesizes url/warc_ts/html per batch.
+
+    `replicate > 1` fans each base row out into N distinct pages (disjoint
+    case spaces via an even doc_id offset, so subject/clipping parity and
+    pairing survive) — used to scale the bench corpus deterministically.
     """
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        base = (
+            base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000)
+            )
+            .drop("rep")
+            .repartition(max(spark.sparkContext.defaultParallelism, 8))
+        )
     return base.mapInPandas(_build_batches, schema=DOCUMENTS_SCHEMA)

@@ -1,0 +1,124 @@
+"""Dedup, similarity, and text-analysis operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.operators import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_dup_stats,
+    minhash_dedup,
+    quality_score,
+    simhash_dedup,
+    with_detected_language,
+    with_lsh_bucket,
+    with_text_stats,
+    document_fingerprint,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest where nobody ever goes at night"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                       # exact duplicate of 0
+        (2, BASE + " extra trailing words", "en"),  # near duplicate of 0
+        (3, "vollkommen anderer text der die deutsche sprache benutzt und "
+            "nicht mit den anderen texten verwandt ist", "de"),
+        (4, "completely different content about spark query engines and "
+            "distributed columnar execution pipelines", "en"),
+        (5, "  the   quick  brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark forest where nobody ever goes at night ", "en"),  # ws-variant dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, docs):
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        # 0,1,5 collapse (whitespace-normalized); representative = 0
+        assert 0 in kept and 1 not in kept and 5 not in kept
+        assert {2, 3, 4} <= kept
+
+    def test_dup_stats(self, docs):
+        stats = exact_dup_stats(docs).collect()
+        assert len(stats) == 1
+        assert stats[0].n_copies == 3
+        assert stats[0].representative == 0
+
+
+class TestMinhash:
+    def test_finds_near_duplicates(self, docs):
+        pairs = {(r.id_a, r.id_b) for r in minhash_dedup(docs, threshold=0.5).collect()}
+        assert (0, 1) in pairs  # exact dup always survives
+        assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+        # unrelated documents must not pair
+        assert not any(3 in p or 4 in p for p in pairs)
+
+
+class TestSimhash:
+    def test_near_dup_hamming(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dedup(docs, max_hamming=10).collect()}
+        assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+        assert not any((3 in k or 4 in k) for k in pairs)
+
+
+class TestTextOps:
+    def test_stats_and_quality(self, docs):
+        stats = {r.doc_id: r for r in with_text_stats(docs).collect()}
+        assert stats[0].n_tokens == len(BASE.split())
+        assert 0.0 < stats[0].space_ratio < 0.5
+        q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+        assert all(0.0 <= v <= 1.0 for v in q.values())
+
+    def test_langid(self, docs):
+        langs = {r.doc_id: r.detected_lang for r in with_detected_language(docs).collect()}
+        assert langs[0] == "en"
+        assert langs[3] == "de"
+
+    def test_fingerprint_ws_invariant(self, docs):
+        fps = {r.doc_id: r.fingerprint for r in document_fingerprint(docs).collect()}
+        assert fps[0] == fps[5]
+        assert fps[0] != fps[2]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def embeddings(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((10, 16)).astype("float32")
+        rows = []
+        for i in range(10):
+            rows.append((i, [float(x) for x in base[i]], i % 3))
+        # vec 10 = near-copy of vec 0
+        rows.append((10, [float(x) + 0.01 for x in base[0]], 0))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def test_cosine_topk_self_first(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = cosine_topk(embeddings, queries, k=2).orderBy("rank").collect()
+        assert top[0].vec_id == 0 and top[0].rank == 1  # self-match first
+        assert top[1].vec_id == 10  # the near-copy second
+
+    def test_lsh_bucket_stability(self, embeddings):
+        b1 = {r.vec_id: r.lsh_bucket for r in with_lsh_bucket(embeddings, dim=16).collect()}
+        b2 = {r.vec_id: r.lsh_bucket for r in with_lsh_bucket(embeddings, dim=16).collect()}
+        assert b1 == b2  # deterministic
+        assert b1[0] == b1[10]  # near-copies share the bucket
+
+    def test_near_dup_pairs(self, embeddings):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(embeddings, dim=16, threshold=0.99).collect()
+        }
+        assert (0, 10) in pairs

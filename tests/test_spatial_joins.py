@@ -1,0 +1,149 @@
+"""Spatial join operators: cells, candidate pairs, PIP, kNN, zonal."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.functions.cells import (
+    bbox_cover_cells,
+    cell_bounds,
+    cell_size,
+    decode_cell,
+    encode_cells,
+    parent_cell,
+    point_cells,
+)
+from rust_geo_booleanop_spark.kernel.pip import point_in_multipolygon
+from rust_geo_booleanop_spark.operators import (
+    candidate_pairs,
+    knn_join,
+    point_in_polygon_join,
+    zonal_stats_join,
+)
+
+
+class TestCells:
+    def test_encode_decode_roundtrip(self):
+        for level in (0, 3, 7):
+            ids = encode_cells(np.array([-5, 0, 123]), np.array([7, -2, 99]), level)
+            for cid, ix, iy in zip(ids, (-5, 0, 123), (7, -2, 99)):
+                assert decode_cell(int(cid)) == (level, ix, iy)
+
+    def test_point_cells_and_bounds(self):
+        level = 4
+        ids = point_cells(np.array([100.0]), np.array([300.0]), level)
+        x0, y0, x1, y1 = cell_bounds(int(ids[0]))
+        assert x0 <= 100.0 < x1 and y0 <= 300.0 < y1
+        assert x1 - x0 == cell_size(level)
+
+    def test_bbox_cover(self):
+        level = 4
+        size = cell_size(level)
+        cells = bbox_cover_cells(0.0, 0.0, size * 1.5, size * 0.5, level)
+        assert len(cells) == 2
+        assert bbox_cover_cells(float("nan"), 0.0, 1.0, 1.0, level) == []
+
+    def test_parent(self):
+        cid = int(encode_cells(np.array([10]), np.array([13]), 4)[0])
+        assert decode_cell(parent_cell(cid, 3)) == (3, 5, 6)
+
+
+def _rect_geom(x0, y0, w, h):
+    ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+    return json.dumps({"type": "Polygon", "coordinates": [ring]})
+
+
+class TestPipJoin:
+    def test_matches_bruteforce(self, spark):
+        pts = [(i, float(i * 37 % 500), float(i * 53 % 500), 1.0) for i in range(200)]
+        points = spark.createDataFrame(pts, "point_id long, x double, y double, value double")
+        zones_rows = [
+            ("z0", _rect_geom(0, 0, 250, 250), 0.0, 0.0, 250.0, 250.0),
+            ("z1", _rect_geom(100, 100, 300, 300), 100.0, 100.0, 400.0, 400.0),
+        ]
+        zones = spark.createDataFrame(
+            zones_rows,
+            "zone_key string, geom_json string, xmin double, ymin double, xmax double, ymax double",
+        )
+        got = {
+            (r.point_id, r.zone_key)
+            for r in point_in_polygon_join(points, zones).collect()
+        }
+        want = set()
+        for pid, x, y, _ in pts:
+            for zk, gj, *_ in zones_rows:
+                mp = [json.loads(gj)["coordinates"]]
+                if point_in_multipolygon(x, y, mp):
+                    want.add((pid, zk))
+        assert got == want
+        assert len(want) > 0
+
+    def test_boundary_inclusive(self, spark):
+        points = spark.createDataFrame(
+            [(1, 0.0, 0.0, 0.0), (2, 5.0, 10.0, 0.0), (3, 10.000001, 5.0, 0.0)],
+            "point_id long, x double, y double, value double",
+        )
+        zones = spark.createDataFrame(
+            [("z", _rect_geom(0, 0, 10, 10), 0.0, 0.0, 10.0, 10.0)],
+            "zone_key string, geom_json string, xmin double, ymin double, xmax double, ymax double",
+        )
+        got = {r.point_id for r in point_in_polygon_join(points, zones).collect()}
+        assert got == {1, 2}  # corner + edge inside, outside point excluded
+
+
+class TestKnn:
+    def test_knn_exact(self, spark):
+        pts = [(i, float(i), 0.0) for i in range(100)]
+        points = spark.createDataFrame(pts, "point_id long, x double, y double")
+        queries = spark.createDataFrame([(0, 42.2, 0.0)], "query_id int, qx double, qy double")
+        got = knn_join(points, queries, k=3).orderBy("rank").collect()
+        assert [r.point_id for r in got] == [42, 43, 41]
+        assert [r.rank for r in got] == [1, 2, 3]
+
+
+class TestZonal:
+    def test_zonal_counts(self, spark):
+        pts = [(i, float(i % 20) * 10.0, 5.0, float(i)) for i in range(40)]
+        points = spark.createDataFrame(pts, "point_id long, x double, y double, value double")
+        zones = spark.createDataFrame(
+            [("left", _rect_geom(0, 0, 95, 10), 0.0, 0.0, 95.0, 10.0)],
+            "zone_key string, geom_json string, xmin double, ymin double, xmax double, ymax double",
+        )
+        rows = zonal_stats_join(points, zones).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # x in {0,10,...,90} inclusive -> i%20 in 0..9 -> 20 points
+        assert r.n_points == 20
+        assert r.min_value == 0.0
+
+
+class TestCandidatePairs:
+    def test_diagonal_pairs_only(self, spark):
+        # two disjoint cases + one overlapping cross pair
+        left_rows = [
+            ("s0", _rect_geom(0, 0, 10, 10), 0.0, 0.0, 10.0, 10.0),
+            ("s1", _rect_geom(1000, 1000, 10, 10), 1000.0, 1000.0, 1010.0, 1010.0),
+        ]
+        right_rows = [
+            ("c0", _rect_geom(5, 5, 10, 10), 5.0, 5.0, 15.0, 15.0),
+            ("c1", _rect_geom(900, 900, 10, 10), 900.0, 900.0, 910.0, 910.0),
+        ]
+        schema = "url string, geom_json string, xmin double, ymin double, xmax double, ymax double"
+        left = spark.createDataFrame(left_rows, schema)
+        right = spark.createDataFrame(right_rows, schema)
+        pairs = {(r.l_url, r.r_url) for r in candidate_pairs(left, right).collect()}
+        assert pairs == {("s0", "c0")}
+
+    def test_dedup_across_cells(self, spark):
+        # a bbox spanning many cells must yield exactly one pair
+        schema = "url string, geom_json string, xmin double, ymin double, xmax double, ymax double"
+        big = spark.createDataFrame(
+            [("big", _rect_geom(0, 0, 2000, 2000), 0.0, 0.0, 2000.0, 2000.0)], schema
+        )
+        small = spark.createDataFrame(
+            [("small", _rect_geom(500, 500, 600, 600), 500.0, 500.0, 1100.0, 1100.0)], schema
+        )
+        rows = candidate_pairs(big, small).collect()
+        assert len(rows) == 1
