@@ -408,6 +408,25 @@ def _s03_embedding_neardup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def _m01_image_features(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import image_features, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    return image_features(media).select("url", "width", "height", "phash")
+
+
+def _m02_audio_frames(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import sample_audio_frames, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    frames = sample_audio_frames(media, frame_ms=100, max_frames=8)
+    return frames.groupBy("url").agg(
+        F.count("*").alias("n_frames"), F.max("peak").alias("max_peak")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g01_boolean_pipeline": _g01_boolean_pipeline,
@@ -442,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_cosine_topk": _s01_cosine_topk,
         "s02_lsh_buckets": _s02_lsh_buckets,
         "s03_embedding_neardup": _s03_embedding_neardup,
+        "m01_image_features": _m01_image_features,
+        "m02_audio_frames": _m02_audio_frames,
     }
 
 

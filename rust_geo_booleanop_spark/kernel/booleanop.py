@@ -501,9 +501,10 @@ def connect_edges(sorted_events):
 # ---------------------------------------------------------------------------
 
 def _close_ring(ring):
+    # no copy when already closed: the sweep never mutates input rings
     if ring and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
         return list(ring) + [ring[0]]
-    return list(ring)
+    return ring
 
 
 def _normalize_multipolygon(mp):

@@ -37,6 +37,12 @@ from .text import (
     with_text_stats,
 )
 from .skew import cell_histogram, hot_keys, salted_join
+from .multimodal import (
+    image_features,
+    resize_images,
+    sample_audio_frames,
+    synth_media,
+)
 
 __all__ = [
     "extract_geometries",
@@ -72,4 +78,8 @@ __all__ = [
     "cell_histogram",
     "hot_keys",
     "salted_join",
+    "image_features",
+    "resize_images",
+    "sample_audio_frames",
+    "synth_media",
 ]

@@ -91,8 +91,20 @@ def _make_kernel_batches(ops: Sequence[str]):
     return kernel_batches
 
 
-def apply_boolean_ops(pairs: DataFrame, ops: Sequence[str] = DEFAULT_OPS) -> DataFrame:
-    """(case_id, *_url, *_json) pairs -> one result row per (pair, op)."""
+def apply_boolean_ops(
+    pairs: DataFrame, ops: Sequence[str] = DEFAULT_OPS, rebalance: bool = False
+) -> DataFrame:
+    """(case_id, *_url, *_json) pairs -> one result row per (pair, op).
+
+    `rebalance` round-robins pairs over 4x the cluster parallelism before
+    the kernel stage — useful when upstream partitioning is pathologically
+    skewed. Off by default: measured on the synthetic corpus, the extra
+    shuffle costs more than the straggler smoothing saves (hash
+    partitioning on case_id already spreads heavy cases evenly).
+    """
+    if rebalance:
+        sc = pairs.sparkSession.sparkContext
+        pairs = pairs.repartition(4 * sc.defaultParallelism)
     return pairs.mapInPandas(_make_kernel_batches(tuple(ops)), schema=BOOLEAN_RESULTS_SCHEMA)
 
 
