@@ -408,6 +408,27 @@ def _s03_embedding_neardup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def _g09_fixture_suite(spark, sf_dir):
+    """The reference's own fixture corpus through the binaryFile GeoJSON
+    source + kernel pipeline (parity evidence; corpus is read-only)."""
+    from rust_geo_booleanop_spark.operators import apply_boolean_ops
+    from rust_geo_booleanop_spark.sources import fixture_pairs, read_feature_collections
+
+    features = read_feature_collections(
+        spark, "/root/reference/tests/fixtures/generic_test_cases"
+    )
+    pairs = fixture_pairs(features)
+    res = apply_boolean_ops(pairs)
+    return res.select("subject_url", "op", "n_polys")
+
+
+def _g10_raster_zonal(spark, sf_dir):
+    from rust_geo_booleanop_spark.sources import raster_zonal_stats
+
+    z = raster_zonal_stats(spark, _zones(spark), width=200, height=200, pixel_size=5.0)
+    return z.select("zone_key", "n_points", "min_value", "max_value")
+
+
 def _m01_image_features(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import image_features, synth_media
     from rust_geo_booleanop_spark.sources import build_documents
@@ -437,6 +458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g06_zonal_stats": _g06_zonal_stats,
         "g07_candidate_pairs": _g07_candidate_pairs,
         "g08_cell_histogram": _g08_cell_histogram,
+        "g09_fixture_suite": _g09_fixture_suite,
+        "g10_raster_zonal": _g10_raster_zonal,
         "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,
@@ -508,6 +531,21 @@ def oracle_sql() -> dict[str, str]:
                     | (CAST(FLOOR(y / 256.0) AS BIGINT) + 268435456)) AS cell_id,
                    COUNT(*) AS n_points
             FROM pts GROUP BY 1
+        """,
+        "g10_raster_zonal": f"""
+            WITH pixels AS (
+                SELECT range AS id,
+                       CAST((range % 200) + 0.5 AS DOUBLE) * 5.0 AS x,
+                       CAST((range // 200) + 0.5 AS DOUBLE) * 5.0 AS y,
+                       CAST((range * 2654435761) % 1000 AS DOUBLE) AS value
+                FROM range(40000)
+            ), zones AS ({zones})
+            SELECT z.zone_key, COUNT(*) AS n_points,
+                   MIN(p.value) AS min_value, MAX(p.value) AS max_value
+            FROM pixels p JOIN zones z
+              ON p.x BETWEEN z.x0 AND z.x0 + 200.0
+             AND p.y BETWEEN z.y0 AND z.y0 + 200.0
+            GROUP BY z.zone_key
         """,
         # --- relational ---
         "r01_pricing_summary": """

@@ -91,8 +91,32 @@ class Event:
     # as the negated reverse comparison so that tie pairs (same point, flags
     # and orientation class) report False in both directions, like the
     # reference comparator does for its max-heap.
+    #
+    # Hand-inlined `not event_is_before(b, self)` (the hottest call in the
+    # sweep). The orientation branch folds `b.is_below(...)` into the one
+    # signed_area already computed: swapping the first two arguments of
+    # orient2d exactly negates it (the float products are identical and the
+    # final subtraction flips; the exact fallback negates too), so
+    # is_below == (sa > 0) for a left event and (sa < 0) for a right one.
     def __lt__(self, b: "Event") -> bool:
-        return not event_is_before(b, self)
+        sx = self.x
+        bx = b.x
+        if sx != bx:
+            return sx < bx
+        sy = self.y
+        by = b.y
+        if sy != by:
+            return sy < by
+        if self.left != b.left:
+            return b.left
+        so = self.other
+        bo = b.other
+        if so is not None and bo is not None:
+            sa = signed_area(bx, by, bo.x, bo.y, so.x, so.y)
+            if sa != 0.0:
+                # not b.is_below(self.other): b left -> not(sa>0) -> sa<0
+                return sa < 0.0 if b.left else sa > 0.0
+        return self.is_subject and not b.is_subject
 
     def __repr__(self):  # debugging aid only
         return (
@@ -108,17 +132,24 @@ def event_is_before(a: Event, b: Event) -> bool:
     sweep_event.rs:220-255: x asc, y asc, right endpoints before left,
     bottom segment first (orientation), clipping/subject tiebreak.
     """
-    if a.x != b.x:
-        return a.x < b.x
-    if a.y != b.y:
-        return a.y < b.y
+    ax = a.x
+    bx = b.x
+    if ax != bx:
+        return ax < bx
+    ay = a.y
+    by = b.y
+    if ay != by:
+        return ay < by
     if a.left != b.left:
         return not a.left  # right endpoint events first
     ao = a.other
     bo = b.other
     if ao is not None and bo is not None:
-        if signed_area(a.x, a.y, ao.x, ao.y, bo.x, bo.y) != 0.0:
-            return a.is_below(bo.x, bo.y)
+        sa = signed_area(ax, ay, ao.x, ao.y, bo.x, bo.y)
+        if sa != 0.0:
+            # a.is_below(b.other) folded into the same orientation value
+            # (orient2d is exactly antisymmetric in its first two args)
+            return sa > 0.0 if a.left else sa < 0.0
     return not ((not a.is_subject) and b.is_subject)
 
 
@@ -142,16 +173,21 @@ def compare_segments(se1: Event, se2: Event) -> int:
     o_old = se_old.other
     o_new = se_new.other
 
-    sa_l = signed_area(se_old.x, se_old.y, o_old.x, o_old.y, se_new.x, se_new.y)
-    sa_r = signed_area(se_old.x, se_old.y, o_old.x, o_old.y, o_new.x, o_new.y)
+    ox = se_old.x
+    oy = se_old.y
+    nx = se_new.x
+    ny = se_new.y
+    sa_l = signed_area(ox, oy, o_old.x, o_old.y, nx, ny)
+    sa_r = signed_area(ox, oy, o_old.x, o_old.y, o_new.x, o_new.y)
     if sa_l != 0.0 or sa_r != 0.0:
         # Not collinear.
-        if se_old.x == se_new.x and se_old.y == se_new.y:
+        if ox == nx and oy == ny:
             # Identical left endpoints: order by the right endpoint.
-            return -flip if se_old.is_below(o_new.x, o_new.y) else flip
-        if se_old.x == se_new.x:
+            # se_old.is_below(o_new) is exactly sa_r > 0 (se_old is left).
+            return -flip if sa_r > 0.0 else flip
+        if ox == nx:
             # Same x, different y: order by y.
-            return -flip if se_old.y < se_new.y else flip
+            return -flip if oy < ny else flip
         if (sa_l > 0.0) == (sa_r > 0.0):
             # Both of the newer segment's endpoints on one side.
             return -flip if sa_l > 0.0 else flip

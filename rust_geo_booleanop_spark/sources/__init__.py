@@ -6,6 +6,12 @@ from .checkpoint import (
     read_checkpointed,
     read_manifest,
 )
+from .geojson_source import (
+    fixture_pairs,
+    read_feature_collections,
+    write_feature_collection,
+)
+from .raster import raster_grid, raster_zonal_stats
 
 __all__ = [
     "case_geometry",
@@ -17,4 +23,9 @@ __all__ = [
     "completed_partitions",
     "read_checkpointed",
     "read_manifest",
+    "fixture_pairs",
+    "read_feature_collections",
+    "write_feature_collection",
+    "raster_grid",
+    "raster_zonal_stats",
 ]

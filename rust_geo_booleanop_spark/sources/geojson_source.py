@@ -1,0 +1,133 @@
+"""GeoJSON FeatureCollection source + sink.
+
+The reference's I/O surface is fixture-style FeatureCollection files
+(loader /root/reference/tests/src/helper.rs:49-94, writer
+tests/src/compact_geojson.rs). The Spark equivalents:
+
+- `read_feature_collections`: a directory of *.geojson files -> DataFrame
+  with one row per feature, carrying the file stem as case key, the
+  feature index, the operation annotation (for expected results), the
+  geometry as canonical GeoJSON text, and its bbox columns.
+- `write_feature_collection`: result rows -> one FeatureCollection file
+  (driver-side; per-partition sharding for big outputs).
+
+Reading uses Spark's binaryFile source so the files stream through
+executors (scales to millions of small files via the usual file-listing
+parallelism), then parses per Arrow batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernel.geojson import (
+    geometry_to_multipolygon,
+    multipolygon_bbox,
+    multipolygon_to_geometry,
+)
+
+FEATURES_SCHEMA = (
+    "case_key string, feature_no int, role string, operation string, "
+    "swap_ab_is_broken boolean, geom_json string, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {
+            "case_key": [], "feature_no": [], "role": [], "operation": [],
+            "swap_ab_is_broken": [], "geom_json": [],
+            "xmin": [], "ymin": [], "xmax": [], "ymax": [],
+        }
+        for path, content in zip(pdf["path"], pdf["content"]):
+            name = os.path.basename(path)
+            if name.endswith(".geojson"):
+                name = name[: -len(".geojson")]
+            try:
+                fc = json.loads(bytes(content).decode("utf-8"))
+                features = fc["features"]
+            except (ValueError, KeyError):
+                continue  # not a FeatureCollection: skip the file
+            for i, feat in enumerate(features):
+                geom = feat.get("geometry")
+                if not geom or geom.get("type") not in ("Polygon", "MultiPolygon"):
+                    continue
+                props = feat.get("properties") or {}
+                mp = geometry_to_multipolygon(geom)
+                xmin, ymin, xmax, ymax = multipolygon_bbox(mp)
+                role = "subject" if i == 0 else ("clipping" if i == 1 else "expected")
+                out["case_key"].append(name)
+                out["feature_no"].append(i)
+                out["role"].append(role)
+                out["operation"].append(props.get("operation"))
+                out["swap_ab_is_broken"].append(bool(props.get("swap_ab_is_broken", False)))
+                out["geom_json"].append(
+                    json.dumps(multipolygon_to_geometry(mp), separators=(",", ":"))
+                )
+                out["xmin"].append(xmin)
+                out["ymin"].append(ymin)
+                out["xmax"].append(xmax)
+                out["ymax"].append(ymax)
+        yield pd.DataFrame(out)
+
+
+def read_feature_collections(spark, path: str) -> DataFrame:
+    """Directory (or glob) of .geojson FeatureCollections -> feature rows."""
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.geojson")
+        .load(path)
+        .select("path", "content")
+    )
+    return binary.mapInPandas(_parse_batches, schema=FEATURES_SCHEMA)
+
+
+def fixture_pairs(features: DataFrame) -> DataFrame:
+    """(case_key, subject_json, clipping_json) — one row per fixture file."""
+    subj = features.filter(F.col("feature_no") == 0).select(
+        "case_key",
+        F.col("geom_json").alias("subject_json"),
+        F.col("case_key").alias("subject_url"),
+    )
+    clip = features.filter(F.col("feature_no") == 1).select(
+        "case_key",
+        F.col("geom_json").alias("clipping_json"),
+        F.col("case_key").alias("clipping_url"),
+    )
+    return (
+        subj.join(clip, on="case_key")
+        .withColumn("case_id", F.xxhash64("case_key"))
+        .select(
+            "case_id", "case_key", "subject_url", "clipping_url",
+            "subject_json", "clipping_json",
+        )
+    )
+
+
+def write_feature_collection(
+    rows, out_path: str, geom_col: str = "result_json", props_cols=("op",)
+) -> int:
+    """Collect result rows into ONE FeatureCollection file (fixture-style).
+
+    For outputs that fit on the driver (goldens, reports). Large outputs
+    should use parquet sinks; this mirrors the reference's compact GeoJSON
+    writer role.
+    """
+    collected = rows.collect()
+    features = []
+    for r in collected:
+        geom = json.loads(r[geom_col])
+        props = {c: r[c] for c in props_cols}
+        features.append({"type": "Feature", "properties": props, "geometry": geom})
+    fc = {"type": "FeatureCollection", "features": features}
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(fc, f, separators=(",", ":"))
+    return len(features)

@@ -1,0 +1,91 @@
+"""Plan-shape assertions + GeoJSON/raster source tests."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.sources import raster_grid
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPlanShapes:
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+        df = li.filter(F.col("l_quantity") >= 30.0).select("l_orderkey", "l_quantity")
+        plan = plan_str(df)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(l_quantity,30.0)" in plan
+        # column pruning: scan only reads the two projected columns
+        assert "l_orderkey" in plan.split("ReadSchema")[1].splitlines()[0]
+        assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+    def test_dim_join_broadcasts(self, spark):
+        o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+        c = F.broadcast(spark.read.parquet(f"{TESTDATA}/customer.parquet"))
+        plan = plan_str(o.join(c, o.o_custkey == c.c_custkey))
+        assert "BroadcastHashJoin" in plan
+
+    def test_kernel_stage_is_arrow_batched(self, spark):
+        from rust_geo_booleanop_spark.operators import boolean_pipeline, extract_geometries
+        from rust_geo_booleanop_spark.sources import build_documents
+
+        df = boolean_pipeline(extract_geometries(build_documents(spark, TESTDATA)))
+        plan = plan_str(df)
+        assert "MapInPandas" in plan  # Arrow-batched Python, not row UDFs
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+@pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="reference corpus missing")
+class TestGeoJsonSource:
+    def test_read_feature_collections(self, spark):
+        from rust_geo_booleanop_spark.sources import fixture_pairs, read_feature_collections
+
+        features = read_feature_collections(spark, FIXTURE_DIR)
+        n_files = features.select("case_key").distinct().count()
+        assert n_files == 45
+        pairs = fixture_pairs(features)
+        assert pairs.count() == 45
+
+    def test_roundtrip_write(self, spark, tmp_path):
+        import json
+
+        from rust_geo_booleanop_spark.operators import apply_boolean_ops
+        from rust_geo_booleanop_spark.sources import (
+            fixture_pairs,
+            read_feature_collections,
+            write_feature_collection,
+        )
+
+        features = read_feature_collections(spark, FIXTURE_DIR)
+        pairs = fixture_pairs(features).filter(F.col("case_key") == "basic1_poly")
+        res = apply_boolean_ops(pairs)
+        out = str(tmp_path / "out.geojson")
+        n = write_feature_collection(res, out)
+        assert n == 4
+        fc = json.load(open(out))
+        assert fc["type"] == "FeatureCollection"
+        ops = {f["properties"]["op"] for f in fc["features"]}
+        assert ops == {"intersection", "union", "diff", "xor"}
+
+
+class TestRaster:
+    def test_raster_grid_deterministic(self, spark):
+        g = raster_grid(spark, 10, 10, pixel_size=2.0)
+        rows = {(r.px, r.py): (r.x, r.y, r.value) for r in g.collect()}
+        assert len(rows) == 100
+        assert rows[(0, 0)] == (1.0, 1.0, 0.0)
+        assert rows[(3, 4)][0] == 7.0  # (3 + 0.5) * 2
+        # JVM-only generation: no Python nodes in the plan
+        assert "InPandas" not in plan_str(g) and "EvalPython" not in plan_str(g)
