@@ -5,7 +5,14 @@ Fixture-exact reimplementation of the semantics of
 Arrow-batched pandas UDFs on Spark; never row-at-a-time per Spark row.
 """
 
-from .booleanop import boolean_op, INTERSECTION, UNION, DIFFERENCE, XOR
+from .booleanop import (
+    boolean_op,
+    KernelLimitExceeded,
+    INTERSECTION,
+    UNION,
+    DIFFERENCE,
+    XOR,
+)
 from .geojson import (
     load_fixture,
     parse_multipolygon,
@@ -16,6 +23,7 @@ from .predicates import signed_area, segment_intersection
 
 __all__ = [
     "boolean_op",
+    "KernelLimitExceeded",
     "INTERSECTION",
     "UNION",
     "DIFFERENCE",

@@ -285,15 +285,33 @@ def _result_transition(event, operation):
 # The sweep (subdivide_segments.rs:14-103)
 # ---------------------------------------------------------------------------
 
+class KernelLimitExceeded(RuntimeError):
+    """Safety valve: the sweep processed far more events than any sane
+    input produces — a degenerate-overlap input has driven subdivision
+    into a non-terminating split cycle (Martinez-class pathology; cf. the
+    reference's deactivated issue90 fixture). Raised instead of hanging an
+    executor; callers may mark the row failed and continue."""
+
+
 def subdivide(queue, sbbox, cbbox, operation):
     sweep = SweepLine()
     sorted_events = []
     rightbound = min(sbbox[2], cbbox[2])
     sbbox_max_x = sbbox[2]
 
+    # Each original segment can legitimately split many times, but total
+    # processed events stay linear-ish in input+intersections; 100x input
+    # (+ slack) is far beyond any terminating case.
+    event_budget = 100 * len(queue) + 100_000
+
     while queue:
         event = heappop(queue)
         sorted_events.append(event)
+        if len(sorted_events) > event_budget:
+            raise KernelLimitExceeded(
+                f"sweep exceeded {event_budget} processed events "
+                f"(operation={operation})"
+            )
 
         if (operation == INTERSECTION and event.x > rightbound) or (
             operation == DIFFERENCE and event.x > sbbox_max_x
@@ -440,6 +458,13 @@ def _initialize_contour(event, contours, contour_id):
     if prev_in_result is None:
         return Contour(None, 0)
     lower_id = prev_in_result.output_contour_id
+    if not (0 <= lower_id < len(contours)):
+        # Invariant breach ("previous in result" not yet assigned a contour)
+        # only happens on degenerate-overlap inputs where the reference
+        # panics (its test harness wraps runs in catch_unwind,
+        # tests/src/generic_test_cases.rs:24). Degrade to an exterior
+        # contour instead of crashing the executor.
+        return Contour(None, 0)
     if prev_in_result.result_transition == TRANS_OUT_IN:
         # We are inside: hole of the lower contour (or of its parent).
         lower = contours[lower_id]

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel.booleanop import boolean_op
+from ..kernel.booleanop import KernelLimitExceeded, boolean_op
 from ..kernel.geojson import (
     multipolygon_bbox,
     parse_multipolygon,
@@ -29,7 +29,7 @@ DEFAULT_OPS = ("intersection", "union", "diff", "xor")
 BOOLEAN_RESULTS_SCHEMA = (
     "case_id long, subject_url string, clipping_url string, op string, "
     "result_json string, n_polys int, "
-    "xmin double, ymin double, xmax double, ymax double"
+    "xmin double, ymin double, xmax double, ymax double, status string"
 )
 
 
@@ -62,7 +62,7 @@ def _make_kernel_batches(ops: Sequence[str]):
         for pdf in batches:
             rows = {k: [] for k in (
                 "case_id", "subject_url", "clipping_url", "op",
-                "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax",
+                "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax", "status",
             )}
             for case_id, s_url, c_url, s_json, c_json in zip(
                 pdf["case_id"], pdf["subject_url"], pdf["clipping_url"],
@@ -71,7 +71,13 @@ def _make_kernel_batches(ops: Sequence[str]):
                 subject = parse_multipolygon(s_json)
                 clipping = parse_multipolygon(c_json)
                 for op in ops:
-                    result = boolean_op(subject, clipping, op)
+                    try:
+                        result = boolean_op(subject, clipping, op)
+                        status = "ok"
+                    except KernelLimitExceeded:
+                        # degenerate input: mark the row, don't kill the job
+                        result = []
+                        status = "limit_exceeded"
                     if result:
                         xmin, ymin, xmax, ymax = multipolygon_bbox(result)
                     else:
@@ -86,6 +92,7 @@ def _make_kernel_batches(ops: Sequence[str]):
                     rows["ymin"].append(ymin)
                     rows["xmax"].append(xmax)
                     rows["ymax"].append(ymax)
+                    rows["status"].append(status)
             yield pd.DataFrame(rows)
 
     return kernel_batches

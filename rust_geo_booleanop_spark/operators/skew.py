@@ -56,7 +56,9 @@ def replicate_build_side(
         F.sequence(F.lit(0), F.lit(factor - 1)),
     ).otherwise(F.array(F.lit(0)))
     return (
-        marked.withColumn("salt", F.explode(salts).cast("int")).drop("_is_hot")
+        marked.withColumn("salt", F.explode(salts))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .drop("_is_hot")
     )
 
 

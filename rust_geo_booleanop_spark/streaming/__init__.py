@@ -1,7 +1,20 @@
-"""Streaming is out of scope for the reference (batch-only kernel).
+"""Structured Streaming extensions (engine additions; the reference kernel
+is batch-only — its resumability analogue is sources/checkpoint.py)."""
 
-The north rule's resumability requirement is met with batch
-checkpointing per partition instead — see sources/checkpoint.py.
-This package exists for future structured-streaming variants of the
-extraction pipeline (readStream over WARC drops).
-"""
+from .extraction import (
+    run_extraction_stream,
+    run_windowed_counts_stream,
+    stream_documents,
+    stream_events,
+    stream_extract_geometries,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "run_extraction_stream",
+    "run_windowed_counts_stream",
+    "stream_documents",
+    "stream_events",
+    "stream_extract_geometries",
+    "windowed_event_counts",
+]

@@ -1,0 +1,89 @@
+"""Structured Streaming: incremental extraction + watermarked windows."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.streaming import (
+    run_extraction_stream,
+    run_windowed_counts_stream,
+)
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_extraction_stream_incremental(spark, tmp_path):
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+
+    # drop 1: first half of the base docs
+    base = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    half1 = base.filter(F.col("doc_id") < 250)
+    half1.write.parquet(os.path.join(drop_dir, "d1"))
+    # the file source needs uniform files directly under the path
+    for f in os.listdir(os.path.join(drop_dir, "d1")):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(drop_dir, "d1", f), os.path.join(drop_dir, f"d1_{f}"))
+    shutil.rmtree(os.path.join(drop_dir, "d1"))
+
+    run_extraction_stream(spark, drop_dir, out_dir, ckpt_dir)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == half1.count()
+
+    # drop 2: second half — restart processes ONLY the new files
+    half2 = base.filter(F.col("doc_id") >= 250)
+    half2.write.parquet(os.path.join(drop_dir, "d2"))
+    for f in os.listdir(os.path.join(drop_dir, "d2")):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(drop_dir, "d2", f), os.path.join(drop_dir, f"d2_{f}"))
+    shutil.rmtree(os.path.join(drop_dir, "d2"))
+
+    run_extraction_stream(spark, drop_dir, out_dir, ckpt_dir)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == base.count()
+    # streamed extraction == batch extraction, row for row
+    from rust_geo_booleanop_spark.operators import extract_geometries
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    batch = extract_geometries(build_documents(spark, TESTDATA))
+    assert (
+        out.select("url", "geom_json").exceptAll(batch.select("url", "geom_json")).count()
+        == 0
+    )
+    assert (
+        batch.select("url", "geom_json").exceptAll(out.select("url", "geom_json")).count()
+        == 0
+    )
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    drop_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "win_out")
+    ckpt_dir = str(tmp_path / "win_ckpt")
+
+    events = spark.read.parquet(f"{TESTDATA}/events.parquet")
+    events.write.parquet(drop_dir, mode="overwrite")
+
+    run_windowed_counts_stream(spark, drop_dir, out_dir, ckpt_dir)
+    emitted = spark.read.parquet(out_dir)
+    n = emitted.count()
+    assert n > 0
+
+    # every emitted (window, type) count equals the batch computation
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_batch"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_batch",
+        )
+    )
+    joined = emitted.join(batch, on=["window_start", "event_type"], how="left")
+    assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
+    # append mode emits only watermark-finalized windows: emitted <= all
+    assert n <= batch.count()
