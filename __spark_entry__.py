@@ -312,6 +312,20 @@ def _r12_events_json(spark, sf_dir):
     ).filter(F.col("prop_k") > 50)
 
 
+def _r13_date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_month", F.date_trunc("month", F.col("o_orderdate")))
+        .withColumn("order_year", F.year("o_orderdate").cast("int"))
+        .withColumn("order_dow", F.dayofweek("o_orderdate").cast("int"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("order_dow").alias("min_dow"),
+        )
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -472,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_events_agg": _r10_events_agg,
         "r11_events_window": _r11_events_window,
         "r12_events_json": _r12_events_json,
+        "r13_date_functions": _r13_date_functions,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -624,6 +639,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        "r13_date_functions": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+                   COUNT(*) AS n_orders,
+                   CAST(MIN(dayofweek(o_orderdate) + 1) AS INT) AS min_dow
+            FROM orders
+            GROUP BY 1, 2
         """,
         # --- text / dedup ---
         "t01_exact_dedup": """

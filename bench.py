@@ -55,8 +55,20 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # Warm the JVM + Python workers once (tiny pass) so the measured run
-    # isn't dominated by interpreter/worker startup.
+    # Warm the JVM + ALL Python workers (one task per core, through the
+    # same import-heavy code path) so the measured run isn't dominated by
+    # interpreter spawn + module imports on 32 cold workers.
+    n_workers = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+
+    def _warm(batches):
+        import pandas as _pd  # noqa: F401
+        from rust_geo_booleanop_spark.kernel import boolean_op as _bo  # noqa: F401
+        for b in batches:
+            yield b
+
+    spark.range(n_workers * 4).repartition(n_workers * 2).mapInPandas(
+        _warm, schema="id long"
+    ).count()
     docs_warm = build_documents(spark, sf_dir).limit(64)
     boolean_pipeline(extract_geometries(docs_warm)).count()
 

@@ -99,19 +99,24 @@ def _make_kernel_batches(ops: Sequence[str]):
 
 
 def apply_boolean_ops(
-    pairs: DataFrame, ops: Sequence[str] = DEFAULT_OPS, rebalance: bool = False
+    pairs: DataFrame, ops: Sequence[str] = DEFAULT_OPS, rebalance: bool = True
 ) -> DataFrame:
     """(case_id, *_url, *_json) pairs -> one result row per (pair, op).
 
-    `rebalance` round-robins pairs over 4x the cluster parallelism before
-    the kernel stage — useful when upstream partitioning is pathologically
-    skewed. Off by default: measured on the synthetic corpus, the extra
-    shuffle costs more than the straggler smoothing saves (hash
-    partitioning on case_id already spreads heavy cases evenly).
+    `rebalance` (default ON) round-robins pairs across the cluster before
+    the kernel stage. This is load-bearing: upstream joins of small/
+    broadcastable inputs produce NO shuffle, so the pair table inherits the
+    file scan's partitioning — a single-file source would silently
+    serialize the (CPU-dominant) kernel onto one core. The extra shuffle
+    moves only the small pair rows; kernel cost per row dwarfs it.
     """
     if rebalance:
-        sc = pairs.sparkSession.sparkContext
-        pairs = pairs.repartition(4 * sc.defaultParallelism)
+        spark = pairs.sparkSession
+        n = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+            2 * spark.sparkContext.defaultParallelism,
+        )
+        pairs = pairs.repartition(n)
     return pairs.mapInPandas(_make_kernel_batches(tuple(ops)), schema=BOOLEAN_RESULTS_SCHEMA)
 
 

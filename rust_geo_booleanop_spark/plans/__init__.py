@@ -37,6 +37,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces shuffle outputs by BYTES; kernel stages are
+        # CPU-bound per ROW (a few KB of geometry can cost 100ms), so a
+        # byte-based floor of 1MB would serialize them. Keep partitions
+        # fine-grained — the task-count ceiling is shuffle.partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -97,6 +97,8 @@ def build_documents(spark, sf_dir: str, replicate: int = 1):
                 "doc_id", F.col("doc_id") + F.col("rep") * F.lit(10_000_000)
             )
             .drop("rep")
-            .repartition(max(spark.sparkContext.defaultParallelism, 8))
         )
+    # A small table arrives as ONE scan partition; spread the (Python-side)
+    # html synthesis across the cluster regardless of source file layout.
+    base = base.repartition(max(spark.sparkContext.defaultParallelism, 8))
     return base.mapInPandas(_build_batches, schema=DOCUMENTS_SCHEMA)
