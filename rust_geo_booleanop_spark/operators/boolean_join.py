@@ -111,12 +111,9 @@ def apply_boolean_ops(
     moves only the small pair rows; kernel cost per row dwarfs it.
     """
     if rebalance:
-        spark = pairs.sparkSession
-        n = max(
-            int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
-            2 * spark.sparkContext.defaultParallelism,
-        )
-        pairs = pairs.repartition(n)
+        from .spatial_join import ensure_parallelism
+
+        pairs = ensure_parallelism(pairs)
     return pairs.mapInPandas(_make_kernel_batches(tuple(ops)), schema=BOOLEAN_RESULTS_SCHEMA)
 
 

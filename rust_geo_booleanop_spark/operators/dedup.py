@@ -60,35 +60,49 @@ def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_ROLL_MULT = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio odd constant
 
 
 def _hash_shingles(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of the k-gram word shingles of `text`."""
+    """Stable 64-bit hashes of the k-gram word shingles of `text`.
+
+    One blake2b per TOKEN, then a vectorized polynomial roll over the k
+    window (uint64 wraparound) — k x fewer bytes hashed than hashing each
+    shingle string, and the combine is pure NumPy.
+    """
     tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if not tokens:
+        return np.zeros(1, dtype=np.uint64)
+    th = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        th[i] = struct.unpack("<Q", hashlib.blake2b(t.encode(), digest_size=8).digest())[0]
     if len(tokens) < k:
-        shingles = [" ".join(tokens)] if tokens else [""]
-    else:
-        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = struct.unpack("<Q", hashlib.blake2b(s.encode(), digest_size=8).digest())[0]
-    return out
+        acc = np.uint64(0)
+        for v in th:
+            acc = acc * _ROLL_MULT + v
+        return np.array([acc], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _ROLL_MULT + th[j : len(th) - k + 1 + j]
+    return acc
 
 
 def _perm_params(num_perm: int, seed: int = 42):
+    """Multiply-xorshift hash family parameters (odd multipliers)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.randint(1, 2**63 - 1, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, 2**63 - 1, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> list:
     h = _hash_shingles(text, k)
-    # (a*h + b) mod p, vectorized over shingles x perms
-    hv = h.astype(object)[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]
-    hv = hv % _MERSENNE
-    return [int(x) for x in np.min(np.array(hv, dtype=np.uint64), axis=0)]
+    # permuted[i,j] = mix(a[j]*h[i] + b[j]) in wraparound uint64 arithmetic
+    with np.errstate(over="ignore"):
+        hv = h[:, None] * a[None, :] + b[None, :]
+        hv ^= hv >> np.uint64(29)  # xorshift finalizer decorrelates high bits
+    return [int(x) for x in hv.min(axis=0)]
 
 
 def minhash_candidates(
@@ -118,8 +132,10 @@ def minhash_candidates(
             out.append(bh)
         return pd.Series(out)
 
+    from .spatial_join import ensure_parallelism
+
     banded = (
-        docs.select(id_col, text_col)
+        ensure_parallelism(docs.select(id_col, text_col))
         .withColumn("band_hash", F.explode(band_hashes(F.col(text_col))))
         .select(id_col, "band_hash")
     )
@@ -149,6 +165,10 @@ def jaccard_verify(
             docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b")), on="id_b"
         )
     )
+
+    from .spatial_join import ensure_parallelism
+
+    texted = ensure_parallelism(texted)
 
     def jac_batches(batches):
         for pdf in batches:
@@ -204,7 +224,11 @@ def simhash_candidates(
     def simhash_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([_simhash64(t) for t in texts])
 
-    sigged = docs.select(id_col, text_col).withColumn("simhash", simhash_udf(F.col(text_col)))
+    from .spatial_join import ensure_parallelism
+
+    sigged = ensure_parallelism(docs.select(id_col, text_col)).withColumn(
+        "simhash", simhash_udf(F.col(text_col))
+    )
     block_cols = []
     u = (F.col("simhash").cast("long") + F.lit(0)).bitwiseAND(F.lit(-1))
     for bi in range(n_blocks):

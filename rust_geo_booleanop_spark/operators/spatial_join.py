@@ -31,6 +31,19 @@ from ..kernel.pip import point_in_multipolygon
 DEFAULT_CELL_LEVEL = 4
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin a DataFrame to cluster parallelism before a CPU-heavy
+    Python stage. Broadcast joins over single-file sources propagate ONE
+    scan partition all the way down, silently serializing pandas-UDF
+    stages; cost-per-row there dwarfs the small extra shuffle."""
+    spark = df.sparkSession
+    n = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "64")),
+        2 * spark.sparkContext.defaultParallelism,
+    )
+    return df.repartition(n)
+
+
 def with_cover_cells(df: DataFrame, level: int = DEFAULT_CELL_LEVEL, prefix: str = "") -> DataFrame:
     """Explode bbox cover cells: one row per (row, covering cell)."""
 
@@ -126,6 +139,7 @@ def point_in_polygon_join(
         & (F.col("y") >= F.col("ymin"))
         & (F.col("y") <= F.col("ymax"))
     ).select("point_id", "x", "y", "zone_key", "geom_json")
+    cand = ensure_parallelism(cand)
 
     def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict[str, object] = {}
