@@ -326,6 +326,22 @@ def _r13_date_functions(spark, sf_dir):
     )
 
 
+def _r14_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rolled = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dsum("l_quantity", "sum_qty"),
+    )
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "gid",
+        "n_rows",
+        "sum_qty",
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -394,6 +410,14 @@ def _d02_simhash_pairs(spark, sf_dir):
     )
 
 
+def _d03_ngram_jaccard(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    ).select("id_a", "id_b", "n_shared", "jaccard")
+
+
 def _s01_cosine_topk(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import cosine_topk
 
@@ -420,6 +444,17 @@ def _s03_embedding_neardup(spark, sf_dir):
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.3, n_planes=6
     ).select("id_a", "id_b")
+
+
+def _s04_ivf_topk(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = ivf_cosine_topk(emb, queries, k=10, nprobe=2, stride=37)
+    return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
 
 
 def _g09_fixture_suite(spark, sf_dir):
@@ -487,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_events_window": _r11_events_window,
         "r12_events_json": _r12_events_json,
         "r13_date_functions": _r13_date_functions,
+        "r14_rollup": _r14_rollup,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -496,9 +532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_token_count": _t07_token_count,
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
+        "d03_ngram_jaccard": _d03_ngram_jaccard,
         "s01_cosine_topk": _s01_cosine_topk,
         "s02_lsh_buckets": _s02_lsh_buckets,
         "s03_embedding_neardup": _s03_embedding_neardup,
+        "s04_ivf_topk": _s04_ivf_topk,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
     }
@@ -648,6 +686,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2
         """,
+        "r14_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   GROUPING(l_returnflag, l_linestatus) AS gid,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         # --- text / dedup ---
         "t01_exact_dedup": """
             SELECT doc_id, lang, n_chars FROM (
@@ -675,6 +722,23 @@ def oracle_sql() -> dict[str, str]:
                        / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS digit_ratio
             FROM documents
         """,
+        # quality composite reuses t03's ratio expressions with identical
+        # operation order: (length_score + space_score + digit_score) / 3
+        "t04_quality_score": """
+            SELECT doc_id,
+                   (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+                    + CASE WHEN space_ratio >= 0.05 AND space_ratio <= 0.3
+                           THEN 1.0 ELSE 0.5 END
+                    + (1.0 - LEAST(digit_ratio * 4.0, 1.0))) / 3.0 AS quality
+            FROM (
+                SELECT doc_id, text,
+                       (LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')))
+                           / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS space_ratio,
+                       (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                           / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS digit_ratio
+                FROM documents
+            )
+        """,
         "t06_fingerprint": """
             SELECT doc_id, md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
             FROM documents
@@ -685,6 +749,29 @@ def oracle_sql() -> dict[str, str]:
                             ELSE LENGTH(string_split_regex(TRIM(text), '\\s+')) END) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        # exact inverted-index n-gram Jaccard (d03): the one FP division is
+        # identical single-op IEEE arithmetic in both engines
+        "d03_ngram_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                FROM toks
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b, s.n_shared,
+                   CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.id_a
+            JOIN sizes sb ON sb.doc_id = s.id_b
+            WHERE CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.5
         """,
         # --- similarity (ids + ranks only; float similarity values are
         #     engine-internal) ---
@@ -699,6 +786,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             ) WHERE sim_rank <= 10
         """,
-        # g01-g03, g07, t04, t05, d01, d02, s02, s03: geometry kernel /
+        # s04: IVF = stride pivots -> nearest-pivot list assignment ->
+        # probe nprobe lists -> exact cosine top-k within probed lists
+        "s04_ivf_topk": """
+            WITH pivots AS (
+                SELECT vec_id AS pivot_id, embedding AS pivot_vec
+                FROM embeddings WHERE vec_id % 37 = 0
+            ), assign AS (
+                SELECT vec_id, pivot_id AS list_id FROM (
+                    SELECT e.vec_id, p.pivot_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding, p.pivot_vec) DESC,
+                                        p.pivot_id ASC) AS rn
+                    FROM embeddings e CROSS JOIN pivots p
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT query_id, pivot_id AS list_id FROM (
+                    SELECT q.vec_id AS query_id, p.pivot_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_cosine_similarity(q.embedding, p.pivot_vec) DESC,
+                                        p.pivot_id ASC) AS rn
+                    FROM embeddings q CROSS JOIN pivots p
+                    WHERE q.vec_id < 3
+                ) WHERE rn <= 2
+            ), cand AS (
+                SELECT pr.query_id, a.vec_id
+                FROM probes pr JOIN assign a ON a.list_id = pr.list_id
+            )
+            SELECT query_id, vec_id, sim_rank FROM (
+                SELECT c.query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.query_id
+                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                    c.vec_id ASC) AS sim_rank
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings q ON q.vec_id = c.query_id
+            ) WHERE sim_rank <= 10
+        """,
+        # g01-g03, g07, t05, d01, d02, s02, s03: geometry kernel /
         # hash-seeded ops not expressible in ANSI SQL -> rows-only checks.
     }

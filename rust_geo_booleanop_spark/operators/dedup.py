@@ -57,6 +57,83 @@ def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram Jaccard (fully relational: shingle explode + inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_shingle_col(col="text", k: int = 3):
+    """Distinct word k-gram shingles built with JVM higher-order functions
+    (split → sequence → slice → array_join) — whole-stage codegen, no
+    Python. Documents shorter than k tokens contribute one shingle (the
+    whole token sequence), so every document has ≥1 shingle."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(shingles)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index.
+
+    Unlike MinHash (probabilistic candidates + verify) this computes the
+    EXACT Jaccard for every pair sharing ≥1 shingle: explode distinct
+    shingles, self-equi-join on shingle (the inverted index), count
+    co-occurrences, then jaccard = shared / (|A| + |B| - shared).
+    Everything is relational — Catalyst plans the shuffles, partial
+    aggregation is map-side, and the single FP division is
+    order-deterministic (oracle-checkable in ANSI SQL).
+
+    Scale path: `max_df` drops stop-shingles appearing in more than
+    `max_df` documents before the self-join — the standard
+    prefix-filtering defence against a quadratic blow-up on boilerplate
+    n-grams. Sizes are computed AFTER the filter so jaccard stays a true
+    ratio over the retained shingle space (documented approximation;
+    default None = exact).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ngram_shingle_col(text_col, k)).alias("shingle"),
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
+    left = sh.select(F.col("_id").alias("id_a"), "shingle")
+    right = sh.select(F.col("_id").alias("id_b"), "shingle")
+    shared = (
+        left.join(right, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -121,6 +121,97 @@ def lsh_cosine_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+def ivf_pivots(
+    embeddings: DataFrame, stride: int = 37, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer: every stride-th vector by id is a
+    pivot (centroid). Id-stride sampling instead of k-means keeps the
+    index reproducible run-to-run (and oracle-checkable); at cluster
+    scale you'd swap in sampled k-means pivots without touching the rest
+    of the pipeline."""
+    return embeddings.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec")
+    )
+
+
+def assign_ivf_lists(
+    embeddings: DataFrame,
+    pivots: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest pivot's inverted list (max cosine,
+    smallest-pivot-id tiebreak).
+
+    One broadcast of the pivot set + a map-side `max_by` aggregation —
+    no window shuffle over the corpus, so the assignment pass scales
+    linearly with corpus size and the only exchange is the final
+    hash-aggregate on vec_id (already unique per row group)."""
+    crossed = embeddings.crossJoin(F.broadcast(pivots))
+    cos = _dot(F.col(vec_col), F.col("pivot_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("pivot_vec"))
+    )
+    best = F.max_by(
+        "pivot_id", F.struct(F.col("pivot_cos"), (-F.col("pivot_id")).alias("neg_id"))
+    )
+    return (
+        crossed.withColumn("pivot_cos", cos)
+        .groupBy(id_col)
+        .agg(best.alias("list_id"))
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    stride: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest inverted lists per query, exact
+    cosine top-k within the probed lists only.
+
+    Complement to `lsh_cosine_topk`: IVF partitions the corpus into
+    disjoint lists (each vector scanned by at most the queries probing
+    its list) where LSH buckets by hash signs. Candidate volume ≈
+    corpus * nprobe / n_pivots instead of the full cross join. Recall < 1
+    by construction; nprobe trades recall for candidate count."""
+    pivots = ivf_pivots(embeddings, stride, id_col, vec_col)
+    lists = assign_ivf_lists(embeddings, pivots, id_col, vec_col).join(
+        embeddings, on=id_col
+    )
+    qcross = queries.crossJoin(F.broadcast(pivots))
+    qcos = _dot(F.col(qvec_col), F.col("pivot_vec")) / (
+        _norm(F.col(qvec_col)) * _norm(F.col("pivot_vec"))
+    )
+    wq = Window.partitionBy(qid_col).orderBy(F.desc("probe_cos"), F.asc("pivot_id"))
+    probes = (
+        qcross.withColumn("probe_cos", qcos)
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(qid_col, qvec_col, F.col("pivot_id").alias("list_id"))
+    )
+    cand = lists.join(F.broadcast(probes), on="list_id")
+    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -4,11 +4,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from rust_geo_booleanop_spark.operators import (
+    assign_ivf_lists,
     cosine_topk,
     embedding_near_dup_pairs,
     exact_dedup,
     exact_dup_stats,
+    ivf_cosine_topk,
+    ivf_pivots,
     minhash_dedup,
+    ngram_jaccard_pairs,
     quality_score,
     simhash_dedup,
     with_detected_language,
@@ -69,6 +73,63 @@ class TestSimhash:
         assert not any((3 in k or 4 in k) for k in pairs)
 
 
+def _brute_jaccard(texts: dict, k: int = 3) -> dict:
+    """Reference n-gram Jaccard: mirrors the operator's shingle definition."""
+    sh = {}
+    for i, t in texts.items():
+        toks = t.strip().lower().split()
+        if len(toks) < k:
+            sh[i] = {" ".join(toks)}
+        else:
+            sh[i] = {" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+    out = {}
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                union = len(sh[a] | sh[b])
+                if inter:
+                    out[(a, b)] = inter / union
+    return out
+
+
+class TestNgramJaccard:
+    def test_matches_brute_force(self, docs):
+        texts = {r.doc_id: r.text for r in docs.collect()}
+        expected = {
+            p: j for p, j in _brute_jaccard(texts).items() if j >= 0.3
+        }
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()
+        }
+        assert got.keys() == expected.keys()
+        for p in got:
+            assert got[p] == pytest.approx(expected[p], abs=0.0)
+
+    def test_exact_and_ws_dups_score_one(self, docs):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+        }
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 5)] == 1.0  # whitespace-normalized identical
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_max_df_prunes_stop_shingles(self, spark):
+        # every doc shares the boilerplate prefix; max_df kills those
+        # shingles so only the genuinely-duplicated pair survives
+        boiler = "this site uses cookies to improve your experience "
+        rows = [(i, boiler + f"unique payload number {i} here", "en") for i in range(6)]
+        rows.append((6, boiler + "unique payload number 5 here", "en"))  # dup of 5
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        pruned = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, threshold=0.5, max_df=3).collect()
+        }
+        assert pruned == {(5, 6)}
+
+
 class TestTextOps:
     def test_stats_and_quality(self, docs):
         stats = {r.doc_id: r for r in with_text_stats(docs).collect()}
@@ -122,3 +183,39 @@ class TestSimilarity:
             for r in embedding_near_dup_pairs(embeddings, dim=16, threshold=0.99).collect()
         }
         assert (0, 10) in pairs
+
+    def test_ivf_list_assignment_total(self, embeddings):
+        pivots = ivf_pivots(embeddings, stride=5)
+        assert {r.pivot_id for r in pivots.collect()} == {0, 5, 10}
+        assigned = assign_ivf_lists(embeddings, pivots).collect()
+        # every vector lands in exactly one list; pivots self-assign
+        assert len(assigned) == embeddings.count()
+        lists = {r.vec_id: r.list_id for r in assigned}
+        assert lists[0] == 0 and lists[5] == 5
+
+    def test_ivf_topk_finds_self_and_near_copy(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = (
+            ivf_cosine_topk(embeddings, queries, k=2, nprobe=2, stride=5)
+            .orderBy("rank")
+            .collect()
+        )
+        # vec 0 is its own pivot; near-copy 10 is pivot of the 2nd probed list
+        assert top[0].vec_id == 0 and top[0].rank == 1
+        assert top[1].vec_id == 10
+
+    def test_ivf_is_deterministic(self, embeddings):
+        queries = embeddings.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        r1 = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in ivf_cosine_topk(embeddings, queries, k=3, nprobe=2, stride=5).collect()
+        )
+        r2 = sorted(
+            (r.query_id, r.vec_id, r.rank)
+            for r in ivf_cosine_topk(embeddings, queries, k=3, nprobe=2, stride=5).collect()
+        )
+        assert r1 == r2 and len(r1) > 0
