@@ -342,6 +342,37 @@ def _r14_rollup(spark, sf_dir):
     )
 
 
+def _r15_asof_join(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        purchases, clicks,
+        left_key="user_id", right_key="user_id",
+        left_time="ts", right_time="ts",
+        right_cols=["event_id"], right_tie="event_id",
+    )
+    return joined.select("purchase_id", "asof_event_id")
+
+
+def _r16_sessionize(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, gap_seconds=1800)
+    return s.select(
+        "user_id", "event_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("event_in_session").cast("long").alias("event_in_session"),
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -523,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_events_json": _r12_events_json,
         "r13_date_functions": _r13_date_functions,
         "r14_rollup": _r14_rollup,
+        "r15_asof_join": _r15_asof_join,
+        "r16_sessionize": _r16_sessionize,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -694,6 +727,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # as-of join: Spark side is the union-sort trick (one shuffle, no
+        # per-key cross product); oracle is the naive range-join + argmax
+        # with the identical (ts DESC, event_id DESC) winner rule
+        "r15_asof_join": """
+            SELECT purchase_id, asof_event_id FROM (
+                SELECT p.event_id AS purchase_id, c.event_id AS asof_event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                  ON c.user_id = p.user_id AND c.ts <= p.ts
+            ) WHERE rn = 1
+        """,
+        "r16_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+                SELECT user_id, event_id, ts,
+                       CAST(SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, event_id, session_seq,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts ASC, event_id ASC) AS BIGINT) AS event_in_session
+            FROM sess
         """,
         # --- text / dedup ---
         "t01_exact_dedup": """

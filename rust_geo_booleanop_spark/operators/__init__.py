@@ -41,6 +41,7 @@ from .text import (
     with_detected_language,
     with_text_stats,
 )
+from .temporal import asof_join, sessionize
 from .skew import cell_histogram, hot_keys, salted_join
 from .multimodal import (
     image_features,
@@ -85,6 +86,8 @@ __all__ = [
     "token_count_col",
     "with_detected_language",
     "with_text_stats",
+    "asof_join",
+    "sessionize",
     "cell_histogram",
     "hot_keys",
     "salted_join",

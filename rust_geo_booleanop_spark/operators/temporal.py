@@ -1,0 +1,112 @@
+"""Temporal operators: as-of join and gap sessionization.
+
+Spark has no native AS OF join (DuckDB/kdb do). The scalable pattern
+implemented here is the union-sort trick: tag both sides, union, window
+over (key, time) once — ONE shuffle on the key, no per-key cross product,
+so a hot key costs O(rows log rows) instead of O(left x right). The naive
+range-join formulation (join on key + ts <= t, then argmax) explodes
+quadratically on hot keys; this one never materializes candidate pairs.
+
+Sessionization is the classic lag -> gap flag -> cumulative-sum pattern:
+two window passes over the same (key, time) partitioning, no extra
+shuffle between them.
+
+Both are pure built-in window/aggregate plans (whole-stage codegen, no
+Python), and both have exact ANSI-SQL oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    right_tie: str,
+) -> DataFrame:
+    """Inner as-of join: for every left row, the single right row with the
+    greatest `right_time` <= `left_time` on the same key (ties broken by
+    greatest `right_tie`). Left rows with no qualifying right row drop.
+
+    Mechanics: right rows sort before left rows at equal time (inclusive
+    bound), ascending `right_tie` so the last-seen right row at any point
+    is the winner; `last(..., ignorenulls)` over an unbounded-preceding
+    window carries it forward onto each left row.
+    """
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(right_tie).alias("_tie"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
+    )
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_tie"].dataType).alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = Window.partitionBy("_k").orderBy(
+        F.asc("_t"), F.asc("_side"), F.asc("_tie")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = r_tagged.unionByName(l_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).filter(
+        F.col(f"_asof_{right_cols[0]}").isNotNull()
+    )
+    return out.select(
+        *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tie_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event of the same key exceeds `gap_seconds`. Adds
+    `session_seq` (1-based per key) and `event_in_session` (1-based
+    within session). Total order inside a key is (time, tie)."""
+    w = Window.partitionBy(key_col).orderBy(F.asc(time_col), F.asc(tie_col))
+    # exact integer microseconds (timestamps carry sub-second precision;
+    # second-truncation would round differently across engines)
+    t_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    gap = t_us - F.lag(t_us).over(w)
+    flagged = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_in = Window.partitionBy(key_col, "session_seq").orderBy(
+        F.asc(time_col), F.asc(tie_col)
+    )
+    return sessioned.withColumn(
+        "event_in_session", F.row_number().over(w_in)
+    ).drop("_new_session")
