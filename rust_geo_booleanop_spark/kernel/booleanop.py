@@ -332,7 +332,10 @@ def subdivide(queue, sbbox, cbbox, operation):
 
             if prev is not None:
                 if possible_intersection(prev, event, queue) == 2:
-                    prev_prev = sweep.prev(prev)
+                    # the sweep list is not mutated between insert() and
+                    # here (divisions touch only the queue), so prev is
+                    # still at idx-1 and its predecessor at idx-2
+                    prev_prev = sweep.prev_of_index(idx - 1)
                     compute_fields(prev, prev_prev, operation)
                     compute_fields(event, prev, operation)
         else:
@@ -344,7 +347,7 @@ def subdivide(queue, sbbox, cbbox, operation):
                     nxt = sweep.next_of_index(i)
                     if prev is not None and nxt is not None:
                         possible_intersection(prev, nxt, queue)
-                    sweep.remove(other)
+                    sweep.remove_at(i)
 
     return sorted_events
 

@@ -51,6 +51,9 @@ class SweepLine:
         if i >= 0:
             del self._items[i]
 
+    def remove_at(self, i: int) -> None:
+        del self._items[i]
+
     def prev(self, event: Event):
         i = self.index_of(event)
         if i > 0:

@@ -9,8 +9,11 @@ from .extraction import (
     stream_extract_geometries,
     windowed_event_counts,
 )
+from .sessions import run_session_stream, stream_sessionize
 
 __all__ = [
+    "run_session_stream",
+    "stream_sessionize",
     "run_extraction_stream",
     "run_windowed_counts_stream",
     "stream_documents",
