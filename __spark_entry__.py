@@ -509,6 +509,19 @@ def _g10_raster_zonal(spark, sf_dir):
     return z.select("zone_key", "n_points", "min_value", "max_value")
 
 
+def _g11_dissolve(spark, sf_dir):
+    """Distributed union-by-key (two-level salted fold over the kernel)."""
+    from rust_geo_booleanop_spark.operators import dissolve, extract_geometries
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    subs = geoms.filter(F.col("role") == "subject").withColumn(
+        "template_kind", (F.col("case_id") % 8).cast("string")
+    )
+    out = dissolve(subs, key_col="template_kind", fanin=4)
+    return out.select(F.col("key").alias("template_kind"), "n_polys", "status")
+
+
 def _m01_image_features(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import image_features, synth_media
     from rust_geo_booleanop_spark.sources import build_documents
@@ -540,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g08_cell_histogram": _g08_cell_histogram,
         "g09_fixture_suite": _g09_fixture_suite,
         "g10_raster_zonal": _g10_raster_zonal,
+        "g11_dissolve": _g11_dissolve,
         "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,

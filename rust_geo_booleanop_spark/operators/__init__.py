@@ -41,6 +41,7 @@ from .text import (
     with_detected_language,
     with_text_stats,
 )
+from .dissolve import dissolve
 from .temporal import asof_join, sessionize
 from .skew import cell_histogram, hot_keys, salted_join
 from .multimodal import (
@@ -87,6 +88,7 @@ __all__ = [
     "with_detected_language",
     "with_text_stats",
     "asof_join",
+    "dissolve",
     "sessionize",
     "cell_histogram",
     "hot_keys",
