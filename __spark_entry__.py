@@ -541,6 +541,19 @@ def _m02_audio_frames(spark, sf_dir):
     )
 
 
+def _m03_video_frames(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import sample_video_frames, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(
+        spark, build_documents(spark, sf_dir), kinds=("image", "audio", "video")
+    )
+    frames = sample_video_frames(media, every_ms=1000, max_frames=8)
+    return frames.groupBy("url").agg(
+        F.count("*").alias("n_frames"), F.max("ts_ms").alias("last_ts_ms")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g01_boolean_pipeline": _g01_boolean_pipeline,
@@ -586,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_ivf_topk": _s04_ivf_topk,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
+        "m03_video_frames": _m03_video_frames,
     }
 
 

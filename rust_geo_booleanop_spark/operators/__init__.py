@@ -48,6 +48,7 @@ from .multimodal import (
     image_features,
     resize_images,
     sample_audio_frames,
+    sample_video_frames,
     synth_media,
 )
 
@@ -96,5 +97,6 @@ __all__ = [
     "image_features",
     "resize_images",
     "sample_audio_frames",
+    "sample_video_frames",
     "synth_media",
 ]

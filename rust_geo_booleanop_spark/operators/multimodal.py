@@ -57,6 +57,12 @@ def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFr
                     out["sample_rate"].append(None)
                     out["duration_ms"].append(None)
                     out["codec"].append("png")
+                elif kind == "video":
+                    out["width"].append(64 + seed % 256)
+                    out["height"].append(64 + (seed >> 9) % 256)
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(2000 + seed % 30000)
+                    out["codec"].append("h264")
                 else:
                     out["width"].append(None)
                     out["height"].append(None)
@@ -145,6 +151,58 @@ def resize_images(media: DataFrame, out_width: int = 32, out_height: int = 32) -
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def _decode_video_frame(payload: bytes, width: int, height: int, frame_no: int) -> np.ndarray:
+    """FAKE decode of one video frame: deterministic pseudo-pixels from
+    (payload, frame_no). A real implementation would seek+decode via
+    PyAV/ffmpeg; only this function changes."""
+    if not _FAKE_DECODE:  # pragma: no cover
+        raise NotImplementedError("real video decode requires PyAV/ffmpeg")
+    salt = hashlib.blake2b(
+        payload + struct.pack("<i", frame_no), digest_size=32
+    ).digest()
+    return _decode_image(salt * 8, width, height)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "url string, frame_no int, ts_ms int, mean_pixel double, phash long"
+)
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sample video: decode (stub) one frame per `every_ms`, emit
+    per-frame features — one output row per (clip, sampled frame). The
+    explode happens Python-side inside the Arrow batch (no per-row UDF),
+    exactly the shape a real keyframe extractor would use."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"url": [], "frame_no": [], "ts_ms": [], "mean_pixel": [], "phash": []}
+            for url, payload, w, h, dur in zip(
+                pdf["url"], pdf["media"], pdf["width"], pdf["height"], pdf["duration_ms"]
+            ):
+                n_frames = min(max_frames, max(1, int(dur) // every_ms))
+                for fi in range(n_frames):
+                    img = _decode_video_frame(bytes(payload), int(w), int(h), fi)
+                    hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+                    bits = (hh > hh.mean()).flatten()
+                    phash = 0
+                    for i, b in enumerate(bits):
+                        if b:
+                            phash |= 1 << i
+                    out["url"].append(url)
+                    out["frame_no"].append(fi)
+                    out["ts_ms"].append(fi * every_ms)
+                    out["mean_pixel"].append(float(img.mean()))
+                    out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema=VIDEO_FRAMES_SCHEMA
+    )
 
 
 AUDIO_FRAMES_SCHEMA = "url string, frame_no int, rms double, peak int"

@@ -6,6 +6,7 @@ from rust_geo_booleanop_spark.operators import (
     image_features,
     resize_images,
     sample_audio_frames,
+    sample_video_frames,
     synth_media,
 )
 
@@ -47,6 +48,30 @@ def test_resize_batch_shape(spark):
     media = synth_media(spark, _docs(spark))
     thumbs = resize_images(media, out_width=16, out_height=8).collect()
     assert all(len(bytes(r.thumb)) == 16 * 8 for r in thumbs)
+
+
+def test_video_frame_sampling(spark):
+    media = synth_media(spark, _docs(spark), kinds=("image", "audio", "video"))
+    vids = media.filter(F.col("kind") == "video")
+    n_vids = vids.count()
+    assert n_vids > 0
+    frames = sample_video_frames(media, every_ms=1000, max_frames=5).collect()
+    per_url = {}
+    for r in frames:
+        per_url.setdefault(r.url, []).append(r)
+        assert 0.0 <= r.mean_pixel <= 255.0
+        assert r.ts_ms == r.frame_no * 1000
+    assert len(per_url) == n_vids
+    for url, rs in per_url.items():
+        nos = [r.frame_no for r in rs]
+        assert nos == sorted(nos) and len(nos) <= 5
+        # frames of the same clip differ (per-frame decode salt)
+        if len(rs) > 1:
+            assert len({r.phash for r in rs}) > 1 or len({r.mean_pixel for r in rs}) > 1
+    # deterministic
+    again = {(r.url, r.frame_no): r.phash for r in
+             sample_video_frames(media, every_ms=1000, max_frames=5).collect()}
+    assert again == {(r.url, r.frame_no): r.phash for r in frames}
 
 
 def test_audio_frame_sampling(spark):
