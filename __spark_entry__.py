@@ -163,6 +163,23 @@ def _g05_knn_join(spark, sf_dir):
     )
 
 
+def _g12_knn_bucketed(spark, sf_dir):
+    """Scale-path kNN (cell-ring candidates + exact fallback) over a larger
+    query set; results provably identical to brute force, so the oracle is
+    the brute-force SQL."""
+    from rust_geo_booleanop_spark.operators import knn_join_bucketed
+
+    queries = spark.range(50).select(
+        F.col("id").cast("int").alias("query_id"),
+        ((F.col("id") * 37) % 997).cast("double").alias("qx"),
+        ((F.col("id") * 61) % 983).cast("double").alias("qy"),
+    )
+    knn = knn_join_bucketed(_points(spark, sf_dir), queries, k=5, level=4)
+    return knn.select(
+        "query_id", "point_id", F.col("dist").alias("dist_sq"), F.col("rank").alias("knn_rank")
+    )
+
+
 def _g06_zonal_stats(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import zonal_stats_join
 
@@ -567,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g09_fixture_suite": _g09_fixture_suite,
         "g10_raster_zonal": _g10_raster_zonal,
         "g11_dissolve": _g11_dissolve,
+        "g12_knn_bucketed": _g12_knn_bucketed,
         "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,
@@ -619,6 +637,22 @@ def oracle_sql() -> dict[str, str]:
         "g05_knn_join": f"""
             WITH pts AS ({pts}),
             q(query_id, qx, qy) AS (VALUES (0, 100.0, 100.0), (1, 500.0, 500.0), (2, 900.0, 300.0))
+            SELECT query_id, point_id, dist_sq, knn_rank FROM (
+                SELECT q.query_id, p.point_id,
+                       (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist_sq,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy), p.point_id
+                       ) AS knn_rank
+                FROM pts p CROSS JOIN q
+            ) WHERE knn_rank <= 5
+        """,
+        "g12_knn_bucketed": f"""
+            WITH pts AS ({pts}),
+            q AS (SELECT CAST(range AS INT) AS query_id,
+                         CAST((range * 37) % 997 AS DOUBLE) AS qx,
+                         CAST((range * 61) % 983 AS DOUBLE) AS qy
+                  FROM range(50))
             SELECT query_id, point_id, dist_sq, knn_rank FROM (
                 SELECT q.query_id, p.point_id,
                        (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist_sq,

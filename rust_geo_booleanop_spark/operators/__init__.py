@@ -9,6 +9,7 @@ from .tiling import assign_tiles, clip_to_tiles
 from .spatial_join import (
     candidate_pairs,
     knn_join,
+    knn_join_bucketed,
     point_in_polygon_join,
     with_cover_cells,
     with_point_cells,
@@ -63,6 +64,7 @@ __all__ = [
     "clip_to_tiles",
     "candidate_pairs",
     "knn_join",
+    "knn_join_bucketed",
     "point_in_polygon_join",
     "with_cover_cells",
     "with_point_cells",

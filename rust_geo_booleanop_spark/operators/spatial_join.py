@@ -183,6 +183,78 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
 
 
+def knn_join_bucketed(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    level: int = DEFAULT_CELL_LEVEL,
+    ring: int = 1,
+) -> DataFrame:
+    """kNN for LARGE query sets: cell-bucketed candidates + exact fallback.
+
+    `knn_join` broadcasts the queries and scans every point against every
+    query — right for a handful of queries, quadratic for millions. Here
+    both sides bucket by grid cell: each query probes its cell plus the
+    ring-`ring` neighborhood ((2r+1)^2 cells, built JVM-side), candidates
+    come from ONE equi-join on cell_id, and per-query top-k is a window.
+
+    Exactness: any point outside the probed block is farther than
+    ring*cell_size from the query (the query sits in the center cell), so
+    candidates with dist < (ring*cell_size)^2 are provably closer than
+    every unprobed point (strict bound also kills boundary-tie ambiguity).
+    Queries with fewer than k such candidates fall back to the exact
+    broadcast scan — results are identical to `knn_join` for every query.
+    """
+    from pyspark.sql.window import Window
+
+    size = cell_size(level)
+    guard_sq = (ring * size) * (ring * size)
+
+    def cell_col(xcol, ycol, dx=0, dy=0):
+        ix = F.floor(xcol / F.lit(size)).cast("long") + F.lit(dx)
+        iy = F.floor(ycol / F.lit(size)).cast("long") + F.lit(dy)
+        return (
+            F.shiftleft(F.lit(level).cast("long"), 58)
+            .bitwiseOR(F.shiftleft(ix + F.lit(1 << 28), 29))
+            .bitwiseOR(iy + F.lit(1 << 28))
+        )
+
+    pts = points.select(
+        "point_id", "x", "y", cell_col(F.col("x"), F.col("y")).alias("cell_id")
+    )
+    neighbor_cells = F.array(
+        *[
+            cell_col(F.col("qx"), F.col("qy"), dx, dy)
+            for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)
+        ]
+    )
+    q_probed = queries.select(
+        "query_id", "qx", "qy", F.explode(neighbor_cells).alias("cell_id")
+    )
+
+    dx = F.col("x") - F.col("qx")
+    dy = F.col("y") - F.col("qy")
+    dist = dx * dx + dy * dy
+    qualified = (
+        pts.join(q_probed, on="cell_id")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < F.lit(guard_sq))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+    ranked = qualified.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    counts = qualified.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    satisfied = counts.filter(F.col("n_cand") >= k).select("query_id")
+    exact_part = ranked.join(satisfied, on="query_id", how="left_semi").select(
+        "query_id", "point_id", "x", "y", "dist", "rank"
+    )
+    sparse_queries = queries.join(satisfied, on="query_id", how="left_anti")
+    fallback = knn_join(points.select("point_id", "x", "y"), sparse_queries, k)
+    return exact_part.unionByName(fallback)
+
+
 def zonal_stats_join(
     points: DataFrame,
     zones: DataFrame,

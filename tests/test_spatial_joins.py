@@ -103,6 +103,32 @@ class TestKnn:
         assert [r.rank for r in got] == [1, 2, 3]
 
 
+class TestKnnBucketed:
+    def test_matches_brute_force_mixed_density(self, spark):
+        import random
+
+        from rust_geo_booleanop_spark.operators import knn_join_bucketed
+
+        rng = random.Random(5)
+        pts = [(i, rng.uniform(0, 1000), rng.uniform(0, 1000)) for i in range(200)]
+        points = spark.createDataFrame(pts, "point_id long, x double, y double")
+        # mixed: dense-area queries satisfied by the ring, a far-away query
+        # (no candidates) exercises the exact fallback
+        qs = [(i, rng.uniform(0, 1000), rng.uniform(0, 1000)) for i in range(20)]
+        qs.append((20, 50000.0, 50000.0))
+        queries = spark.createDataFrame(qs, "query_id int, qx double, qy double")
+
+        brute = {
+            (r.query_id, r.rank): (r.point_id, r.dist)
+            for r in knn_join(points, queries, k=5).collect()
+        }
+        bucketed = {
+            (r.query_id, r.rank): (r.point_id, r.dist)
+            for r in knn_join_bucketed(points, queries, k=5, level=4).collect()
+        }
+        assert bucketed == brute
+
+
 class TestZonal:
     def test_zonal_counts(self, spark):
         pts = [(i, float(i % 20) * 10.0, 5.0, float(i)) for i in range(40)]
