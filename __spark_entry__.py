@@ -390,6 +390,23 @@ def _r16_sessionize(spark, sf_dir):
     )
 
 
+def _r17_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (Catalyst decorrelates to an aggregate
+    join); integer-only so the value hash is exact across engines."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c
+        WHERE (SELECT COUNT(*) FROM orders_v o
+               WHERE o.o_custkey = c.c_custkey) >= 15
+        """
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -601,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_rollup": _r14_rollup,
         "r15_asof_join": _r15_asof_join,
         "r16_sessionize": _r16_sessionize,
+        "r17_scalar_subquery": _r17_scalar_subquery,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -824,6 +842,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id, session_seq
                        ORDER BY ts ASC, event_id ASC) AS BIGINT) AS event_in_session
             FROM sess
+        """,
+        "r17_scalar_subquery": """
+            SELECT c_custkey, c_name,
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) AS n_orders
+            FROM customer c
+            WHERE (SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) >= 15
         """,
         # --- text / dedup ---
         "t01_exact_dedup": """
