@@ -407,6 +407,25 @@ def _r17_scalar_subquery(spark, sf_dir):
     )
 
 
+def _r18_pivot(spark, sf_dir):
+    """Pivot event_type into columns (Spark PIVOT with explicit values; the
+    oracle is the equivalent conditional aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("signup", F.lit(0)).alias("n_signup"),
+            F.coalesce("error", F.lit(0)).alias("n_error"),
+        )
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -619,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_asof_join": _r15_asof_join,
         "r16_sessionize": _r16_sessionize,
         "r17_scalar_subquery": _r17_scalar_subquery,
+        "r18_pivot": _r18_pivot,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -850,6 +870,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             WHERE (SELECT COUNT(*) FROM orders o
                    WHERE o.o_custkey = c.c_custkey) >= 15
+        """,
+        "r18_pivot": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY user_id
         """,
         # --- text / dedup ---
         "t01_exact_dedup": """

@@ -64,7 +64,14 @@ def _make_session_fn(gap_us: int, timeout_ms: int | None):
                     closed.append((user_id, _us_to_ts(start), _us_to_ts(last), n))
                     start, last, n = tus, tus, 1
                 else:
-                    last = tus
+                    # a late event that still lands within the gap of the
+                    # open session extends/backfills it (cross-batch
+                    # disorder); events later than a closed session's end
+                    # by more than the gap can't reopen it (no retraction)
+                    if tus < start:
+                        start = tus
+                    if tus > last:
+                        last = tus
                     n += 1
 
             if last is not None:
