@@ -37,21 +37,26 @@ def normalized_text_key(col="text"):
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the smallest id per normalized-text group (deterministic
-    representative). One shuffle; partial aggregation is map-side."""
+    representative). One shuffle; partial aggregation is map-side.
+    NULL-text rows have no known content, so they are all kept — NULL keys
+    must not collapse into one 'duplicate' group."""
     w = Window.partitionBy("dup_key").orderBy(F.asc(id_col))
     return (
         docs.withColumn("dup_key", normalized_text_key(text_col))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter((F.col("rn") == 1) | F.col("dup_key").isNull())
         .drop("rn", "dup_key")
     )
 
 
-def exact_dup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dup_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     return (
         docs.withColumn("dup_key", normalized_text_key(text_col))
+        .filter(F.col("dup_key").isNotNull())
         .groupBy("dup_key")
-        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("representative"))
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("representative"))
         .filter(F.col("n_copies") > 1)
     )
 
@@ -64,7 +69,13 @@ def ngram_shingle_col(col="text", k: int = 3):
     """Distinct word k-gram shingles built with JVM higher-order functions
     (split → sequence → slice → array_join) — whole-stage codegen, no
     Python. Documents shorter than k tokens contribute one shingle (the
-    whole token sequence), so every document has ≥1 shingle."""
+    whole token sequence), so every document has ≥1 shingle.
+
+    Tokenizer note: this splits on WHITESPACE (punctuation stays attached
+    to tokens) so the definition is ANSI-SQL-expressible for the oracle;
+    the MinHash path (`_hash_shingles`) tokenizes on \\W+ instead. The two
+    Jaccard values agree on clean prose but differ on punctuated text —
+    thresholds are not interchangeable across the two entry points."""
     toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
@@ -154,9 +165,12 @@ def _hash_shingles(text: str, k: int) -> np.ndarray:
     for i, t in enumerate(tokens):
         th[i] = struct.unpack("<Q", hashlib.blake2b(t.encode(), digest_size=8).digest())[0]
     if len(tokens) < k:
-        acc = np.uint64(0)
-        for v in th:
-            acc = acc * _ROLL_MULT + v
+        # scalar uint64 ops DO emit overflow RuntimeWarnings (array ops
+        # wrap silently) — guard this branch, not just the array one
+        with np.errstate(over="ignore"):
+            acc = np.uint64(0)
+            for v in th:
+                acc = acc * _ROLL_MULT + v
         return np.array([acc], dtype=np.uint64)
     with np.errstate(over="ignore"):
         acc = th[: len(th) - k + 1].copy()
@@ -295,7 +309,10 @@ def simhash_candidates(
     docs: DataFrame, n_blocks: int = 4, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Candidate near-dup pairs whose simhash agrees on ≥1 of n_blocks
-    16-bit blocks (catches pairs within small hamming distance)."""
+    bit-blocks. Pigeonhole guarantee: any pair within hamming distance
+    n_blocks - 1 shares at least one identical block, so recall is total
+    for max_hamming <= n_blocks - 1 (callers must size n_blocks
+    accordingly; `simhash_dedup` does)."""
 
     @F.pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
@@ -306,10 +323,14 @@ def simhash_candidates(
     sigged = ensure_parallelism(docs.select(id_col, text_col)).withColumn(
         "simhash", simhash_udf(F.col(text_col))
     )
+    width = 64 // n_blocks
     block_cols = []
-    u = (F.col("simhash").cast("long") + F.lit(0)).bitwiseAND(F.lit(-1))
     for bi in range(n_blocks):
-        block = F.shiftrightunsigned(F.col("simhash"), bi * 16).bitwiseAND(F.lit(0xFFFF))
+        lo = bi * width
+        # last block absorbs the remaining high bits
+        n_bits = 64 - lo if bi == n_blocks - 1 else width
+        mask = (1 << n_bits) - 1
+        block = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
         block_cols.append(F.struct(F.lit(bi).alias("block_no"), block.alias("block_val")))
     blocked = sigged.withColumn("blk", F.explode(F.array(*block_cols))).select(
         F.col(id_col), "simhash", F.col("blk.block_no").alias("block_no"), F.col("blk.block_val").alias("block_val")
@@ -331,6 +352,12 @@ def simhash_candidates(
 
 
 def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    return simhash_candidates(docs).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    """Near-dup pairs within `max_hamming` simhash bits, with TOTAL recall:
+    n_blocks = max_hamming + 1 makes the pigeonhole guarantee cover every
+    qualifying pair (capped at 32 blocks = 2-bit blocks)."""
+    n_blocks = min(max_hamming + 1, 32)
+    return (
+        simhash_candidates(docs, n_blocks=n_blocks)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

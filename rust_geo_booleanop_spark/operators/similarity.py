@@ -36,6 +36,17 @@ def _norm(a):
     )
 
 
+def _cosine(a, b):
+    """Cosine similarity, NULL (not NaN) for zero-norm vectors.
+
+    0.0/0.0 is NaN in Spark's IEEE double division, and Spark sorts NaN
+    GREATER than every number — an unguarded all-zero embedding would rank
+    #1 for every query and pass every >= threshold filter. NULL instead
+    sorts last under desc() and fails threshold comparisons."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0.0, _dot(a, b) / denom)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -52,9 +63,7 @@ def cosine_topk(
     top-k. Ties broken by id for determinism.
     """
     crossed = embeddings.crossJoin(F.broadcast(queries))
-    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
-    )
+    cos = _cosine(F.col(vec_col), F.col(qvec_col))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         crossed.withColumn("cosine", cos)
@@ -109,9 +118,7 @@ def lsh_cosine_topk(
     emb_b = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
     qry_b = with_lsh_bucket(queries, dim, n_planes, qvec_col)
     cand = emb_b.join(F.broadcast(qry_b), on="lsh_bucket")
-    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
-    )
+    cos = _cosine(F.col(vec_col), F.col(qvec_col))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         cand.withColumn("cosine", cos)
@@ -152,9 +159,7 @@ def assign_ivf_lists(
     linearly with corpus size and the only exchange is the final
     hash-aggregate on vec_id (already unique per row group)."""
     crossed = embeddings.crossJoin(F.broadcast(pivots))
-    cos = _dot(F.col(vec_col), F.col("pivot_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("pivot_vec"))
-    )
+    cos = _cosine(F.col(vec_col), F.col("pivot_vec"))
     best = F.max_by(
         "pivot_id", F.struct(F.col("pivot_cos"), (-F.col("pivot_id")).alias("neg_id"))
     )
@@ -189,9 +194,7 @@ def ivf_cosine_topk(
         embeddings, on=id_col
     )
     qcross = queries.crossJoin(F.broadcast(pivots))
-    qcos = _dot(F.col(qvec_col), F.col("pivot_vec")) / (
-        _norm(F.col(qvec_col)) * _norm(F.col("pivot_vec"))
-    )
+    qcos = _cosine(F.col(qvec_col), F.col("pivot_vec"))
     wq = Window.partitionBy(qid_col).orderBy(F.desc("probe_cos"), F.asc("pivot_id"))
     probes = (
         qcross.withColumn("probe_cos", qcos)
@@ -200,9 +203,7 @@ def ivf_cosine_topk(
         .select(qid_col, qvec_col, F.col("pivot_id").alias("list_id"))
     )
     cand = lists.join(F.broadcast(probes), on="list_id")
-    cos = _dot(F.col(vec_col), F.col(qvec_col)) / (
-        _norm(F.col(vec_col)) * _norm(F.col(qvec_col))
-    )
+    cos = _cosine(F.col(vec_col), F.col(qvec_col))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         cand.withColumn("cosine", cos)
@@ -225,7 +226,7 @@ def embedding_near_dup_pairs(
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket")
     pairs = left.join(right, on="lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (_norm(F.col("vec_a")) * _norm(F.col("vec_b")))
+    cos = _cosine(F.col("vec_a"), F.col("vec_b"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

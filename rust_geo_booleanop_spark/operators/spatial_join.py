@@ -118,13 +118,17 @@ def point_in_polygon_join(
     polygons: DataFrame,
     level: int = DEFAULT_CELL_LEVEL,
     broadcast_polygons: bool = True,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """points(point_id, x, y) ⨝ polygons(zone_key, geom_json, xmin..ymax).
 
-    Returns (point_id, x, y, zone_key) rows where the point is inside (or
-    on the boundary of) the zone geometry. Candidates by cell equi-join +
-    bbox refine JVM-side; the exact kernel PIP test runs Arrow-batched with
-    a per-batch parsed-geometry cache.
+    Returns (point_id, x, y, [carry_cols...,] zone_key) rows where the
+    point is inside (or on the boundary of) the zone geometry. Candidates
+    by cell equi-join + bbox refine JVM-side; the exact kernel PIP test
+    runs Arrow-batched with a per-batch parsed-geometry cache.
+    `carry_cols` travel through the join so callers (e.g. zonal stats)
+    don't need a second join back to the points table to recover payload
+    columns.
     """
     pts = with_point_cells(points, level)
     polys = with_cover_cells(polygons, level).select(
@@ -133,13 +137,21 @@ def point_in_polygon_join(
     if broadcast_polygons:
         polys = F.broadcast(polys)
 
+    out_cols = ["point_id", "x", "y", *carry_cols, "zone_key"]
     cand = pts.join(polys, on="cell_id").filter(
         (F.col("x") >= F.col("xmin"))
         & (F.col("x") <= F.col("xmax"))
         & (F.col("y") >= F.col("ymin"))
         & (F.col("y") <= F.col("ymax"))
-    ).select("point_id", "x", "y", "zone_key", "geom_json")
+    ).select(*out_cols, "geom_json")
     cand = ensure_parallelism(cand)
+
+    schema = _PIP_SCHEMA_SUFFIX
+    if carry_cols:
+        carried = ", ".join(
+            f"{c} {points.schema[c].dataType.simpleString()}" for c in carry_cols
+        )
+        schema = f"point_id long, x double, y double, {carried}, zone_key string"
 
     def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geom_cache: dict[str, object] = {}
@@ -152,9 +164,9 @@ def point_in_polygon_join(
                     geom_cache[gj] = mp
                 if point_in_multipolygon(float(x), float(y), mp):
                     keep.append(i)
-            yield pdf.iloc[keep][["point_id", "x", "y", "zone_key"]]
+            yield pdf.iloc[keep][out_cols]
 
-    return cand.mapInPandas(pip_batches, schema=_PIP_SCHEMA_SUFFIX)
+    return cand.mapInPandas(pip_batches, schema=schema)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int) -> DataFrame:
@@ -262,11 +274,15 @@ def zonal_stats_join(
     level: int = DEFAULT_CELL_LEVEL,
 ) -> DataFrame:
     """Raster→vector zonal statistics: PIP-join pixels/points into zones,
-    then aggregate per zone (count, sum, avg, min, max)."""
-    pip = point_in_polygon_join(
-        points.select("point_id", "x", "y", value_col), zones, level
+    then aggregate per zone (count, sum, avg, min, max). The value column
+    rides through the PIP join (`carry_cols`) — no second join back to the
+    points table."""
+    withv = point_in_polygon_join(
+        points.select("point_id", "x", "y", value_col),
+        zones,
+        level,
+        carry_cols=(value_col,),
     )
-    withv = pip.join(points.select("point_id", value_col), on="point_id")
     return withv.groupBy("zone_key").agg(
         F.count("*").alias("n_points"),
         F.sum(value_col).alias("sum_value"),

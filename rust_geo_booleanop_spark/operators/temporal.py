@@ -41,12 +41,15 @@ def asof_join(
     is the winner; `last(..., ignorenulls)` over an unbounded-preceding
     window carries it forward onto each left row.
     """
+    # The right row's payload travels as ONE struct, so last(ignorenulls)
+    # carries an atomic row — carrying columns independently would splice
+    # fields from different right rows whenever a right column is NULL.
     r_tagged = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.col(right_tie).alias("_tie"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
         *[F.lit(None).alias(f"_l_{c}") for c in left.columns],
     )
     l_tagged = left.select(
@@ -54,25 +57,19 @@ def asof_join(
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r_tagged.schema["_tie"].dataType).alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     w = Window.partitionBy("_k").orderBy(
         F.asc("_t"), F.asc("_side"), F.asc("_tie")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = r_tagged.unionByName(l_tagged).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
-    out = carried.filter(F.col("_side") == 1).filter(
-        F.col(f"_asof_{right_cols[0]}").isNotNull()
-    )
+    out = carried.filter(F.col("_side") == 1).filter(F.col("_asof").isNotNull())
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
+        *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in right_cols],
     )
 
 

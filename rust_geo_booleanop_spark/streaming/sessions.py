@@ -63,11 +63,15 @@ def _make_session_fn(gap_us: int, timeout_ms: int | None):
                 elif tus - last > gap_us:
                     closed.append((user_id, _us_to_ts(start), _us_to_ts(last), n))
                     start, last, n = tus, tus, 1
+                elif start - tus > gap_us:
+                    # a late event more than the gap BEFORE the open
+                    # session belongs to an older, already-passed session:
+                    # emit it as its own closed session (no retraction of
+                    # previously closed ones), keep the open session intact
+                    closed.append((user_id, _us_to_ts(tus), _us_to_ts(tus), 1))
                 else:
-                    # a late event that still lands within the gap of the
-                    # open session extends/backfills it (cross-batch
-                    # disorder); events later than a closed session's end
-                    # by more than the gap can't reopen it (no retraction)
+                    # in-gap event (including cross-batch late arrivals
+                    # within the gap) extends/backfills the open session
                     if tus < start:
                         start = tus
                     if tus > last:

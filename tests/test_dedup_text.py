@@ -56,6 +56,15 @@ class TestExactDedup:
         assert stats[0].n_copies == 3
         assert stats[0].representative == 0
 
+    def test_null_text_rows_all_kept(self, spark):
+        rows = [(0, "same text", "en"), (1, "same text", "en"), (2, None, "en"), (3, None, "en")]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        kept = {r.doc_id for r in exact_dedup(d).collect()}
+        # real dups collapse; unknown-content (NULL) rows are NOT dups of
+        # each other and all survive
+        assert kept == {0, 2, 3}
+        assert exact_dup_stats(d).count() == 1
+
 
 class TestMinhash:
     def test_finds_near_duplicates(self, docs):
@@ -71,6 +80,28 @@ class TestSimhash:
         pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dedup(docs, max_hamming=10).collect()}
         assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
         assert not any((3 in k or 4 in k) for k in pairs)
+
+    def test_pigeonhole_recall_guarantee(self, spark):
+        """n_blocks = max_hamming + 1: a pair whose differing bits are
+        spread one-per-block across the OLD fixed 4x16-bit layout must
+        still be found."""
+        from rust_geo_booleanop_spark.operators.dedup import _simhash64
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        variant = base + " lambda mu distinct suffix tokens"
+        h = bin(_simhash64(base) ^ _simhash64(variant)).count("1")
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_dedup(
+                spark.createDataFrame(
+                    [(0, base, "en"), (1, variant, "en")],
+                    "doc_id long, text string, lang string",
+                ),
+                max_hamming=max(h, 1),
+            ).collect()
+        }
+        # total recall: the pair MUST be reported at its true distance
+        assert got.get((0, 1)) == h
 
 
 def _brute_jaccard(texts: dict, k: int = 3) -> dict:
@@ -205,6 +236,28 @@ class TestSimilarity:
         # vec 0 is its own pivot; near-copy 10 is pivot of the 2nd probed list
         assert top[0].vec_id == 0 and top[0].rank == 1
         assert top[1].vec_id == 10
+
+    def test_zero_vector_never_ranks_or_pairs(self, spark):
+        """0/0 cosine must be NULL, not NaN — NaN sorts greatest in Spark
+        and would win rank 1 for every query."""
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0, 0.0], 0),
+            (2, [0.0, 0.0, 0.0, 0.0], 0),  # zero vector
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        top = cosine_topk(emb, queries, k=3).orderBy("rank").collect()
+        assert [r.vec_id for r in top[:2]] == [0, 1]
+        assert all(r.vec_id != 2 or r.rank == 3 for r in top)
+        assert all(r.cosine is None for r in top if r.vec_id == 2)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(emb, dim=4, threshold=0.5, n_planes=2).collect()
+        }
+        assert not any(2 in p for p in pairs)
 
     def test_ivf_is_deterministic(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 2).select(

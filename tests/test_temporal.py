@@ -53,6 +53,24 @@ class TestAsofJoin:
         got = {r.trade_id: r.asof_quote_id for r in out.collect()}
         assert got == {0: 100, 1: 101, 2: 103, 3: 103, 5: 200}
 
+    def test_null_right_columns_stay_atomic(self, spark):
+        """A NULL in one right column must not splice values from an older
+        right row into the as-of match."""
+        rdf = spark.createDataFrame(
+            [(1, _ts(1), 10, 100, 200), (1, _ts(2), 11, None, 500)],
+            "k long, rt timestamp, rid long, a long, b long",
+        )
+        ldf = spark.createDataFrame([(0, 1, _ts(3))], "lid long, k long, lt timestamp")
+        out = asof_join(
+            ldf, rdf, left_key="k", right_key="k",
+            left_time="lt", right_time="rt",
+            right_cols=["rid", "a", "b"], right_tie="rid",
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # the match is the t=2 row AS A WHOLE: a stays NULL, not backfilled
+        assert (r.asof_rid, r.asof_a, r.asof_b) == (11, None, 500)
+
     def test_matches_brute_force_on_events(self, spark):
         import random
 
