@@ -1011,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings q ON q.vec_id = c.query_id
             ) WHERE sim_rank <= 10
         """,
-        # g01-g03, g07, t05, d01, d02, s02, s03: geometry kernel /
-        # hash-seeded ops not expressible in ANSI SQL -> rows-only checks.
+        # g01-g03, g07, g09, g11, t05, d01, d02, s02, s03, m01-m03:
+        # geometry-kernel / hash-seeded / stub-decode ops not expressible
+        # in ANSI SQL -> rows-only checks.
     }
