@@ -541,6 +541,14 @@ def _s04_ivf_topk(spark, sf_dir):
     return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
 
 
+def _s05_neardup_exact(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import cosine_near_dup_exact
+
+    return cosine_near_dup_exact(_t(spark, sf_dir, "embeddings"), threshold=0.3).select(
+        "id_a", "id_b"
+    )
+
+
 def _g09_fixture_suite(spark, sf_dir):
     """The reference's own fixture corpus through the binaryFile GeoJSON
     source + kernel pipeline (parity evidence; corpus is read-only)."""
@@ -653,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_lsh_buckets": _s02_lsh_buckets,
         "s03_embedding_neardup": _s03_embedding_neardup,
         "s04_ivf_topk": _s04_ivf_topk,
+        "s05_neardup_exact": _s05_neardup_exact,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
         "m03_video_frames": _m03_video_frames,
@@ -970,6 +979,14 @@ def oracle_sql() -> dict[str, str]:
                        ) AS sim_rank
                 FROM embeddings e CROSS JOIN q
             ) WHERE sim_rank <= 10
+        """,
+        # s05: exact near-dup baseline; threshold 0.3 sits 6.9e-05 away
+        # from the nearest actual cosine in this corpus, far beyond any
+        # cross-engine FP formula difference
+        "s05_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
         """,
         # s04: IVF = stride pivots -> nearest-pivot list assignment ->
         # probe nprobe lists -> exact cosine top-k within probed lists

@@ -128,6 +128,27 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT near-duplicate pairs (cosine >= threshold, id_a < id_b) by a
+    full self cross join — the recall-1 baseline the LSH/IVF variants are
+    measured against. Quadratic by definition; at corpus scale use
+    `embedding_near_dup_pairs` (LSH-blocked) and sample-audit recall
+    against this."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", _cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
