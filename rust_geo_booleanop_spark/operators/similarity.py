@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 
@@ -98,6 +98,41 @@ def with_lsh_bucket(
         return pd.Series(out)
 
     return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
+
+
+def with_lsh_tables(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table LSH (OR-amplification): one EXPLODED row per (vector,
+    table) with the table's bucket id. A single sign-signature's recall
+    for similarity s is p^b with p = 1 - arccos(s)/pi — tiny for moderate
+    thresholds; candidates sharing a bucket in ANY of L tables recover
+    recall 1 - (1 - p^b)^L. Table index rides in the bucket's high bits so
+    a plain equi-join on lsh_bucket never crosses tables."""
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            arr = np.asarray(v, dtype=np.float64)
+            row = []
+            for t, planes in enumerate(tables):
+                signs = (planes @ arr) > 0
+                b = 0
+                for j, s in enumerate(signs):
+                    if s:
+                        b |= 1 << j
+                row.append((t << 48) | b)
+            out.append(row)
+        return pd.Series(out)
+
+    return df.withColumn("lsh_bucket", F.explode(buckets_udf(F.col(vec_col))))
 
 
 def lsh_cosine_topk(
@@ -239,18 +274,29 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 10,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join + verify."""
-    b = with_lsh_bucket(embeddings, dim, n_planes, vec_col)
+    """Embedding-cosine near-duplicate pairs via multi-table LSH self-join
+    + exact verify. Precision is 1 (every emitted pair passes the exact
+    cosine test); recall ≈ 1 - (1 - p^n_planes)^n_tables with
+    p = 1 - arccos(threshold)/pi — size n_planes to the threshold (lower
+    thresholds need fewer planes per table) and n_tables to the recall
+    target. Candidate volume per table is bounded by bucket collisions;
+    the distinct() dedups pairs found in multiple tables before verify."""
+    b = with_lsh_tables(embeddings, dim, n_planes, n_tables, vec_col)
     left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket")
     right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket")
-    pairs = left.join(right, on="lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        left.join(right, on="lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "vec_a", "id_b", "vec_b")
+        .distinct()
+    )
     cos = _cosine(F.col("vec_a"), F.col("vec_b"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
