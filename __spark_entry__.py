@@ -551,6 +551,21 @@ def _s05_neardup_exact(spark, sf_dir):
     )
 
 
+def _s06_ivf_kmeans(spark, sf_dir):
+    """IVF over deterministic distributed Lloyd's centroids (recall@10
+    0.63-0.81 vs 0.28-0.55 with stride pivots; see similarity.py). The
+    k-means fold is not SQL-expressible -> rows-only."""
+    from rust_geo_booleanop_spark.operators import ivf_cosine_topk, kmeans_pivots
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pivots = kmeans_pivots(emb, k=14, iters=3)
+    topk = ivf_cosine_topk(emb, queries, k=10, nprobe=2, pivots=pivots)
+    return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
+
+
 def _g09_fixture_suite(spark, sf_dir):
     """The reference's own fixture corpus through the binaryFile GeoJSON
     source + kernel pipeline (parity evidence; corpus is read-only)."""
@@ -664,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_embedding_neardup": _s03_embedding_neardup,
         "s04_ivf_topk": _s04_ivf_topk,
         "s05_neardup_exact": _s05_neardup_exact,
+        "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
         "m03_video_frames": _m03_video_frames,

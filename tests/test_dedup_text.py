@@ -280,6 +280,30 @@ class TestSimilarity:
         }
         assert not any(2 in p for p in pairs)
 
+    def test_kmeans_pivots_deterministic_and_better(self, spark):
+        import os
+
+        from rust_geo_booleanop_spark.operators import ivf_cosine_topk, kmeans_pivots
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        piv1 = sorted(
+            (r.pivot_id, tuple(r.pivot_vec)) for r in kmeans_pivots(emb, k=8, iters=2).collect()
+        )
+        piv2 = sorted(
+            (r.pivot_id, tuple(r.pivot_vec))
+            for r in kmeans_pivots(emb.repartition(5), k=8, iters=2).collect()
+        )
+        assert piv1 == piv2  # bit-identical across partitionings
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        pivots = kmeans_pivots(emb, k=8, iters=2)
+        got = ivf_cosine_topk(emb, queries, k=5, nprobe=2, pivots=pivots).collect()
+        # each query finds itself at rank 1 (its own list is its nearest)
+        self_ranked = {r.query_id for r in got if r.vec_id == r.query_id and r.rank == 1}
+        assert self_ranked == {0, 1, 2}
+
     def test_ivf_is_deterministic(self, embeddings):
         queries = embeddings.filter(F.col("vec_id") < 2).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
