@@ -426,6 +426,25 @@ def _r18_pivot(spark, sf_dir):
     )
 
 
+def _r19_range_window(spark, sf_dir):
+    """RANGE window frame (trailing 1-hour event count per user) + ntile —
+    frame shapes beyond row_number; integer-only outputs."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("_ep"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    w_tile = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("_ep", epoch)
+        .withColumn("n_last_hour", F.count("*").over(w_range))
+        .withColumn("quartile", F.ntile(4).over(w_tile))
+        .select("user_id", "event_id", "n_last_hour", "quartile")
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -663,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_asof_join": _r15_asof_join,
         "r16_sessionize": _r16_sessionize,
         "r17_scalar_subquery": _r17_scalar_subquery,
+        "r19_range_window": _r19_range_window,
         "r18_pivot": _r18_pivot,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
@@ -897,6 +917,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             WHERE (SELECT COUNT(*) FROM orders o
                    WHERE o.o_custkey = c.c_custkey) >= 15
+        """,
+        "r19_range_window": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+                   ) AS n_last_hour,
+                   NTILE(4) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ) AS quartile
+            FROM events
         """,
         "r18_pivot": """
             SELECT user_id,
