@@ -770,7 +770,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT range AS id,
                        CAST((range % 200) + 0.5 AS DOUBLE) * 5.0 AS x,
                        CAST((range // 200) + 0.5 AS DOUBLE) * 5.0 AS y,
-                       CAST((range * 2654435761) % 1000 AS DOUBLE) AS value
+                       CAST(((range % 739) * 2654435761) % 1000 AS DOUBLE) AS value
                 FROM range(40000)
             ), zones AS ({zones})
             SELECT z.zone_key, COUNT(*) AS n_points,

@@ -73,5 +73,13 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def extract_geometries(documents_df):
     """documents -> geometries(url, case_id, role, geom_json, bbox, text, lang)."""
-    cols = [c for c in ("url", "html", "text", "lang") if c in documents_df.columns]
-    return documents_df.select(*cols).mapInPandas(_extract_batches, schema=GEOMETRIES_SCHEMA)
+    required = ("url", "html", "text", "lang")
+    missing = [c for c in required if c not in documents_df.columns]
+    if missing:
+        # fail at plan time with a clear message — the batch fn indexes all
+        # four columns, so a silent select-what-exists would only move the
+        # failure into an executor KeyError
+        raise ValueError(f"extract_geometries: missing document columns {missing}")
+    return documents_df.select(*required).mapInPandas(
+        _extract_batches, schema=GEOMETRIES_SCHEMA
+    )

@@ -229,7 +229,9 @@ def sample_audio_frames(media: DataFrame, frame_ms: int = 100, max_frames: int =
                     out["url"].append(url)
                     out["frame_no"].append(fi)
                     out["rms"].append(float(np.sqrt(np.mean(frame.astype(np.float64) ** 2))))
-                    out["peak"].append(int(np.abs(frame).max()))
+                    # abs in int64: np.abs(int16 -32768) overflows back to
+                    # -32768 and the true peak sample would be dropped
+                    out["peak"].append(int(np.abs(frame.astype(np.int64)).max()))
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)

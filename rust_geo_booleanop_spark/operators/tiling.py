@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.cells import bbox_cover_cells, cell_bounds
-from ..kernel.booleanop import boolean_op
+from ..kernel.booleanop import KernelLimitExceeded, boolean_op
 from ..kernel.geojson import parse_multipolygon, serialize_multipolygon
 
 DEFAULT_TILE_LEVEL = 4
@@ -42,26 +42,53 @@ def assign_tiles(results: DataFrame, level: int = DEFAULT_TILE_LEVEL) -> DataFra
     with_cells = results.withColumn(
         "tile_ids", cover_udf("xmin", "ymin", "xmax", "ymax")
     )
-    return with_cells.withColumn("tile_id", F.explode("tile_ids")).drop("tile_ids")
+    # explode_outer, not explode: empty-result and status='limit_exceeded'
+    # rows have a NaN bbox -> no covering tiles, and must survive (with
+    # NULL tile_id) so the degraded-row accounting is observable downstream
+    return with_cells.withColumn("tile_id", F.explode_outer("tile_ids")).drop("tile_ids")
 
 
-_CLIP_SCHEMA = "tile_id long, url string, op string, clipped_json string, n_polys int"
+_CLIP_SCHEMA = (
+    "tile_id long, url string, op string, clipped_json string, n_polys int, "
+    "status string"
+)
 
 
 def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {"tile_id": [], "url": [], "op": [], "clipped_json": [], "n_polys": []}
+        out = {
+            "tile_id": [], "url": [], "op": [],
+            "clipped_json": [], "n_polys": [], "status": [],
+        }
         for tile_id, url, op, geom_json in zip(
             pdf["tile_id"], pdf["url"], pdf["op"], pdf["geom_json"]
         ):
+            if tile_id is None or pd.isna(tile_id):
+                # untiled row (empty / limit_exceeded upstream): pass through
+                out["tile_id"].append(None)
+                out["url"].append(url)
+                out["op"].append(op)
+                out["clipped_json"].append("")
+                out["n_polys"].append(0)
+                out["status"].append("untiled")
+                continue
             x0, y0, x1, y1 = cell_bounds(int(tile_id))
             tile_sq = [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
-            clipped = boolean_op(parse_multipolygon(geom_json), tile_sq, "intersection")
-            out["tile_id"].append(tile_id)
+            try:
+                clipped = boolean_op(
+                    parse_multipolygon(geom_json), tile_sq, "intersection"
+                )
+                gj, n, status = serialize_multipolygon(clipped), len(clipped), "ok"
+            except KernelLimitExceeded:
+                # degenerate re-ingested geometry: degrade the row, never
+                # the stage (same contract as the boolean-op stage)
+                gj, n, status = "", 0, "limit_exceeded"
+            out["tile_id"].append(int(tile_id))
             out["url"].append(url)
             out["op"].append(op)
-            out["clipped_json"].append(serialize_multipolygon(clipped))
-            out["n_polys"].append(len(clipped))
+            out["clipped_json"].append(gj)
+            out["n_polys"].append(n)
+            out["status"].append(status)
         yield pd.DataFrame(out)
 
 

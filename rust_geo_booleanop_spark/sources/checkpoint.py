@@ -58,20 +58,33 @@ def checkpointed_write(
 
     One job per pending partition keeps the unit of recovery small; the
     per-partition filter prunes at the source when partition_col derives
-    from partition-pruned columns.
+    from partition-pruned columns. When it doesn't (a computed bucket
+    column), the persist below keeps the expensive upstream from being
+    recomputed once per partition. NULL partition keys are written under
+    their own bucket via null-safe equality — they must not be silently
+    dropped while the manifest marks them complete.
     """
     manifest = read_manifest(base_path)
     done = set(manifest["partitions"])
 
-    values = [
-        r[0]
-        for r in df.select(partition_col).distinct().collect()
-    ]
-    pending = [v for v in values if str(v) not in done]
+    df = df.persist()
+    try:
+        values = [
+            r[0]
+            for r in df.select(partition_col).distinct().collect()
+        ]
+        pending = [v for v in values if str(v) not in done]
+        _write_pending(df, base_path, partition_col, lineage, manifest, pending)
+    finally:
+        df.unpersist()
 
+    return manifest
+
+
+def _write_pending(df, base_path, partition_col, lineage, manifest, pending):
     for v in sorted(pending, key=str):
         t0 = time.time()
-        part_df = df.filter(F.col(partition_col) == F.lit(v))
+        part_df = df.filter(F.col(partition_col).eqNullSafe(F.lit(v)))
         out_dir = os.path.join(base_path, f"{partition_col}={v}")
         part_df.write.mode("overwrite").parquet(out_dir)
         # count from the written files, not by recomputing the pipeline
@@ -83,8 +96,6 @@ def checkpointed_write(
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         _write_manifest(base_path, manifest)
-
-    return manifest
 
 
 def read_checkpointed(spark, base_path: str) -> DataFrame:

@@ -39,7 +39,7 @@ FEATURES_SCHEMA = (
 )
 
 
-def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _parse_batches(batches: Iterator[pd.DataFrame], base_dir: str = "") -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {
             "case_key": [], "feature_no": [], "role": [], "operation": [],
@@ -47,15 +47,30 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "xmin": [], "ymin": [], "xmax": [], "ymax": [],
         }
         for path, content in zip(pdf["path"], pdf["content"]):
-            name = os.path.basename(path)
+            # case_key = path RELATIVE to the scanned dir, sans extension
+            # ("/" -> "__"): bare basenames collide across subdirectories
+            # and would cross-pair geometries in fixture_pairs' equi-join;
+            # for a flat directory this stays the plain basename
+            name = path
+            if name.startswith("file:"):
+                name = name[len("file:"):]
+            if base_dir and name.startswith(base_dir):
+                name = name[len(base_dir):].lstrip("/")
+            else:
+                name = os.path.basename(name)
             if name.endswith(".geojson"):
                 name = name[: -len(".geojson")]
+            name = name.replace("/", "__")
             try:
                 fc = json.loads(bytes(content).decode("utf-8"))
                 features = fc["features"]
-            except (ValueError, KeyError):
+                if not isinstance(features, list):
+                    continue
+            except (ValueError, KeyError, TypeError, UnicodeDecodeError):
                 continue  # not a FeatureCollection: skip the file
             for i, feat in enumerate(features):
+                if not isinstance(feat, dict):
+                    continue
                 geom = feat.get("geometry")
                 if not geom or geom.get("type") not in ("Polygon", "MultiPolygon"):
                     continue
@@ -80,13 +95,18 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_feature_collections(spark, path: str) -> DataFrame:
     """Directory (or glob) of .geojson FeatureCollections -> feature rows."""
+    import functools
+
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.geojson")
         .load(path)
         .select("path", "content")
     )
-    return binary.mapInPandas(_parse_batches, schema=FEATURES_SCHEMA)
+    base_dir = os.path.abspath(path).rstrip("/")
+    return binary.mapInPandas(
+        functools.partial(_parse_batches, base_dir=base_dir), schema=FEATURES_SCHEMA
+    )
 
 
 def fixture_pairs(features: DataFrame) -> DataFrame:

@@ -32,7 +32,10 @@ def raster_grid(
         .withColumn("point_id", F.col("id"))
         .withColumn("x", F.lit(origin_x) + (px + F.lit(0.5)) * pixel_size)
         .withColumn("y", F.lit(origin_y) + (py + F.lit(0.5)) * pixel_size)
-        .withColumn("value", ((F.col("id") * 2654435761) % 1000).cast("double"))
+        # (id % 739) bounds the product below 2^41 — id * 2654435761 alone
+        # overflows int64 (silently, non-ANSI) past ~3.5e9 pixels and would
+        # emit negative values
+        .withColumn("value", (((F.col("id") % 739) * 2654435761) % 1000).cast("double"))
         .drop("id")
     )
 

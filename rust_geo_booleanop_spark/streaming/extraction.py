@@ -96,6 +96,13 @@ def windowed_event_counts(
 def run_windowed_counts_stream(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str
 ):
+    """Run the windowed counts to completion over available files.
+
+    Append-mode semantics: only windows the WATERMARK has finalized are
+    written — windows ending within `watermark` of the max seen event time
+    stay in state and are emitted by a later run once newer drops advance
+    the watermark. An AvailableNow snapshot therefore excludes the most
+    recent `watermark` span by design (exactly-once, no retractions)."""
     counts = windowed_event_counts(stream_events(spark, input_dir))
     query = (
         counts.writeStream.format("parquet")
