@@ -112,7 +112,7 @@ def main():
         print(json.dumps({
             "metric": "flagship_boolean_tiling_wall_sec",
             "value": timings["flagship_boolean_tiling"],
-            "unit": "sec", "queries": timings, "sf": sf_dir, "cpus": int(cpus),
+            "unit": "sec", "queries": timings, "sf": sf_dir, "cpus": n_workers,
             "pages": pages, "tiled_rows": n_tiled,
             "pages_per_sec": round(pages / timings["flagship_boolean_tiling"], 1),
         }))
@@ -176,7 +176,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-        "cpus": int(cpus),
+        "cpus": n_workers,
         "pages": pages,
         "tiled_rows": n_tiled,
         "pages_per_sec": round(pages / flagship_sec, 1) if flagship_sec > 0 else None,

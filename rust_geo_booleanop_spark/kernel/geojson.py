@@ -14,7 +14,9 @@ from typing import Any
 
 
 def _close(ring):
-    pts = [(float(x), float(y)) for x, y in ring]
+    # position[0:2] only: RFC 7946 allows a third (altitude) element,
+    # which the planar kernel ignores rather than crashing the parse
+    pts = [(float(p[0]), float(p[1])) for p in ring]
     if pts and pts[0] != pts[-1]:
         pts.append(pts[0])
     return pts

@@ -27,8 +27,11 @@ def get_spark(
         # Match parallelism to cores in local mode; a cluster submit would
         # override via --conf.
         if master.startswith("local["):
-            inner = master[len("local[") : -1]
-            shuffle_partitions = 2 * (int(inner) if inner != "*" else (os.cpu_count() or 8))
+            # local[N] / local[*] / local[N,maxFailures] are all valid
+            inner = master[len("local[") : -1].split(",")[0]
+            shuffle_partitions = 2 * (
+                int(inner) if inner.isdigit() else (os.cpu_count() or 8)
+            )
         else:
             shuffle_partitions = 200
 
@@ -43,6 +46,11 @@ def get_spark(
         # fine-grained — the task-count ceiling is shuffle.partitions.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NTZ->LTZ casts (unix_micros paths in sessionize / range windows)
+        # apply the session zone; pin it so results — and the DuckDB
+        # oracle comparison, which uses offset-free epoch_us — never
+        # depend on the host timezone or its DST transitions
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")

@@ -52,6 +52,7 @@ def checkpointed_write(
     base_path: str,
     partition_col: str,
     lineage: str = "",
+    job_fingerprint: str | None = None,
 ) -> dict:
     """Write df parquet-partitioned by partition_col, skipping partitions the
     manifest already records. Returns the updated manifest.
@@ -66,6 +67,22 @@ def checkpointed_write(
     """
     manifest = read_manifest(base_path)
     done = set(manifest["partitions"])
+
+    # Refuse to resume under a DIFFERENT job definition: the partition
+    # column may be a computed bucket (pmod of a hash), so changed
+    # parameters remap every row and skipping "completed" partitions would
+    # silently drop data while reporting success. Callers encode every
+    # row-mapping-relevant parameter in `job_fingerprint`; `lineage` stays
+    # an informational stamp (retry labels etc.) and is NOT validated.
+    if job_fingerprint is not None:
+        recorded = manifest.get("job_fingerprint")
+        if recorded is not None and recorded != job_fingerprint:
+            raise ValueError(
+                f"checkpoint at {base_path} was written by job "
+                f"{recorded!r}, current job is {job_fingerprint!r} — "
+                f"resuming would silently drop rows; use a fresh output path"
+            )
+        manifest["job_fingerprint"] = job_fingerprint
 
     df = df.persist()
     try:

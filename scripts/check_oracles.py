@@ -81,7 +81,7 @@ def main():
 
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(rows):7d} rows  {dt:5.1f}s")
-            if len(rows) == 0 and not name.startswith("r08"):
+            if len(rows) == 0:
                 failures.append((name, "0 rows (rows-only check)"))
             continue
 

@@ -49,6 +49,10 @@ def main():
         args.out,
         "tile_bucket",
         lineage=f"boolean_tiling sf={args.sf_dir} replicate={args.replicate}",
+        job_fingerprint=(
+            f"boolean_tiling sf={args.sf_dir} replicate={args.replicate} "
+            f"buckets={args.buckets}"
+        ),
     )
     done = len(manifest["partitions"])
     rows = sum(p["rows"] for p in manifest["partitions"].values())

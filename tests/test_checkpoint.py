@@ -46,6 +46,22 @@ def test_checkpointed_write_and_resume(spark, tmp_path):
     assert read_checkpointed(spark, base).count() == 100
 
 
+def test_fingerprint_mismatch_refuses_resume(spark, tmp_path):
+    """A computed-bucket checkpoint must not resume under different job
+    parameters — skipping 'completed' buckets would silently drop rows."""
+    import pytest
+
+    from rust_geo_booleanop_spark.sources import checkpointed_write
+
+    base = str(tmp_path / "fp_out")
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "id long, part int")
+    checkpointed_write(df, base, "part", job_fingerprint="job buckets=2")
+    # same fingerprint: resume is a no-op, no error
+    checkpointed_write(df, base, "part", job_fingerprint="job buckets=2")
+    with pytest.raises(ValueError, match="fresh output path"):
+        checkpointed_write(df, base, "part", job_fingerprint="job buckets=4")
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as entrymod
 
