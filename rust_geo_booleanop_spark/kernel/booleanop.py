@@ -32,7 +32,6 @@ from .events import (
 )
 from .predicates import (
     NO_INTERSECTION,
-    OVERLAP_INTERSECTION,
     POINT_INTERSECTION,
     segment_intersection,
 )

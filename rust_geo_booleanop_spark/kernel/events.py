@@ -172,6 +172,12 @@ def compare_segments(se1: Event, se2: Event) -> int:
 
     o_old = se_old.other
     o_new = se_new.other
+    if o_old is None or o_new is None:
+        # reference release fallback for an unset paired endpoint
+        # (compare_segments.rs:104-107 `less_if(true)`): order arbitrarily
+        # instead of crashing — unreachable from boolean_op, which always
+        # links events before insertion
+        return -flip
 
     ox = se_old.x
     oy = se_old.y

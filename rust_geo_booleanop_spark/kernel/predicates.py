@@ -128,6 +128,12 @@ def segment_intersection(
     if sqr_kross > 0.0:
         return NO_INTERSECTION, None, None
 
+    # Zero-length segment a: the reference's 0/0 arithmetic produces NaN,
+    # every subsequent comparison is false, and it returns None — mirror
+    # that outcome instead of raising ZeroDivisionError.
+    if sqr_len_a == 0.0:
+        return NO_INTERSECTION, None, None
+
     # Collinear: project b's endpoints onto a's parameter space.
     sa = (vax * ex + vay * ey) / sqr_len_a
     sb = sa + (vax * vbx + vay * vby) / sqr_len_a

