@@ -205,6 +205,34 @@ def _g08_cell_histogram(spark, sf_dir):
     return pts.groupBy("cell_id").agg(F.count("*").alias("n_points"))
 
 
+def _g13_bbox_overlap_join(spark, sf_dir):
+    """Spatial theta-join on raw bbox overlap predicates (no cell keys):
+    the ON-clause range-condition shape Catalyst plans for candidate
+    refinement. Boxes derive from events with integer arithmetic so the
+    oracle builds the identical relation."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    boxes = e.select(
+        F.col("event_id").alias("box_id"),
+        (F.col("event_id") % 997).cast("double").alias("xmin"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("ymin"),
+        ((F.col("event_id") % 997) + 40.0).alias("xmax"),
+        (((F.col("event_id") * 31) % 983) + 40.0).alias("ymax"),
+    )
+    a = boxes.select(*[F.col(c).alias(f"a_{c}") for c in boxes.columns])
+    b = boxes.select(*[F.col(c).alias(f"b_{c}") for c in boxes.columns])
+    return (
+        a.join(
+            b,
+            (F.col("a_box_id") < F.col("b_box_id"))
+            & (F.col("a_xmin") <= F.col("b_xmax"))
+            & (F.col("b_xmin") <= F.col("a_xmax"))
+            & (F.col("a_ymin") <= F.col("b_ymax"))
+            & (F.col("b_ymin") <= F.col("a_ymax")),
+        )
+        .select(F.col("a_box_id").alias("id_a"), F.col("b_box_id").alias("id_b"))
+    )
+
+
 def _r01_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -665,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_raster_zonal": _g10_raster_zonal,
         "g11_dissolve": _g11_dissolve,
         "g12_knn_bucketed": _g12_knn_bucketed,
+        "g13_bbox_overlap_join": _g13_bbox_overlap_join,
         "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,
@@ -731,6 +760,21 @@ def oracle_sql() -> dict[str, str]:
                        ) AS knn_rank
                 FROM pts p CROSS JOIN q
             ) WHERE knn_rank <= 5
+        """,
+        "g13_bbox_overlap_join": """
+            WITH boxes AS (
+                SELECT event_id AS box_id,
+                       CAST(event_id % 997 AS DOUBLE) AS xmin,
+                       CAST((event_id * 31) % 983 AS DOUBLE) AS ymin,
+                       CAST(event_id % 997 AS DOUBLE) + 40.0 AS xmax,
+                       CAST((event_id * 31) % 983 AS DOUBLE) + 40.0 AS ymax
+                FROM events WHERE event_id < 500
+            )
+            SELECT a.box_id AS id_a, b.box_id AS id_b
+            FROM boxes a JOIN boxes b
+              ON a.box_id < b.box_id
+             AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+             AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
         "g12_knn_bucketed": f"""
             WITH pts AS ({pts}),
