@@ -136,7 +136,9 @@ class TestNgramJaccard:
         }
         assert got.keys() == expected.keys()
         for p in got:
-            assert got[p] == pytest.approx(expected[p], abs=0.0)
+            # exact equality is the intent: both sides perform the
+            # identical int/int double division
+            assert got[p] == expected[p]
 
     def test_exact_and_ws_dups_score_one(self, docs):
         got = {

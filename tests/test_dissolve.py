@@ -3,7 +3,6 @@
 import json
 
 import pytest
-from pyspark.sql import functions as F
 
 from rust_geo_booleanop_spark.operators import dissolve
 from rust_geo_booleanop_spark.kernel.geojson import parse_multipolygon

@@ -32,8 +32,11 @@ class TestPlanShapes:
         assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
 
     def test_dim_join_broadcasts(self, spark):
+        # NO broadcast hint: the assertion is that Catalyst AUTO-broadcasts
+        # a small dim under autoBroadcastJoinThreshold — an explicit hint
+        # would make this pass even if the threshold were disabled
         o = spark.read.parquet(f"{TESTDATA}/orders.parquet")
-        c = F.broadcast(spark.read.parquet(f"{TESTDATA}/customer.parquet"))
+        c = spark.read.parquet(f"{TESTDATA}/customer.parquet")
         plan = plan_str(o.join(c, o.o_custkey == c.c_custkey))
         assert "BroadcastHashJoin" in plan
 

@@ -3,7 +3,6 @@
 import os
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from rust_geo_booleanop_spark.streaming import (
@@ -12,6 +11,17 @@ from rust_geo_booleanop_spark.streaming import (
 )
 
 TESTDATA = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _drop_parquet(df, drop_dir, prefix):
+    """Write df as parquet files directly under drop_dir (file-source drop):
+    stage to a subdir, hoist the part files up with a unique prefix."""
+    stage = os.path.join(drop_dir, f"_stage_{prefix}")
+    df.write.parquet(stage)
+    for f in os.listdir(stage):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(stage, f), os.path.join(drop_dir, f"{prefix}_{f}"))
+    shutil.rmtree(stage)
 
 
 def test_extraction_stream_incremental(spark, tmp_path):
@@ -23,12 +33,7 @@ def test_extraction_stream_incremental(spark, tmp_path):
     # drop 1: first half of the base docs
     base = spark.read.parquet(f"{TESTDATA}/documents.parquet")
     half1 = base.filter(F.col("doc_id") < 250)
-    half1.write.parquet(os.path.join(drop_dir, "d1"))
-    # the file source needs uniform files directly under the path
-    for f in os.listdir(os.path.join(drop_dir, "d1")):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(drop_dir, "d1", f), os.path.join(drop_dir, f"d1_{f}"))
-    shutil.rmtree(os.path.join(drop_dir, "d1"))
+    _drop_parquet(half1, drop_dir, "d1")
 
     run_extraction_stream(spark, drop_dir, out_dir, ckpt_dir)
     n1 = spark.read.parquet(out_dir).count()
@@ -36,11 +41,7 @@ def test_extraction_stream_incremental(spark, tmp_path):
 
     # drop 2: second half — restart processes ONLY the new files
     half2 = base.filter(F.col("doc_id") >= 250)
-    half2.write.parquet(os.path.join(drop_dir, "d2"))
-    for f in os.listdir(os.path.join(drop_dir, "d2")):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(drop_dir, "d2", f), os.path.join(drop_dir, f"d2_{f}"))
-    shutil.rmtree(os.path.join(drop_dir, "d2"))
+    _drop_parquet(half2, drop_dir, "d2")
 
     run_extraction_stream(spark, drop_dir, out_dir, ckpt_dir)
     out = spark.read.parquet(out_dir)
@@ -98,31 +99,27 @@ def test_stateful_sessionize_carries_state_across_restarts(spark, tmp_path):
         q.awaitTermination()
 
     # drop 1: user 1 at m=0,10 (open session), user 2 at m=0 (open)
-    spark.createDataFrame([mk(0, 0, 1), mk(1, 10, 1), mk(2, 0, 2)], ddl).coalesce(
-        1
-    ).write.parquet(os.path.join(drop_dir, "stage"))
-    for f in os.listdir(os.path.join(drop_dir, "stage")):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(drop_dir, "stage", f), os.path.join(drop_dir, f"a_{f}"))
-    shutil.rmtree(os.path.join(drop_dir, "stage"))
+    _drop_parquet(
+        spark.createDataFrame([mk(0, 0, 1), mk(1, 10, 1), mk(2, 0, 2)], ddl).coalesce(1),
+        drop_dir, "a",
+    )
     run_once()
     emitted1 = []
     if os.path.isdir(out_dir):
+        from pyspark.errors import AnalysisException
+
         try:
             emitted1 = spark.read.parquet(out_dir).collect()
-        except Exception:
-            emitted1 = []
+        except AnalysisException:
+            emitted1 = []  # empty dir: UNABLE_TO_INFER_SCHEMA — only that
     assert emitted1 == []  # nothing closed yet — sessions still open in state
 
     # drop 2: user 1 at m=20 (merges into the open session) and m=120
     # (gap 100 min > 30 min -> closes it)
-    spark.createDataFrame([mk(3, 20, 1), mk(4, 120, 1)], ddl).coalesce(1).write.parquet(
-        os.path.join(drop_dir, "stage")
+    _drop_parquet(
+        spark.createDataFrame([mk(3, 20, 1), mk(4, 120, 1)], ddl).coalesce(1),
+        drop_dir, "b",
     )
-    for f in os.listdir(os.path.join(drop_dir, "stage")):
-        if f.endswith(".parquet"):
-            shutil.move(os.path.join(drop_dir, "stage", f), os.path.join(drop_dir, f"b_{f}"))
-    shutil.rmtree(os.path.join(drop_dir, "stage"))
     run_once()
 
     rows = spark.read.parquet(out_dir).collect()
@@ -157,7 +154,12 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
             "n_batch",
         )
     )
-    joined = emitted.join(batch, on=["window_start", "event_type"], how="left")
+    # inner join must cover EVERY emitted row (no phantom windows), no
+    # duplicates (exactly-once), and values must match — a left join with
+    # a null-propagating != would silently pass on all three failures
+    joined = emitted.join(batch, on=["window_start", "event_type"], how="inner")
+    assert joined.count() == n
+    assert emitted.select("window_start", "event_type").distinct().count() == n
     assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
     # append mode emits only watermark-finalized windows: emitted <= all
     assert n <= batch.count()

@@ -3,7 +3,6 @@
 import datetime as dt
 
 import pytest
-from pyspark.sql import functions as F
 
 from rust_geo_booleanop_spark.operators import asof_join, sessionize
 
