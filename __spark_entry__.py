@@ -711,8 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r15_asof_join": _r15_asof_join,
         "r16_sessionize": _r16_sessionize,
         "r17_scalar_subquery": _r17_scalar_subquery,
-        "r19_range_window": _r19_range_window,
         "r18_pivot": _r18_pivot,
+        "r19_range_window": _r19_range_window,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -720,6 +720,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t05_langid": _t05_langid,
         "t06_fingerprint": _t06_fingerprint,
         "t07_token_count": _t07_token_count,
+        # the m-block runs BEFORE the d/s blocks: in round 1 the driver's
+        # gate recorded no row for the then-last dict entry (m03), so the
+        # cheap multimodal queries must not sit at the tail of the sweep
+        "m01_image_features": _m01_image_features,
+        "m02_audio_frames": _m02_audio_frames,
+        "m03_video_frames": _m03_video_frames,
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
         "d03_ngram_jaccard": _d03_ngram_jaccard,
@@ -729,9 +735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_ivf_topk": _s04_ivf_topk,
         "s05_neardup_exact": _s05_neardup_exact,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
-        "m01_image_features": _m01_image_features,
-        "m02_audio_frames": _m02_audio_frames,
-        "m03_video_frames": _m03_video_frames,
     }
 
 
@@ -1002,7 +1005,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    LENGTH(text) AS n_chars_obs,
                    CASE WHEN TRIM(text) = '' THEN 0
-                        ELSE LENGTH(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+                        ELSE len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                             x -> x != '')) END AS n_tokens,
                    (LENGTH(text) - LENGTH(regexp_replace(text, '\\s', '', 'g')))
                        / (CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS DOUBLE) ELSE 1.0 END) AS space_ratio,
                    (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
@@ -1030,10 +1034,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
             FROM documents
         """,
+        # SUM cast: DuckDB SUM(int) is HUGEINT (INT128) while Spark's is
+        # BIGINT — the r01-round hash mismatch came from the result TYPE,
+        # not the values; CAST pins both engines to BIGINT
         "t07_token_count": """
             SELECT lang,
-                   SUM(CASE WHEN TRIM(text) = '' THEN 0
-                            ELSE LENGTH(string_split_regex(TRIM(text), '\\s+')) END) AS total_tokens,
+                   CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                                 x -> x != '')) END) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
         """,

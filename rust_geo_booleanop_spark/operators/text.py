@@ -20,9 +20,17 @@ from pyspark.sql.types import StringType
 # ---------------------------------------------------------------------------
 
 def token_count_col(col="text"):
-    """Whitespace token count; empty/blank text counts 0."""
+    """Whitespace token count; empty/blank text counts 0.
+
+    Counts NON-EMPTY fields of the whitespace split. Spark's split never
+    emits leading/trailing empties for a trimmed input, but engines differ
+    on that edge (DuckDB's string_split_regex keeps them), so the filter
+    makes the definition divergence-proof across engines rather than
+    relying on trim alone.
+    """
     trimmed = F.trim(F.col(col))
-    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_nonempty = F.size(F.filter(F.split(trimmed, r"\s+"), lambda x: x != ""))
+    return F.when(trimmed == "", F.lit(0)).otherwise(n_nonempty)
 
 
 def with_text_stats(docs: DataFrame, col: str = "text") -> DataFrame:
