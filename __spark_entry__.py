@@ -738,6 +738,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine with the SAME zero-norm guard as the Spark side's
+    `_cosine` (similarity.py): NULL, never NaN. DuckDB's
+    list_cosine_similarity yields NaN for a zero-norm vector and NaN sorts
+    GREATEST under ORDER BY DESC, while Spark's guarded NULL sorts last —
+    an all-zero embedding would silently diverge the value hash. The guard
+    makes the invariant independent of corpus contents."""
+    return (
+        f"CASE WHEN list_inner_product({a}, {a}) > 0 "
+        f"AND list_inner_product({b}, {b}) > 0 "
+        f"THEN list_cosine_similarity({a}, {b}) END"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pts = _POINTS_SQL
     zones = _ZONES_SQL
@@ -1070,13 +1084,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # --- similarity (ids + ranks only; float similarity values are
         #     engine-internal) ---
-        "s01_cosine_topk": """
+        "s01_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3)
             SELECT query_id, vec_id, sim_rank FROM (
                 SELECT q.query_id, e.vec_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY q.query_id
-                           ORDER BY list_cosine_similarity(e.embedding, q.query_vec) DESC, e.vec_id ASC
+                           ORDER BY {_cos_sql('e.embedding', 'q.query_vec')} DESC NULLS LAST, e.vec_id ASC
                        ) AS sim_rank
                 FROM embeddings e CROSS JOIN q
             ) WHERE sim_rank <= 10
@@ -1084,14 +1098,14 @@ def oracle_sql() -> dict[str, str]:
         # s05: exact near-dup baseline; threshold 0.3 sits 6.9e-05 away
         # from the nearest actual cosine in this corpus, far beyond any
         # cross-engine FP formula difference
-        "s05_neardup_exact": """
+        "s05_neardup_exact": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+            WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3
         """,
         # s04: IVF = stride pivots -> nearest-pivot list assignment ->
         # probe nprobe lists -> exact cosine top-k within probed lists
-        "s04_ivf_topk": """
+        "s04_ivf_topk": f"""
             WITH pivots AS (
                 SELECT vec_id AS pivot_id, embedding AS pivot_vec
                 FROM embeddings WHERE vec_id % 37 = 0
@@ -1100,7 +1114,7 @@ def oracle_sql() -> dict[str, str]:
                     SELECT e.vec_id, p.pivot_id,
                            ROW_NUMBER() OVER (
                                PARTITION BY e.vec_id
-                               ORDER BY list_cosine_similarity(e.embedding, p.pivot_vec) DESC,
+                               ORDER BY {_cos_sql('e.embedding', 'p.pivot_vec')} DESC NULLS LAST,
                                         p.pivot_id ASC) AS rn
                     FROM embeddings e CROSS JOIN pivots p
                 ) WHERE rn = 1
@@ -1109,7 +1123,7 @@ def oracle_sql() -> dict[str, str]:
                     SELECT q.vec_id AS query_id, p.pivot_id,
                            ROW_NUMBER() OVER (
                                PARTITION BY q.vec_id
-                               ORDER BY list_cosine_similarity(q.embedding, p.pivot_vec) DESC,
+                               ORDER BY {_cos_sql('q.embedding', 'p.pivot_vec')} DESC NULLS LAST,
                                         p.pivot_id ASC) AS rn
                     FROM embeddings q CROSS JOIN pivots p
                     WHERE q.vec_id < 3
@@ -1122,7 +1136,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.query_id, c.vec_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY c.query_id
-                           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                           ORDER BY {_cos_sql('e.embedding', 'q.embedding')} DESC NULLS LAST,
                                     c.vec_id ASC) AS sim_rank
                 FROM cand c
                 JOIN embeddings e ON e.vec_id = c.vec_id

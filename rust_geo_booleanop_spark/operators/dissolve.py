@@ -77,10 +77,13 @@ def dissolve(
 ) -> DataFrame:
     """Union all geometries of each key into one multipolygon.
 
-    `order_col` (any unique column) makes the level-1 fold order
-    deterministic: rows are salted by its hash and sorted within buckets,
-    and level-2 folds partials in sorted-JSON order — same result every
-    run regardless of partitioning. Defaults to the geometry string.
+    Determinism: rows are salted into level-1 buckets by the hash of
+    `order_col` (defaults to the geometry string), so bucket MEMBERSHIP is
+    a pure function of row content, independent of partitioning. WITHIN a
+    bucket the fold always runs in sorted-geom_json order (not order_col —
+    that column only drives the salt and is dropped before the fold), and
+    level 2 folds partials in sorted-JSON order — same result every run
+    regardless of partitioning.
     """
     ordering = F.col(order_col) if order_col else F.col(geom_col)
     prepared = geoms.select(

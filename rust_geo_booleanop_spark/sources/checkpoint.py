@@ -83,6 +83,12 @@ def checkpointed_write(
                 f"resuming would silently drop rows; use a fresh output path"
             )
         manifest["job_fingerprint"] = job_fingerprint
+        # Persist the guard immediately: if this run has ZERO pending
+        # partitions (empty df, or resuming a pre-fingerprint manifest
+        # that is already complete), _write_pending never writes the
+        # manifest, and a later resume with different job parameters
+        # would go undetected.
+        _write_manifest(base_path, manifest)
 
     df = df.persist()
     try:

@@ -7,7 +7,14 @@ arrives more than `gap_seconds` after the previous one, or when the
 processing-time timeout fires with no new events. This is the streaming
 twin of `operators.temporal.sessionize` (same gap rule, exact µs
 arithmetic), demonstrating the task-spec "custom stateful operator"
-surface: bounded per-key state, batch-boundary-independent results.
+surface: bounded per-key state.
+
+Batch-boundary independence holds for in-order, in-gap, and post-session
+events, and for late events arriving WITHIN one batch (consecutive late
+events chain into one session, merging with the open session when the
+chain connects). The irreducible append-mode limit: a late event cannot
+retract a session that was already emitted in an earlier batch — it opens
+a separate (late) session instead.
 """
 
 from __future__ import annotations
@@ -57,26 +64,61 @@ def _make_session_fn(gap_us: int, timeout_ms: int | None):
                 start = last = None
                 n = 0
 
+            # Pending "late" session: events more than the gap BEFORE the
+            # open session belong to an older, already-passed session.
+            # They arrive sorted ascending, so consecutive late events
+            # within the gap of each other form ONE session (matching the
+            # batch sessionize operator) instead of per-event singletons.
+            late_start = late_last = None
+            late_n = 0
+
             for tus in ts_us:
                 if last is None:
                     start, last, n = tus, tus, 1
+                elif start - tus > gap_us:
+                    if late_last is not None and tus - late_last <= gap_us:
+                        late_last, late_n = tus, late_n + 1
+                    else:
+                        if late_last is not None:
+                            closed.append(
+                                (user_id, _us_to_ts(late_start), _us_to_ts(late_last), late_n)
+                            )
+                        late_start, late_last, late_n = tus, tus, 1
                 elif tus - last > gap_us:
+                    # tus > last >= start > late_last + gap, so a pending
+                    # late session can never chain into this new one
+                    if late_last is not None:
+                        closed.append(
+                            (user_id, _us_to_ts(late_start), _us_to_ts(late_last), late_n)
+                        )
+                        late_start = late_last = None
+                        late_n = 0
                     closed.append((user_id, _us_to_ts(start), _us_to_ts(last), n))
                     start, last, n = tus, tus, 1
-                elif start - tus > gap_us:
-                    # a late event more than the gap BEFORE the open
-                    # session belongs to an older, already-passed session:
-                    # emit it as its own closed session (no retraction of
-                    # previously closed ones), keep the open session intact
-                    closed.append((user_id, _us_to_ts(tus), _us_to_ts(tus), 1))
                 else:
                     # in-gap event (including cross-batch late arrivals
-                    # within the gap) extends/backfills the open session
+                    # within the gap) extends/backfills the open session;
+                    # if it also chains to the pending late session, the
+                    # two merge (exactly what batch sessionize would do)
+                    if late_last is not None:
+                        if tus - late_last <= gap_us:
+                            start, n = late_start, n + late_n
+                        else:
+                            closed.append(
+                                (user_id, _us_to_ts(late_start), _us_to_ts(late_last), late_n)
+                            )
+                        late_start = late_last = None
+                        late_n = 0
                     if tus < start:
                         start = tus
                     if tus > last:
                         last = tus
                     n += 1
+
+            if late_last is not None:
+                closed.append(
+                    (user_id, _us_to_ts(late_start), _us_to_ts(late_last), late_n)
+                )
 
             if last is not None:
                 state.update((start, last, n))

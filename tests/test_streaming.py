@@ -131,6 +131,129 @@ def test_stateful_sessionize_carries_state_across_restarts(spark, tmp_path):
     assert r.session_end == t0 + dt.timedelta(minutes=20)
 
 
+def test_stateful_sessionize_merges_late_events_within_batch(spark, tmp_path):
+    """Late events (older than the open session by more than the gap) that
+    fall within the gap of EACH OTHER chain into ONE closed session — the
+    same grouping batch sessionize would produce — not per-event
+    singletons."""
+    import datetime as dt
+
+    from rust_geo_booleanop_spark.streaming.sessions import stream_sessionize
+    from rust_geo_booleanop_spark.streaming import stream_events
+
+    drop_dir = str(tmp_path / "late_events")
+    out_dir = str(tmp_path / "late_out")
+    ckpt_dir = str(tmp_path / "late_ckpt")
+    os.makedirs(drop_dir)
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def mk(eid, minutes, user):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        sessions = stream_sessionize(stream_events(spark, drop_dir), gap_seconds=1800)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: open session at m=300
+    _drop_parquet(
+        spark.createDataFrame([mk(0, 300, 1)], ddl).coalesce(1), drop_dir, "a"
+    )
+    run_once()
+
+    # batch 2: three late events at m=0,10,20 — each >30 min before the
+    # open session start (m=300) but within 30 min of each other -> ONE
+    # late session; plus m=310 keeps the open session open (no emission).
+    _drop_parquet(
+        spark.createDataFrame(
+            [mk(1, 0, 1), mk(2, 10, 1), mk(3, 20, 1), mk(4, 310, 1)], ddl
+        ).coalesce(1),
+        drop_dir, "b",
+    )
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 3
+    assert r.session_start == t0
+    assert r.session_end == t0 + dt.timedelta(minutes=20)
+
+
+def test_stateful_sessionize_late_chain_merges_into_open_session(spark, tmp_path):
+    """A late chain that connects (gap-wise) all the way to the open
+    session merges INTO it instead of closing separately."""
+    import datetime as dt
+
+    from rust_geo_booleanop_spark.streaming.sessions import stream_sessionize
+    from rust_geo_booleanop_spark.streaming import stream_events
+
+    drop_dir = str(tmp_path / "chain_events")
+    out_dir = str(tmp_path / "chain_out")
+    ckpt_dir = str(tmp_path / "chain_ckpt")
+    os.makedirs(drop_dir)
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def mk(eid, minutes, user):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", 1.0, "{}")
+
+    ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def run_once():
+        sessions = stream_sessionize(stream_events(spark, drop_dir), gap_seconds=1800)
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: open session at m=60
+    _drop_parquet(
+        spark.createDataFrame([mk(0, 60, 1)], ddl).coalesce(1), drop_dir, "a"
+    )
+    run_once()
+
+    # batch 2: late events at m=0 and m=25 (late chain), then m=40 which is
+    # within the gap of BOTH the chain (25->40) and the open session
+    # (40 vs start 60): everything merges into one open session 0..60.
+    # m=3000 then closes it (gap >> 30 min).
+    _drop_parquet(
+        spark.createDataFrame(
+            [mk(1, 0, 1), mk(2, 25, 1), mk(3, 40, 1), mk(4, 3000, 1)], ddl
+        ).coalesce(1),
+        drop_dir, "b",
+    )
+    run_once()
+
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 4  # m=0,25,40 merged with the open m=60
+    assert r.session_start == t0
+    assert r.session_end == t0 + dt.timedelta(minutes=60)
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     drop_dir = str(tmp_path / "events")
     out_dir = str(tmp_path / "win_out")
