@@ -1060,15 +1060,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         # exact inverted-index n-gram Jaccard (d03): the one FP division is
-        # identical single-op IEEE arithmetic in both engines
+        # identical single-op IEEE arithmetic in both engines. Mirrors the
+        # operator's scale-safe "auto" max_df default: shingles in more
+        # than max(1000, 0.1% of corpus) docs are dropped BEFORE the
+        # self-join and sizes are computed after the filter.
         "d03_ngram_jaccard": """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
-            ), sh AS (
+            ), sh_all AS (
                 SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
                                              i -> array_to_string(t[i:i+2], ' '))) AS shingle
                 FROM toks
+            ), hot AS (
+                SELECT shingle FROM sh_all GROUP BY shingle
+                HAVING COUNT(*) > greatest(1000.0, (SELECT COUNT(*) FROM documents) * 0.001)
+            ), sh AS (
+                SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
             ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             shared AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared

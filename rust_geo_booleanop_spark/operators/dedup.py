@@ -84,11 +84,22 @@ def ngram_shingle_col(col="text", k: int = 3):
     return F.array_distinct(shingles)
 
 
+# "auto" max_df: drop shingles occurring in more than
+# max(AUTO_MAX_DF_FLOOR, AUTO_MAX_DF_FRAC * n_docs) documents. The floor
+# keeps small corpora exact (no shingle in a <=1000-doc corpus can exceed
+# it); the fraction is the boilerplate bar at web scale (0.1% of a 100B-doc
+# corpus is still 100M docs sharing one shingle — unambiguously template
+# text, and exactly the join key that would otherwise explode
+# quadratically).
+AUTO_MAX_DF_FLOOR = 1000
+AUTO_MAX_DF_FRAC = 0.001
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -106,20 +117,35 @@ def ngram_jaccard_pairs(
     `max_df` documents before the self-join — the standard
     prefix-filtering defence against a quadratic blow-up on boilerplate
     n-grams. Sizes are computed AFTER the filter so jaccard stays a true
-    ratio over the retained shingle space (documented approximation;
-    default None = exact).
+    ratio over the retained shingle space (documented approximation).
+
+    Default is the SCALE-SAFE `"auto"` bound
+    max(AUTO_MAX_DF_FLOOR, AUTO_MAX_DF_FRAC * n_docs), computed inside the
+    plan (a broadcast 1-row count — no driver round trip). Pass an int for
+    an explicit bound, or None for the exact all-pairs mode (opt-in: on
+    web-scale boilerplate the unbounded shingle self-join is quadratic).
     """
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(ngram_shingle_col(text_col, k)).alias("shingle"),
     )
     if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
+        dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        if max_df == "auto":
+            n_docs = docs.select(F.count("*").alias("n_docs"))
+            hot = (
+                dfs.crossJoin(F.broadcast(n_docs))
+                .filter(
+                    F.col("df")
+                    > F.greatest(
+                        F.lit(float(AUTO_MAX_DF_FLOOR)),
+                        F.col("n_docs") * F.lit(AUTO_MAX_DF_FRAC),
+                    )
+                )
+                .select("shingle")
+            )
+        else:
+            hot = dfs.filter(F.col("df") > max_df).select("shingle")
         sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n_sh"))
     left = sh.select(F.col("_id").alias("id_a"), "shingle")

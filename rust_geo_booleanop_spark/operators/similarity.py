@@ -78,24 +78,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def _fold_dots(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, n_planes) dot products as an explicit LEFT FOLD over dimensions:
+    acc_j := p_j0*v_0; acc_j += p_jk*v_k for k = 1..dim-1.
+
+    Deliberately NOT a BLAS matmul: BLAS reorders the FP summation
+    (blocking/SIMD), while the left fold has one fixed operation order —
+    the same order a chained `p0*v0 + p1*v1 + ...` SQL expression
+    evaluates in — so bucket signs are reproducible bit-for-bit across
+    engines and library builds."""
+    acc = np.ascontiguousarray(mat[:, 0:1] * planes[:, 0][None, :])
+    for k in range(1, planes.shape[1]):
+        acc += mat[:, k : k + 1] * planes[:, k][None, :]
+    return acc
+
+
+def _pack_sign_bits(dots: np.ndarray) -> np.ndarray:
+    """Pack per-plane sign bits (dot > 0 -> bit j) into int64 bucket ids."""
+    signs = (dots > 0.0).astype(np.int64)
+    weights = np.int64(1) << np.arange(dots.shape[1], dtype=np.int64)
+    return (signs * weights[None, :]).sum(axis=1)
+
+
+def _stack_vecs(vecs: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
 def with_lsh_bucket(
     df: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding", seed: int = 7
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id (sign bits packed into a long)."""
+    """Random-hyperplane LSH bucket id (sign bits packed into a long).
+    The whole Arrow batch is one stacked matrix — no per-vector Python."""
     planes = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        out = np.zeros(len(vecs), dtype=np.int64)
-        for i, v in enumerate(vecs):
-            arr = np.asarray(v, dtype=np.float64)
-            signs = (planes @ arr) > 0
-            b = 0
-            for j, s in enumerate(signs):
-                if s:
-                    b |= 1 << j
-            out[i] = b
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        return pd.Series(_pack_sign_bits(_fold_dots(_stack_vecs(vecs), planes)))
 
     return df.withColumn("lsh_bucket", bucket_udf(F.col(vec_col)))
 
@@ -114,23 +134,23 @@ def with_lsh_tables(
     thresholds; candidates sharing a bucket in ANY of L tables recover
     recall 1 - (1 - p^b)^L. Table index rides in the bucket's high bits so
     a plain equi-join on lsh_bucket never crosses tables."""
-    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    # all tables' planes stacked into ONE (n_tables*n_planes, dim) matrix:
+    # a single vectorized fold computes every table's signs for the whole
+    # Arrow batch (no per-vector, per-table Python loops)
+    all_planes = np.concatenate(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    table_tag = np.arange(n_tables, dtype=np.int64) << np.int64(48)
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            arr = np.asarray(v, dtype=np.float64)
-            row = []
-            for t, planes in enumerate(tables):
-                signs = (planes @ arr) > 0
-                b = 0
-                for j, s in enumerate(signs):
-                    if s:
-                        b |= 1 << j
-                row.append((t << 48) | b)
-            out.append(row)
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        dots = _fold_dots(_stack_vecs(vecs), all_planes)  # (n, T*b)
+        signs = (dots > 0.0).astype(np.int64).reshape(len(vecs), n_tables, n_planes)
+        weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+        buckets = (signs * weights[None, None, :]).sum(axis=2) | table_tag[None, :]
+        return pd.Series(list(buckets))
 
     return df.withColumn("lsh_bucket", F.explode(buckets_udf(F.col(vec_col))))
 
@@ -365,17 +385,27 @@ def embedding_near_dup_pairs(
     target. Candidate volume per table is bounded by bucket collisions;
     the distinct() dedups pairs found in multiple tables before verify."""
     b = with_lsh_tables(embeddings, dim, n_planes, n_tables, vec_col)
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "lsh_bucket")
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "lsh_bucket")
+    left = b.select(F.col(id_col).alias("id_a"), "lsh_bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "lsh_bucket")
+    # Dedup multi-table candidate pairs on (id_a, id_b) ONLY — carrying the
+    # embeddings through the distinct would shuffle two full vectors per
+    # candidate row and compare arrays in the exchange; the id-only
+    # distinct cuts shuffle bytes by ~the embedding width. Vectors are
+    # re-attached afterwards with two joins against the (already shuffled
+    # by id) base table.
     pairs = (
         left.join(right, on="lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "vec_a", "id_b", "vec_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     cos = _cosine(F.col("vec_a"), F.col("vec_b"))
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -26,7 +26,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.cells import bbox_cover_cells, cell_size, point_cells
 from ..kernel.geojson import parse_multipolygon
-from ..kernel.pip import point_in_multipolygon
+from ..kernel.pip import MultiPolygonEdges, points_in_multipolygon_batch
 
 DEFAULT_CELL_LEVEL = 4
 
@@ -154,17 +154,26 @@ def point_in_polygon_join(
         schema = f"point_id long, x double, y double, {carried}, zone_key string"
 
     def pip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geom_cache: dict[str, object] = {}
+        # Per-geometry precomputed edge arrays, cached across batches; the
+        # exact test runs VECTORIZED over all of a geometry's candidate
+        # points at once (one NumPy ray-cast per (geometry, batch) instead
+        # of a Python loop per point — the per-row interpreter cost was the
+        # dominant spatial-join term at scale).
+        geom_cache: dict[str, MultiPolygonEdges] = {}
         for pdf in batches:
-            keep = []
-            for i, (x, y, gj) in enumerate(zip(pdf["x"], pdf["y"], pdf["geom_json"])):
-                mp = geom_cache.get(gj)
-                if mp is None:
-                    mp = parse_multipolygon(gj)
-                    geom_cache[gj] = mp
-                if point_in_multipolygon(float(x), float(y), mp):
-                    keep.append(i)
-            yield pdf.iloc[keep][out_cols]
+            if len(pdf) == 0:
+                yield pdf[out_cols]
+                continue
+            xs = pdf["x"].to_numpy(np.float64)
+            ys = pdf["y"].to_numpy(np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for gj, idx in pdf.groupby("geom_json", sort=False).indices.items():
+                edges = geom_cache.get(gj)
+                if edges is None:
+                    edges = MultiPolygonEdges(parse_multipolygon(gj))
+                    geom_cache[gj] = edges
+                keep[idx] = points_in_multipolygon_batch(xs[idx], ys[idx], edges=edges)
+            yield pdf.iloc[np.flatnonzero(keep)][out_cols]
 
     return cand.mapInPandas(pip_batches, schema=schema)
 

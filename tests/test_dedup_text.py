@@ -162,6 +162,45 @@ class TestNgramJaccard:
         }
         assert pruned == {(5, 6)}
 
+    def test_auto_max_df_engages_on_boilerplate_corpus(self, spark):
+        """Default max_df='auto' (max(1000, 0.1% of corpus)): on a corpus
+        where >1000 docs share a boilerplate shingle, the bound drops the
+        stop-shingles — the candidate set stays the genuinely-duplicated
+        pairs instead of the quadratic boilerplate clique."""
+        from pyspark.sql import functions as F
+
+        boiler = "all rights reserved terms of service apply "
+        n = 1100
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(boiler),
+                F.lit("unique payload token "),
+                F.col("id").cast("string"),
+                F.lit(" extra words here"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        # one true near-dup pair on the unique tails
+        dup = spark.createDataFrame(
+            [(n, boiler + "unique payload token 7 extra words here", "en")],
+            "doc_id long, text string, lang string",
+        )
+        d = base.unionByName(dup)
+        got = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(d, threshold=0.5).collect()
+        }
+        assert got == {(7, n)}
+        # the explicit exact mode (max_df=None) keeps the boilerplate
+        # clique: every pair of the 20-doc sample shares 9 of 12 shingles
+        # (jaccard 0.6) -> all C(20,2) pairs qualify
+        exact_sample = (
+            ngram_jaccard_pairs(d.filter(F.col("doc_id") < 20), threshold=0.5, max_df=None)
+            .count()
+        )
+        assert exact_sample == 190
+
 
 class TestTextOps:
     def test_stats_and_quality(self, docs):

@@ -92,6 +92,52 @@ class TestPipJoin:
         got = {r.point_id for r in point_in_polygon_join(points, zones).collect()}
         assert got == {1, 2}  # corner + edge inside, outside point excluded
 
+    def test_batch_pip_bit_identical_to_scalar(self):
+        """The vectorized batch PIP must agree with the scalar predicate on
+        every point — interior, exterior, corners, edge midpoints, points
+        collinear with edges but outside them, hole interiors, and
+        near-boundary offsets at 1-ulp scale."""
+        import numpy as np
+
+        from rust_geo_booleanop_spark.kernel.pip import (
+            points_in_multipolygon_batch,
+        )
+
+        # polygon with a hole + a triangle (non-axis-aligned edges)
+        mp = [
+            [
+                [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                [(3.0, 3.0), (3.0, 7.0), (7.0, 7.0), (7.0, 3.0), (3.0, 3.0)],
+            ],
+            [[(20.0, 0.0), (30.0, 5.0), (20.0, 10.0), (20.0, 0.0)]],
+        ]
+        xs, ys = [], []
+        # structured probes
+        for x, y in [
+            (5.0, 1.0), (5.0, 5.0), (0.0, 0.0), (10.0, 10.0), (5.0, 0.0),
+            (3.0, 5.0), (5.0, 3.0), (11.0, 0.0), (-1.0, 0.0), (5.0, 10.0),
+            (25.0, 2.5), (25.0, 2.5 + 1e-15), (20.0, 5.0), (30.0, 5.0),
+            (25.0, 7.5), (25.0, 7.500000000000001), (15.0, 5.0),
+            (np.nextafter(10.0, 11.0), 5.0), (np.nextafter(10.0, 9.0), 5.0),
+        ]:
+            xs.append(x)
+            ys.append(y)
+        # pseudo-random grid incl. boundary-collinear rows/cols
+        rng = np.random.RandomState(5)
+        xs.extend(rng.uniform(-2.0, 32.0, 400).tolist())
+        ys.extend(rng.uniform(-2.0, 12.0, 400).tolist())
+        xs.extend(np.linspace(-2.0, 32.0, 100).tolist())
+        ys.extend([0.0] * 100)  # collinear with the bottom edge
+
+        px = np.array(xs)
+        py = np.array(ys)
+        got = points_in_multipolygon_batch(px, py, mp)
+        want = np.array(
+            [point_in_multipolygon(float(x), float(y), mp) for x, y in zip(px, py)]
+        )
+        assert (got == want).all()
+        assert want.any() and not want.all()
+
 
 class TestKnn:
     def test_knn_exact(self, spark):
