@@ -209,3 +209,37 @@ class TestBooleanOpBasics:
         a = [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]]
         b = [[[(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]]]
         assert boolean_op(a, b, "diff_ba") == boolean_op(b, a, "diff")
+
+
+class TestSweepLineBisect:
+    def test_wide_status_bisect_matches_linear_scan(self):
+        """Above _BISECT_MIN the status lookup switches to the comparator
+        bisect; results must equal the plain linear-scan implementation on
+        a wide-status input (staggered sliver stack, status width ~1400)."""
+        from rust_geo_booleanop_spark.kernel.sweepline import SweepLine
+
+        n = 700
+        a = []
+        for i in range(n):
+            xr = 60.0 + (i * 7919 % 997) / 30.0
+            y = float(3 * i)
+            a.append([[(0.0, y), (xr, y), (xr, y + 1.0), (0.0, y + 1.0), (0.0, y)]])
+        b = [[[(-1.0, -1.0), (101.0, -1.0), (101.0, 3 * n + 1.0),
+               (-1.0, 3 * n + 1.0), (-1.0, -1.0)]]]
+
+        got = boolean_op(a, b, "intersection")
+
+        def linear_index_of(self, event):
+            for i, e in enumerate(self._items):
+                if e is event:
+                    return i
+            return -1
+
+        orig = SweepLine.index_of
+        SweepLine.index_of = linear_index_of
+        try:
+            want = boolean_op(a, b, "intersection")
+        finally:
+            SweepLine.index_of = orig
+        assert got == want
+        assert len(got) == n
