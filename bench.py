@@ -53,6 +53,15 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # Reference criterion parity set (benchmark.rs:18-81): single-core
+    # kernel micro-benches, run BEFORE the JVM comes up so Spark startup
+    # noise can't contaminate them. Tracked round-over-round.
+    kernel_cases = None
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "flagship":
+        from rust_geo_booleanop_spark.kernel.bench_cases import run_criterion_cases
+
+        kernel_cases = run_criterion_cases(iters=2)
+
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
     timings: dict[str, float] = {}
@@ -175,6 +184,7 @@ def main():
         "value": flagship_sec,
         "unit": "sec",
         "queries": timings,
+        "kernel_cases": kernel_cases,
         "sf": sf_dir,
         "cpus": n_workers,
         "pages": pages,
