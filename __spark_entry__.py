@@ -233,6 +233,26 @@ def _g13_bbox_overlap_join(spark, sf_dir):
     )
 
 
+def _g14_tile_cover(spark, sf_dir):
+    """The REAL assign_tiles operator (cover-cells UDF + explode) over
+    integer-synthesized bboxes, so the tile-assignment code path itself is
+    value-hash-checked against DuckDB grid arithmetic (g02's variant over
+    kernel-result bboxes stays rows-only — its inputs aren't
+    SQL-expressible, the operator now is)."""
+    from rust_geo_booleanop_spark.operators import assign_tiles
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    boxes = e.select(
+        F.col("event_id").alias("box_id"),
+        (F.col("event_id") % 997).cast("double").alias("xmin"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("ymin"),
+        ((F.col("event_id") % 997) + 40.0).alias("xmax"),
+        (((F.col("event_id") * 31) % 983) + 40.0).alias("ymax"),
+    )
+    tiled = assign_tiles(boxes)
+    return tiled.groupBy("tile_id").agg(F.count("*").alias("n_boxes"))
+
+
 def _r01_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
@@ -694,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_dissolve": _g11_dissolve,
         "g12_knn_bucketed": _g12_knn_bucketed,
         "g13_bbox_overlap_join": _g13_bbox_overlap_join,
+        "g14_tile_cover": _g14_tile_cover,
         "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,
@@ -736,6 +757,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s05_neardup_exact": _s05_neardup_exact,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
     }
+
+
+def _langid_sql() -> str:
+    """t05 oracle, GENERATED from the classifier's own stopword table
+    (operators/text.py:_STOPWORDS) so both sides share one definition:
+    tokenize with the identical regex (RE2 and Python `re` agree on a
+    literal char class), lowercase, cap at 200 words, count stopword hits
+    per language, argmax with strict `>` (ties keep the earlier language
+    in table order; zero hits -> 'unknown')."""
+    from rust_geo_booleanop_spark.operators.text import _STOPWORDS, _WORD_RE
+
+    langs = list(_STOPWORDS)
+    hit_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        hit_cols.append(
+            f"len(list_filter(ws, w -> list_contains([{words}], w))) AS h_{lang}"
+        )
+    # argmax cascade: lang i wins iff its hits >= every LATER lang's hits
+    # (strict-> update means earlier entries win ties)
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{later}" for later in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    all_zero = " AND ".join(f"h_{lang} = 0" for lang in langs)
+    pattern = _WORD_RE.pattern
+    return f"""
+        WITH words AS (
+            SELECT lang,
+                   list_transform(regexp_extract_all(COALESCE(text, ''), '{pattern}'),
+                                  w -> lower(w))[1:200] AS ws
+            FROM documents
+        ), hits AS (
+            SELECT lang, {', '.join(hit_cols)} FROM words
+        ), det AS (
+            SELECT lang,
+                   CASE WHEN {all_zero} THEN 'unknown'
+                        {' '.join(branches)}
+                        ELSE '{langs[-1]}' END AS detected_lang
+            FROM hits
+        )
+        SELECT lang, detected_lang, COUNT(*) AS n_docs
+        FROM det GROUP BY lang, detected_lang
+    """
+
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """s02 oracle: the random-hyperplane bucket ids as literal-constant SQL.
+
+    The planes are seeded numpy constants, so they embed as double
+    literals (repr round-trips exactly; DuckDB's parser is correctly
+    rounded). Each dot product is the SAME left-fold the Spark UDF
+    computes (similarity.py:_fold_dots — deliberately not BLAS): a chained
+    `p0*e[1] + p1*e[2] + ...` evaluates left-associatively, so the FP
+    result is bit-identical and the sign test agrees."""
+    from rust_geo_booleanop_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    dot_exprs = []
+    for j in range(n_planes):
+        terms = " + ".join(
+            f"({planes[j, k]!r} * embedding[{k + 1}])" for k in range(dim)
+        )
+        dot_exprs.append(f"{terms} AS d{j}")
+    bucket = " + ".join(
+        f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
+    )
+    return f"""
+        WITH dots AS (
+            SELECT vec_id, {', '.join(dot_exprs)} FROM embeddings
+        )
+        SELECT CAST({bucket} AS BIGINT) AS lsh_bucket, COUNT(*) AS n_vectors
+        FROM dots GROUP BY 1
+    """
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -840,6 +935,34 @@ def oracle_sql() -> dict[str, str]:
               ON p.x BETWEEN z.x0 AND z.x0 + 200.0
              AND p.y BETWEEN z.y0 AND z.y0 + 200.0
             GROUP BY z.zone_key
+        """,
+        # g14: tile cover assignment — identical integer cell math as g08
+        # (level 4, cell size 256, offset 2^28), bbox cover = the inclusive
+        # floor-index range per axis
+        "g14_tile_cover": """
+            WITH boxes AS (
+                SELECT event_id AS box_id,
+                       CAST(event_id % 997 AS DOUBLE) AS xmin,
+                       CAST((event_id * 31) % 983 AS DOUBLE) AS ymin,
+                       CAST(event_id % 997 AS DOUBLE) + 40.0 AS xmax,
+                       CAST((event_id * 31) % 983 AS DOUBLE) + 40.0 AS ymax
+                FROM events WHERE event_id < 2000
+            ), ix_exp AS (
+                SELECT box_id, ymin, ymax,
+                       unnest(range(CAST(FLOOR(xmin / 256.0) AS BIGINT),
+                                    CAST(FLOOR(xmax / 256.0) AS BIGINT) + 1)) AS ix
+                FROM boxes
+            ), iy_exp AS (
+                SELECT box_id, ix,
+                       unnest(range(CAST(FLOOR(ymin / 256.0) AS BIGINT),
+                                    CAST(FLOOR(ymax / 256.0) AS BIGINT) + 1)) AS iy
+                FROM ix_exp
+            )
+            SELECT ((CAST(4 AS BIGINT) << 58)
+                    | ((ix + 268435456) << 29)
+                    | (iy + 268435456)) AS tile_id,
+                   COUNT(*) AS n_boxes
+            FROM iy_exp GROUP BY 1
         """,
         # --- relational ---
         "r01_pricing_summary": """
@@ -1044,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
         """,
+        "t05_langid": _langid_sql(),
         "t06_fingerprint": """
             SELECT doc_id, md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
             FROM documents
@@ -1151,7 +1275,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings q ON q.vec_id = c.query_id
             ) WHERE sim_rank <= 10
         """,
-        # g01-g03, g07, g09, g11, t05, d01, d02, s02, s03, m01-m03:
-        # geometry-kernel / hash-seeded / stub-decode ops not expressible
-        # in ANSI SQL -> rows-only checks.
+        "s02_lsh_buckets": _lsh_bucket_sql(),
+        # g01-g03, g07, g09, g11, d01, d02, s03, s06, m01-m03:
+        # geometry-kernel / cryptographic-hash-seeded / iterative /
+        # stub-decode ops not expressible in ANSI SQL -> rows-only checks.
     }

@@ -75,13 +75,52 @@ def document_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
 # Language identification (n-gram/stopword heuristic, pandas UDF)
 # ---------------------------------------------------------------------------
 
+# Stopword profiles (public-knowledge high-frequency function words). Dict
+# ORDER is the tie-break order: argmax with strict `>` keeps the earlier
+# language on equal hit counts. The t05 oracle SQL is GENERATED from this
+# table (__spark_entry__.py), so the lists are single-source-of-truth —
+# edit here only.
 _STOPWORDS = {
-    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"},
-    "de": {"der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine"},
-    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "pour"},
-    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"},
+    "en": {
+        "the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+        "with", "as", "his", "her", "they", "this", "have", "from", "not",
+        "are", "but", "had", "you", "which", "were", "been", "their",
+    },
+    "de": {
+        "der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+        "nicht", "ein", "eine", "im", "auf", "sich", "auch", "als", "es",
+        "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "bei",
+        "um", "noch", "wie", "einem", "einen", "einer", "des", "dem",
+    },
+    "fr": {
+        "le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+        "que", "pour", "qui", "sur", "pas", "plus", "par", "avec", "son",
+        "au", "il", "elle", "se", "ce", "cette", "mais", "ou", "nous",
+        "vous", "sont", "être", "aux", "du",
+    },
+    "es": {
+        "el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+        "es", "por", "con", "no", "su", "para", "del", "se", "al", "lo",
+        "como", "más", "pero", "sus", "le", "ya", "este", "sí", "porque",
+        "esta", "son", "entre",
+    },
+    "it": {
+        "il", "di", "che", "è", "e", "la", "per", "un", "una", "in",
+        "sono", "con", "non", "si", "del", "della", "le", "gli", "dei",
+        "questo", "questa", "come", "anche", "alla", "nel", "più", "ma",
+    },
+    "pt": {
+        "o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para",
+        "com", "não", "os", "as", "dos", "das", "se", "na", "no", "por",
+        "mais", "como", "mas", "foi", "ao", "ele", "ela", "são", "está",
+    },
+    "nl": {
+        "de", "het", "een", "en", "van", "is", "dat", "op", "te", "zijn",
+        "voor", "met", "die", "niet", "aan", "er", "om", "ook", "maar",
+        "dan", "zij", "hij", "naar", "bij", "uit", "deze", "wordt",
+    },
 }
-_WORD_RE = re.compile(r"[a-zA-Zäöüßéèêàçñ]+")
+_WORD_RE = re.compile(r"[a-zA-Zäöüßéèêàçñáíóúâêôãõìòùëïîû]+")
 
 
 def detect_language(text: str) -> str:

@@ -215,6 +215,59 @@ class TestTextOps:
         assert langs[0] == "en"
         assert langs[3] == "de"
 
+    def test_langid_accuracy_floor(self):
+        """Every sentence in a 21-sample hand corpus (3 per supported
+        language) must classify correctly — the quality floor for the
+        widened stopword profiles."""
+        from rust_geo_booleanop_spark.operators.text import detect_language
+
+        corpus = {
+            "en": [
+                "the cat sat on the mat and it was happy with that",
+                "this is the house that they have built for you and not for me",
+                "she said that the weather in the north was cold for this time",
+            ],
+            "de": [
+                "der hund ist mit der katze aus dem haus gelaufen und nicht zurück",
+                "sie hat gesagt dass das wetter im norden auch noch kalt ist",
+                "ein mann ist nach berlin gefahren um bei einem freund zu wohnen",
+            ],
+            "fr": [
+                "le chat est dans la maison avec les enfants et pour le moment tout va bien",
+                "elle a dit que le temps dans le nord est plus froid que dans le sud",
+                "nous sommes dans une ville qui est connue pour ses musées et ses parcs",
+            ],
+            "es": [
+                "el perro está en la casa con los niños y no quiere salir por la lluvia",
+                "ella dijo que el tiempo en el norte es más frío que en el sur",
+                "este es un libro que fue escrito para los estudiantes de la escuela",
+            ],
+            "it": [
+                "il gatto è nella casa con i bambini e non vuole uscire per la pioggia",
+                "questo è un libro che è stato scritto per gli studenti della scuola",
+                "anche questa città è conosciuta per i suoi musei e per il mare",
+            ],
+            "pt": [
+                "o gato está na casa com as crianças e não quer sair por causa da chuva",
+                "ela disse que o tempo no norte é mais frio do que no sul",
+                "este é um livro que foi escrito para os estudantes da escola",
+            ],
+            "nl": [
+                "de kat zit in het huis met de kinderen en wil niet naar buiten",
+                "zij zei dat het weer in het noorden ook nog koud is voor deze tijd",
+                "dit is een boek dat voor de studenten van de school is geschreven",
+            ],
+        }
+        wrong = [
+            (lang, s, detect_language(s))
+            for lang, sents in corpus.items()
+            for s in sents
+            if detect_language(s) != lang
+        ]
+        assert wrong == []
+        assert detect_language("") == "unknown"
+        assert detect_language("12345 67890 !!!") == "unknown"
+
     def test_fingerprint_ws_invariant(self, docs):
         fps = {r.doc_id: r.fingerprint for r in document_fingerprint(docs).collect()}
         assert fps[0] == fps[5]
