@@ -168,7 +168,14 @@ def main():
         "ngram_jaccard",
         lambda: ngram_jaccard_pairs(documents, threshold=0.5).count(),
     )
-    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # The driver testdata is ONE parquet file per table; a real corpus
+    # arrives in many splits. Repartition once at read so the similarity
+    # ops see a cluster-shaped source instead of a single-task scan (the
+    # ops themselves deliberately do NOT repartition the corpus — at scale
+    # that shuffle would carry every embedding).
+    embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        n_workers
+    )
     emb_queries = embeddings.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

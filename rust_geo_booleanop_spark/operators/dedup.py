@@ -125,8 +125,14 @@ def ngram_jaccard_pairs(
     an explicit bound, or None for the exact all-pairs mode (opt-in: on
     web-scale boilerplate the unbounded shingle self-join is quadratic).
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
+    from .spatial_join import ensure_parallelism
+
+    # A single-file documents source arrives as ONE scan partition; the
+    # shingle explode + every downstream shuffle's map side would then run
+    # single-task. Round-robin the (tiny) raw doc rows first so the
+    # expensive explode/hash/exchange-write work fans out.
+    sh = ensure_parallelism(docs.select(F.col(id_col).alias("_id"), text_col)).select(
+        "_id",
         F.explode(ngram_shingle_col(text_col, k)).alias("shingle"),
     )
     if max_df is not None:
