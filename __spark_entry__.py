@@ -545,6 +545,40 @@ def _t07_token_count(spark, sf_dir):
     )
 
 
+def _t08_pii_scrub(spark, sf_dir):
+    """PII redaction with deterministic synthetic PII appended per doc
+    (the corpus itself has none) so the hash check exercises REAL email +
+    phone matches on both engines, not an identity transform."""
+    from rust_geo_booleanop_spark.operators import pii_scrub
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 now"),
+        ),
+    )
+    return pii_scrub(d).select(
+        "doc_id", "n_emails", "n_phones", F.md5(F.col("scrubbed")).alias("scrub_fp")
+    )
+
+
+def _t09_stopword_ratio(spark, sf_dir):
+    """Stopword-density quality signal, bucketed to a histogram (exact
+    integer bucket = floor(ratio*20), so the FP division feeds only a
+    floor — hash-stable across engines)."""
+    from rust_geo_booleanop_spark.operators import with_stopword_ratio
+
+    d = with_stopword_ratio(_t(spark, sf_dir, "documents"))
+    return (
+        d.withColumn("bucket", F.floor(F.col("stopword_ratio") * 20).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def _d01_minhash_pairs(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import minhash_dedup
 
@@ -741,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t05_langid": _t05_langid,
         "t06_fingerprint": _t06_fingerprint,
         "t07_token_count": _t07_token_count,
+        "t08_pii_scrub": _t08_pii_scrub,
+        "t09_stopword_ratio": _t09_stopword_ratio,
         # the m-block runs BEFORE the d/s blocks: in round 1 the driver's
         # gate recorded no row for the then-last dict entry (m03), so the
         # cheap multimodal queries must not sit at the tail of the sweep
@@ -800,6 +836,58 @@ def _langid_sql() -> str:
         )
         SELECT lang, detected_lang, COUNT(*) AS n_docs
         FROM det GROUP BY lang, detected_lang
+    """
+
+
+def _pii_scrub_sql() -> str:
+    """t08 oracle, generated from the operator's own regex constants
+    (operators/text.py) — patterns use only constructs with identical
+    Java-regex/RE2 semantics. DuckDB regexp_replace needs the explicit
+    'g' flag (Spark's replaces all matches by default)."""
+    from rust_geo_booleanop_spark.operators.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    return f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-123-4567 now' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+               len(regexp_extract_all(
+                   regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{PHONE_PATTERN}')) AS n_phones,
+               md5(regexp_replace(
+                   regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{PHONE_PATTERN}', '<PHONE>', 'g')) AS scrub_fp
+        FROM docs
+    """
+
+
+def _stopword_ratio_sql() -> str:
+    """t09 oracle: en-stopword token fraction, generated from the same
+    stopword table as the operator; the single hits/n division feeds only
+    a *20 floor so the bucket is hash-stable."""
+    from rust_geo_booleanop_spark.operators.text import _STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return f"""
+        WITH toks AS (
+            SELECT lang,
+                   list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                               x -> x != '') AS ts
+            FROM documents
+        ), ratios AS (
+            SELECT lang,
+                   CASE WHEN len(ts) > 0
+                        THEN CAST(len(list_filter(ts, x -> list_contains([{words}], x))) AS DOUBLE)
+                             / CAST(len(ts) AS DOUBLE)
+                        ELSE 0.0 END AS r
+            FROM toks
+        )
+        SELECT lang, CAST(FLOOR(r * 20) AS BIGINT) AS bucket, COUNT(*) AS n_docs
+        FROM ratios GROUP BY lang, bucket
     """
 
 
@@ -1168,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "t05_langid": _langid_sql(),
+        "t08_pii_scrub": _pii_scrub_sql(),
+        "t09_stopword_ratio": _stopword_ratio_sql(),
         "t06_fingerprint": """
             SELECT doc_id, md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
             FROM documents

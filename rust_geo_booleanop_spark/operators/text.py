@@ -72,6 +72,58 @@ def document_fingerprint(docs: DataFrame, col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing (built-in regexp functions; exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple patterns using only constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB) — literal classes,
+# bounded repetition — so the oracle matches byte-for-byte.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\s.-]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Redact emails then phone-like digit runs from `col`; adds
+    `scrubbed` plus per-doc redaction counts. A standard pre-training
+    hygiene pass — pure JVM regexp (whole-stage codegen), no Python."""
+    emails_out = F.regexp_replace(F.col(col), EMAIL_PATTERN, "<EMAIL>")
+    # idx=0 = the whole match: Spark defaults to capture group 1 (and
+    # throws on patterns without groups), DuckDB defaults to group 0
+    return (
+        docs.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(F.col(col), F.lit(EMAIL_PATTERN), F.lit(0)))
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(emails_out, F.lit(PHONE_PATTERN), F.lit(0)))
+        )
+        .withColumn("scrubbed", F.regexp_replace(emails_out, PHONE_PATTERN, "<PHONE>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stopword ratio (quality signal; exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def stopword_ratio_col(stopwords: tuple[str, ...], col: str = "text"):
+    """Fraction of whitespace tokens that are in `stopwords` (lowercased).
+    0.0 for blank text. Natural-language text sits roughly in [0.2, 0.6];
+    keyword spam and boilerplate fall outside — a cheap quality filter."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda x: x != ""
+    )
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def with_stopword_ratio(docs: DataFrame, lang: str = "en", col: str = "text") -> DataFrame:
+    return docs.withColumn(
+        "stopword_ratio", stopword_ratio_col(tuple(sorted(_STOPWORDS[lang])), col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language identification (n-gram/stopword heuristic, pandas UDF)
 # ---------------------------------------------------------------------------
 

@@ -268,6 +268,37 @@ class TestTextOps:
         assert detect_language("") == "unknown"
         assert detect_language("12345 67890 !!!") == "unknown"
 
+    def test_pii_scrub(self, spark):
+        from rust_geo_booleanop_spark.operators import pii_scrub
+
+        rows = [
+            (0, "contact me at john.doe+spam@example.co.uk or call +1 (555) 123-4567 now", "en"),
+            (1, "no pii here just words", "en"),
+            (2, "two mails a@b.io c@d.org and digits 555-867-5309", "en"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.doc_id: r for r in pii_scrub(d).collect()}
+        assert got[0].n_emails == 1 and got[0].n_phones == 1
+        assert "<EMAIL>" in got[0].scrubbed and "<PHONE>" in got[0].scrubbed
+        assert "john.doe" not in got[0].scrubbed and "555" not in got[0].scrubbed
+        assert got[1].n_emails == 0 and got[1].n_phones == 0
+        assert got[1].scrubbed == rows[1][1]
+        assert got[2].n_emails == 2 and got[2].n_phones == 1
+
+    def test_stopword_ratio(self, spark):
+        from rust_geo_booleanop_spark.operators import with_stopword_ratio
+
+        rows = [
+            (0, "the cat and the dog", "en"),   # 3/5 stopwords
+            (1, "buy cheap widgets today", "en"),  # 0/4
+            (2, "   ", "en"),                   # blank -> 0.0
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r.doc_id: r.stopword_ratio for r in with_stopword_ratio(d).collect()}
+        assert got[0] == 3.0 / 5.0
+        assert got[1] == 0.0
+        assert got[2] == 0.0
+
     def test_fingerprint_ws_invariant(self, docs):
         fps = {r.doc_id: r.fingerprint for r in document_fingerprint(docs).collect()}
         assert fps[0] == fps[5]
