@@ -20,6 +20,7 @@ from .geojson import (
     multipolygon_bbox,
 )
 from .predicates import signed_area, segment_intersection
+from .f32 import boolean_op_f32, quantize_multipolygon_f32
 
 __all__ = [
     "boolean_op",
@@ -34,4 +35,6 @@ __all__ = [
     "multipolygon_bbox",
     "signed_area",
     "segment_intersection",
+    "boolean_op_f32",
+    "quantize_multipolygon_f32",
 ]

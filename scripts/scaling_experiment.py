@@ -1,0 +1,83 @@
+"""North-rule scaling evidence: same job, same input, two parallelism
+levels (local[2] vs local[8] = N and 4N cores), interleaved pairs.
+
+Protocol (BENCH.md "Scaling efficiency"): per leg, bench.py flagship-only
+with an untimed warm-up then best-of-SPARK_GRAFT_BENCH_ITERS (default 2);
+legs alternate 2/8 within each pair so co-tenant noise phases hit both
+sides; report per-pair ratios and medians. Run with NOTHING else on the
+box.
+
+Usage: python scripts/scaling_experiment.py [n_pairs] [replicate]
+Prints one JSON line with the raw pairs + medians + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_leg(cpus: int, replicate: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_ITERS="2",
+        SPARK_GRAFT_BENCH_ONLY="flagship",
+        SPARK_GRAFT_BENCH_REPLICATE=str(replicate),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def main():
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    pairs = []
+    for i in range(n_pairs):
+        lo = run_leg(2, replicate)
+        hi = run_leg(8, replicate)
+        pair = {
+            "rep": i + 1,
+            "pps_2": lo["pages_per_sec"],
+            "pps_8": hi["pages_per_sec"],
+            "ratio": round(hi["pages_per_sec"] / lo["pages_per_sec"], 3),
+        }
+        pairs.append(pair)
+        print(f"pair {i+1}: local[2] {pair['pps_2']} p/s  "
+              f"local[8] {pair['pps_8']} p/s  ratio {pair['ratio']}",
+              file=sys.stderr, flush=True)
+    med2 = median([p["pps_2"] for p in pairs])
+    med8 = median([p["pps_8"] for p in pairs])
+    med_ratio = median([p["ratio"] for p in pairs])
+    print(json.dumps({
+        "pairs": pairs,
+        "median_pps_2": med2,
+        "median_pps_8": med8,
+        "median_of_medians_ratio": round(med8 / med2, 3),
+        "median_pair_ratio": med_ratio,
+        "efficiency_medians": round(med8 / med2 / 4.0, 3),
+        "efficiency_pair_median": round(med_ratio / 4.0, 3),
+        "replicate": replicate,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -243,3 +243,50 @@ class TestSweepLineBisect:
             SweepLine.index_of = orig
         assert got == want
         assert len(got) == n
+
+
+class TestF32Surface:
+    """f32-width mode (reference Float-trait parity: helper.rs:8-10)."""
+
+    def test_f32_results_are_f32_representable_and_close_to_f64(self):
+        import glob
+
+        import numpy as np
+
+        from rust_geo_booleanop_spark.kernel import boolean_op_f32, load_fixture
+
+        paths = sorted(
+            glob.glob("/root/reference/tests/fixtures/generic_test_cases/*.geojson")
+        )[:8]
+        checked = 0
+        for path in paths:
+            subject, clipping, expected = load_fixture(path)
+            for op, exp, _swap in expected:
+                got = boolean_op_f32(subject, clipping, op)
+                # every output coordinate is exactly binary32
+                for poly in got:
+                    for ring in poly:
+                        for x, y in ring:
+                            assert float(np.float32(x)) == x
+                            assert float(np.float32(y)) == y
+                # same structure as the f64 expectation, coordinates within
+                # f32 rounding of it (fixtures are far from degeneracy)
+                assert len(got) == len(exp)
+                for gp, wp in zip(got, exp):
+                    assert len(gp) == len(wp)
+                    for gr, wr in zip(gp, wp):
+                        assert len(gr) == len(wr)
+                        for (gx, gy), (wx, wy) in zip(gr, wr):
+                            scale = max(abs(wx), abs(wy), 1.0)
+                            assert abs(gx - wx) <= 1e-6 * scale
+                            assert abs(gy - wy) <= 1e-6 * scale
+                checked += 1
+        assert checked >= 8
+
+    def test_quantize_idempotent(self):
+        from rust_geo_booleanop_spark.kernel import quantize_multipolygon_f32
+
+        mp = [[[(0.1, 0.2), (1.0000000001, 2.0), (0.1, 0.2)]]]
+        q1 = quantize_multipolygon_f32(mp)
+        assert quantize_multipolygon_f32(q1) == q1
+        assert q1[0][0][0] != (0.1, 0.2)  # 0.1 is not f32-representable
