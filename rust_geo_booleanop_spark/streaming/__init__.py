@@ -6,6 +6,7 @@ from .extraction import (
     run_windowed_counts_stream,
     stream_documents,
     stream_events,
+    stream_exact_dedup,
     stream_extract_geometries,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "run_windowed_counts_stream",
     "stream_documents",
     "stream_events",
+    "stream_exact_dedup",
     "stream_extract_geometries",
     "windowed_event_counts",
 ]

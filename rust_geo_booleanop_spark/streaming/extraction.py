@@ -66,6 +66,34 @@ def run_extraction_stream(
     return query
 
 
+def stream_exact_dedup(
+    stream_docs: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the streaming twin of `operators.exact_dedup`
+    (same normalized-md5 key). State carries seen keys ACROSS micro-batches
+    via the checkpoint, so a duplicate arriving in a later file drop is
+    suppressed, not re-emitted.
+
+    With `ts_col`, uses dropDuplicatesWithinWatermark — seen-key state is
+    evicted once the watermark passes, bounding state for endless streams
+    (duplicates farther apart than `watermark` are then kept, documented
+    trade-off). Without it, state grows with the distinct-key count —
+    right for bounded catch-up runs, not endless ones.
+    """
+    from ..operators.dedup import normalized_text_key
+
+    keyed = stream_docs.withColumn("dup_key", normalized_text_key("text"))
+    if ts_col is not None:
+        deduped = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["dup_key"]
+        )
+    else:
+        deduped = keyed.dropDuplicates(["dup_key"])
+    return deduped.drop("dup_key")
+
+
 def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_DDL)

@@ -49,6 +49,62 @@ class TestPlanShapes:
         assert "MapInPandas" in plan  # Arrow-batched Python, not row UDFs
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
+    def test_bucketed_join_needs_no_exchange(self, spark, tmp_path):
+        """Bucketed tables co-locate join keys at WRITE time: a big-big
+        equi-join on the bucket key plans with zero Exchange operators —
+        the 100 TB recipe for repeated joins on a stable key (write once
+        bucketed, join shuffle-free forever after)."""
+        warehouse = str(tmp_path / "wh")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{warehouse}'")
+        try:
+            orders = spark.read.parquet(f"{TESTDATA}/orders.parquet")
+            li = spark.read.parquet(f"{TESTDATA}/lineitem.parquet")
+            (orders.write.format("parquet").bucketBy(8, "o_orderkey")
+             .sortBy("o_orderkey").mode("overwrite")
+             .saveAsTable("buckdemo.orders_b"))
+            (li.write.format("parquet").bucketBy(8, "l_orderkey")
+             .sortBy("l_orderkey").mode("overwrite")
+             .saveAsTable("buckdemo.lineitem_b"))
+            ob = spark.table("buckdemo.orders_b")
+            lb = spark.table("buckdemo.lineitem_b")
+            # disable auto-broadcast so the join exercises the bucketed path
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+                    "l_orderkey", "o_orderpriority"
+                )
+                plan = plan_str(joined)
+                assert "SortMergeJoin" in plan
+                assert "Exchange" not in plan  # bucket layout replaces the shuffle
+                # sanity: same rows as the unbucketed join
+                n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+                assert joined.count() == n_plain
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        finally:
+            spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+    def test_bbox_stats_prune_geometry_scan(self, spark, tmp_path):
+        """The geometry sink layout (bbox as plain double columns) makes
+        spatial range predicates Parquet-pushable: a bbox filter reaches
+        the scan as PushedFilters and row-group min/max stats prune — the
+        engine's 'GeoParquet-style' pushdown story."""
+        from rust_geo_booleanop_spark.operators import extract_geometries
+        from rust_geo_booleanop_spark.sources import build_documents
+
+        out = str(tmp_path / "geoms")
+        geoms = extract_geometries(build_documents(spark, TESTDATA))
+        geoms.write.mode("overwrite").parquet(out)
+
+        back = spark.read.parquet(out).filter(
+            (F.col("xmax") >= 1000.0) & (F.col("xmin") <= 2000.0)
+        ).select("url", "xmin", "xmax")
+        plan = plan_str(back)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(xmax,1000.0)" in plan
+        assert "LessThanOrEqual(xmin,2000.0)" in plan
+        assert back.count() > 0
+
 
 @pytest.mark.skipif(not os.path.isdir(FIXTURE_DIR), reason="reference corpus missing")
 class TestGeoJsonSource:

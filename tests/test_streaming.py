@@ -131,6 +131,63 @@ def test_stateful_sessionize_carries_state_across_restarts(spark, tmp_path):
     assert r.session_end == t0 + dt.timedelta(minutes=20)
 
 
+def test_streaming_exact_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicates state survives across availableNow runs via the
+    checkpoint: a duplicate text arriving in a LATER file drop is
+    suppressed, whitespace-variant duplicates collapse to one row."""
+    from rust_geo_booleanop_spark.streaming import stream_documents, stream_exact_dedup
+
+    drop_dir = str(tmp_path / "dd_docs")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt_dir = str(tmp_path / "dd_ckpt")
+    os.makedirs(drop_dir)
+
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_once():
+        q = (
+            stream_exact_dedup(stream_documents(spark, drop_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drop_parquet(
+        spark.createDataFrame(
+            [
+                (0, "alpha beta gamma", "en", "a", 16),
+                (1, "unique one", "en", "a", 10),
+                (2, "alpha  beta\tgamma", "en", "a", 17),  # ws-variant dup of 0
+            ],
+            ddl,
+        ).coalesce(1),
+        drop_dir, "a",
+    )
+    run_once()
+    first = spark.read.parquet(out_dir).collect()
+    assert len(first) == 2  # 0-or-2 (one of the variants) + 1
+
+    _drop_parquet(
+        spark.createDataFrame(
+            [
+                (3, "alpha beta gamma", "en", "b", 16),  # dup from batch 1
+                (4, "unique two", "en", "b", 10),
+            ],
+            ddl,
+        ).coalesce(1),
+        drop_dir, "b",
+    )
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    texts = sorted(r.text for r in rows)
+    assert len(rows) == 3  # doc 3 suppressed by cross-batch state
+    assert "unique two" in texts
+
+
 def test_stateful_sessionize_merges_late_events_within_batch(spark, tmp_path):
     """Late events (older than the open session by more than the gap) that
     fall within the gap of EACH OTHER chain into ONE closed session — the
