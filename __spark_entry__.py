@@ -493,6 +493,69 @@ def _r19_range_window(spark, sf_dir):
     )
 
 
+def _r20_cube(spark, sf_dir):
+    """CUBE over two dims (all 4 grouping combinations; rollup's sibling —
+    r14 covers ROLLUP)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cubed = li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        _dsum("l_quantity", "sum_qty"),
+    )
+    return cubed.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "gid",
+        "n_rows",
+        "sum_qty",
+    )
+
+
+def _r21_in_subquery(spark, sf_dir):
+    """IN / NOT IN subquery predicates (Catalyst rewrites to semi/anti
+    joins; the NOT IN branch exercises null-aware anti join semantics)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v21")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v21")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey IN (
+                   SELECT o_custkey FROM orders_v21 WHERE o_totalprice > 300000.0
+               ) THEN 1 ELSE 0 END AS has_big_order
+        FROM customer_v21
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders_v21 WHERE o_orderpriority = '1-URGENT'
+        )
+        """
+    )
+
+
+def _r22_lag_lead(spark, sf_dir):
+    """lag / lead / first_value frame shapes over a total order."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id", 1).over(w).alias("prev_event_id"),
+        F.lead("event_id", 1).over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+    )
+
+
+def _h01_heavy_hitters(spark, sf_dir):
+    """Two-pass exact heavy hitters (Misra-Gries candidates + exact
+    verify): output is exact, so the oracle is a plain GROUP BY/HAVING —
+    while the Spark plan never hash-aggregates the full distinct-value
+    space (operators/sketch.py)."""
+    from rust_geo_booleanop_spark.operators import heavy_hitters
+
+    e = _t(spark, sf_dir, "events").select("user_id")
+    return heavy_hitters(e, "user_id", threshold_frac=0.005).select(
+        "user_id", F.col("n").alias("n_events")
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -768,6 +831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_scalar_subquery": _r17_scalar_subquery,
         "r18_pivot": _r18_pivot,
         "r19_range_window": _r19_range_window,
+        "r20_cube": _r20_cube,
+        "r21_in_subquery": _r21_in_subquery,
+        "r22_lag_lead": _r22_lag_lead,
+        "h01_heavy_hitters": _h01_heavy_hitters,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
@@ -1146,6 +1213,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "r20_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   GROUPING(l_returnflag, l_linestatus) AS gid,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "r21_in_subquery": """
+            SELECT c_custkey, c_name,
+                   CASE WHEN c_custkey IN (
+                       SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+                   ) THEN 1 ELSE 0 END AS has_big_order
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "r22_lag_lead": """
+            SELECT user_id, event_id,
+                   LAG(event_id, 1) OVER w AS prev_event_id,
+                   LEAD(event_id, 1) OVER w AS next_event_id,
+                   FIRST_VALUE(event_id) OVER w AS first_event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "h01_heavy_hitters": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events
+            GROUP BY user_id
+            HAVING COUNT(*) >= (SELECT COUNT(*) FROM events) * 0.005
         """,
         # as-of join: Spark side is the union-sort trick (one shuffle, no
         # per-key cross product); oracle is the naive range-join + argmax

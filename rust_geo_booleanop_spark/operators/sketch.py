@@ -1,0 +1,83 @@
+"""Distributed sketch operators.
+
+Two-pass exact heavy hitters (the classic scalable pattern):
+
+  pass 1  per-partition Misra-Gries summaries (bounded memory: k counters
+          per partition, one `mapInPandas` — no shuffle). Guarantee: MG
+          with capacity k underestimates a value's partition count by at
+          most n_p / k, so any value with GLOBAL count > n / k survives
+          in at least one partition's summary — the candidate set is a
+          superset of the true heavy hitters.
+  pass 2  exact counts of the (small) candidate set only: semi-join the
+          data against the broadcast candidates, one hash aggregation.
+
+The result is EXACT (value, count) rows for every value with
+count >= threshold_frac * n — unlike a one-pass sketch there is no
+approximation in the output, only in the intermediate candidate set, so
+the operator is value-hash-checkable against a plain GROUP BY oracle
+while never hash-aggregating the full distinct-value space.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _misra_gries(values: Iterator, k: int) -> dict:
+    """Classic Misra-Gries with k counters (public-domain algorithm)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = [key for key in counters if counters[key] == 1]
+            for key in dead:
+                del counters[key]
+            for key in counters:
+                counters[key] -= 1
+    return counters
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, threshold_frac: float = 0.01
+) -> DataFrame:
+    """Exact (value, n) rows for values occurring in >= threshold_frac of
+    rows. Bounded memory at every stage; only candidates are counted
+    exactly, so the full distinct-value space is never aggregated."""
+    if not (0.0 < threshold_frac <= 1.0):
+        raise ValueError("threshold_frac must be in (0, 1]")
+    k = max(2, math.ceil(1.0 / threshold_frac))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one MG summary per TASK (all batches of a partition share it)
+        def values():
+            for pdf in batches:
+                yield from pdf[col]
+
+        counters = _misra_gries(values(), k)
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    field = df.schema[col]
+    candidates = (
+        df.select(col)
+        .mapInPandas(partials, schema=f"{col} {field.dataType.simpleString()}")
+        .distinct()
+    )
+    n_total = df.select(F.count("*").alias("n_total"))
+    counted = (
+        df.join(F.broadcast(candidates), on=col, how="left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(n_total))
+        .filter(F.col("n") >= F.col("n_total") * F.lit(threshold_frac))
+        .select(col, "n")
+    )

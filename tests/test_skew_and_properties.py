@@ -123,3 +123,44 @@ class TestPathologicalTermination:
         big_rect = [[[(-1000.0, -1000.0), (2000.0, -1000.0), (2000.0, 2000.0), (-1000.0, 2000.0), (-1000.0, -1000.0)]]]
         clipped = boolean_op(uni, big_rect, "intersection")
         assert abs(mp_area(clipped) - mp_area(uni)) < 1e-9 * max(mp_area(uni), 1.0)
+
+
+class TestHeavyHitters:
+    def test_matches_exact_groupby_on_skewed_corpus(self, spark):
+        """Misra-Gries candidates + exact verify == plain GROUP BY/HAVING,
+        on a corpus whose distinct-value space (~5000) dwarfs the counter
+        budget (k = 1/0.02 = 50) — the sketch must still recover every
+        true heavy hitter exactly."""
+        from pyspark.sql import functions as F
+
+        from rust_geo_booleanop_spark.operators import heavy_hitters
+
+        n = 40_000
+        # 4 heavy values at ~8% each ((id*7919)%5 for id not divisible by
+        # 5 ranges over {1,2,3,4} only), long tail of ~5000 values
+        df = spark.range(n).select(
+            F.when(F.col("id") % 5 == 0, F.col("id") % 5000 + 10)
+            .otherwise((F.col("id") * 7919) % 5)
+            .alias("v")
+        )
+        got = {(r.v, r.n) for r in heavy_hitters(df, "v", threshold_frac=0.02).collect()}
+        want = {
+            (r.v, r.n)
+            for r in df.groupBy("v")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= n * 0.02)
+            .collect()
+        }
+        assert got == want
+        assert len(want) == 4  # only the planted heavy values qualify
+
+    def test_single_partition_and_threshold_edge(self, spark):
+        from pyspark.sql import functions as F
+
+        from rust_geo_booleanop_spark.operators import heavy_hitters
+
+        df = spark.createDataFrame(
+            [(v,) for v in [1] * 50 + [2] * 30 + list(range(100, 120))], "v long"
+        ).coalesce(1)
+        got = {(r.v, r.n) for r in heavy_hitters(df, "v", threshold_frac=0.3).collect()}
+        assert got == {(1, 50), (2, 30)}  # 30/100 == threshold exactly: kept
