@@ -7,8 +7,11 @@ legs alternate 2/8 within each pair so co-tenant noise phases hit both
 sides; report per-pair ratios and medians. Run with NOTHING else on the
 box.
 
-Usage: python scripts/scaling_experiment.py [n_pairs] [replicate]
+Usage: python scripts/scaling_experiment.py [n_pairs] [replicate] [lo_cpus] [hi_cpus]
 Prints one JSON line with the raw pairs + medians + efficiency.
+(lo/hi default 2/8; the rule fixes the 4x ratio, not N itself — on one
+box the smallest leg is turbo/bandwidth-flattered, so larger N pairs
+like 4/16 are a fairer executor-scaling proxy.)
 """
 
 from __future__ import annotations
@@ -50,27 +53,30 @@ def median(xs):
 def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    lo_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    hi_cpus = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    assert hi_cpus == 4 * lo_cpus, "the rule compares N vs 4N"
     pairs = []
     for i in range(n_pairs):
-        lo = run_leg(2, replicate)
-        hi = run_leg(8, replicate)
+        lo = run_leg(lo_cpus, replicate)
+        hi = run_leg(hi_cpus, replicate)
         pair = {
             "rep": i + 1,
-            "pps_2": lo["pages_per_sec"],
-            "pps_8": hi["pages_per_sec"],
+            "pps_lo": lo["pages_per_sec"],
+            "pps_hi": hi["pages_per_sec"],
             "ratio": round(hi["pages_per_sec"] / lo["pages_per_sec"], 3),
         }
         pairs.append(pair)
-        print(f"pair {i+1}: local[2] {pair['pps_2']} p/s  "
-              f"local[8] {pair['pps_8']} p/s  ratio {pair['ratio']}",
+        print(f"pair {i+1}: local[{lo_cpus}] {pair['pps_lo']} p/s  "
+              f"local[{hi_cpus}] {pair['pps_hi']} p/s  ratio {pair['ratio']}",
               file=sys.stderr, flush=True)
-    med2 = median([p["pps_2"] for p in pairs])
-    med8 = median([p["pps_8"] for p in pairs])
+    med2 = median([p["pps_lo"] for p in pairs])
+    med8 = median([p["pps_hi"] for p in pairs])
     med_ratio = median([p["ratio"] for p in pairs])
     print(json.dumps({
         "pairs": pairs,
-        "median_pps_2": med2,
-        "median_pps_8": med8,
+        "lo_cpus": lo_cpus, "hi_cpus": hi_cpus, "median_pps_lo": med2,
+        "median_pps_hi": med8,
         "median_of_medians_ratio": round(med8 / med2, 3),
         "median_pair_ratio": med_ratio,
         "efficiency_medians": round(med8 / med2 / 4.0, 3),
