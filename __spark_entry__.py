@@ -1023,6 +1023,48 @@ def _lsh_bucket_exprs(dim: int, n_planes: int, seed: int):
     return dot_exprs, bucket
 
 
+def _lsh_neardup_sql(
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    threshold: float = 0.3,
+    seed: int = 7,
+) -> str:
+    """s03 oracle: multi-table LSH near-dup pairs. Every table's planes
+    (similarity.py:with_lsh_tables — seeds seed+1000*t) embed as double
+    literals; per-table buckets carry the table tag in the high bits
+    exactly like the UDF; candidate pairs sharing ANY table's bucket are
+    deduped and verified with the exact guarded cosine (threshold margin
+    is corpus-safe per the s05 analysis)."""
+    from rust_geo_booleanop_spark.operators.similarity import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        signs = []
+        for j in range(n_planes):
+            terms = " + ".join(
+                f"({planes[j, k]!r} * embedding[{k + 1}])" for k in range(dim)
+            )
+            signs.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+        bucket_exprs.append(f"CAST({t << 48} + {' + '.join(signs)} AS BIGINT)")
+    cos = _cos_sql("a.embedding", "b.embedding")
+    return f"""
+        WITH buckets AS (
+            SELECT vec_id, unnest([{', '.join(bucket_exprs)}]) AS b
+            FROM embeddings
+        ), pairs AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM buckets x JOIN buckets y ON x.b = y.b AND x.vec_id < y.vec_id
+        )
+        SELECT p.id_a, p.id_b
+        FROM pairs p
+        JOIN embeddings a ON a.vec_id = p.id_a
+        JOIN embeddings b ON b.vec_id = p.id_b
+        WHERE {cos} >= {threshold}
+    """
+
+
 def _lsh_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
     """s07 oracle: same literal-hyperplane buckets as s02, then exact
     cosine top-k WITHIN the query's bucket only (the bucketed-ANN
@@ -1529,7 +1571,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s02_lsh_buckets": _lsh_bucket_sql(),
         "s07_lsh_topk": _lsh_topk_sql(),
-        # g01-g03, g07, g09, g11, d01, d02, s03, s06, m01-m04:
+        "s03_embedding_neardup": _lsh_neardup_sql(),
+        # g01-g03, g07, g09, g11, d01, d02, s06, m01-m04:
         # geometry-kernel / cryptographic-hash-seeded / iterative /
         # stub-decode ops not expressible in ANSI SQL -> rows-only checks.
     }
