@@ -7,6 +7,10 @@ Arrow-batched pandas UDFs on Spark; never row-at-a-time per Spark row.
 
 from .booleanop import (
     boolean_op,
+    intersection,
+    union,
+    difference,
+    xor,
     KernelLimitExceeded,
     INTERSECTION,
     UNION,
@@ -24,6 +28,10 @@ from .f32 import boolean_op_f32, quantize_multipolygon_f32
 
 __all__ = [
     "boolean_op",
+    "intersection",
+    "union",
+    "difference",
+    "xor",
     "KernelLimitExceeded",
     "INTERSECTION",
     "UNION",

@@ -546,6 +546,26 @@ def _trivial_result(subject, clipping, operation):
     return [list(p) for p in subject] + [list(p) for p in clipping]
 
 
+def intersection(subject, clipping):
+    """Reference-API parity (BooleanOp::intersection, mod.rs:33-58)."""
+    return boolean_op(subject, clipping, INTERSECTION)
+
+
+def union(subject, clipping):
+    """Reference-API parity (BooleanOp::union, mod.rs:65-67)."""
+    return boolean_op(subject, clipping, UNION)
+
+
+def difference(subject, clipping):
+    """Reference-API parity (BooleanOp::difference, mod.rs:56-58)."""
+    return boolean_op(subject, clipping, DIFFERENCE)
+
+
+def xor(subject, clipping):
+    """Reference-API parity (BooleanOp::xor, mod.rs:74-76)."""
+    return boolean_op(subject, clipping, XOR)
+
+
 def boolean_op(subject, clipping, operation):
     """Boolean operation on two multipolygons.
 

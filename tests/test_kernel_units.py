@@ -290,3 +290,23 @@ class TestF32Surface:
         q1 = quantize_multipolygon_f32(mp)
         assert quantize_multipolygon_f32(q1) == q1
         assert q1[0][0][0] != (0.1, 0.2)  # 0.1 is not f32-representable
+
+
+class TestReferenceApiParity:
+    def test_named_ops_equal_boolean_op(self):
+        """union/intersection/difference/xor wrappers (BooleanOp trait
+        surface, mod.rs:33-85) delegate to the same kernel."""
+        from rust_geo_booleanop_spark.kernel import (
+            difference,
+            intersection,
+            union,
+            xor,
+        )
+
+        a = [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]]
+        b = [[[(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]]]
+        assert intersection(a, b) == boolean_op(a, b, "intersection")
+        assert union(a, b) == boolean_op(a, b, "union")
+        assert difference(a, b) == boolean_op(a, b, "diff")
+        assert xor(a, b) == boolean_op(a, b, "xor")
+        assert len(union(a, b)) == 1 and len(xor(a, b)) == 2
