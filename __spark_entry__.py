@@ -666,6 +666,17 @@ def _d03_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", "n_shared", "jaccard")
 
 
+def _d04_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> canonical representative
+    per doc (the collapse step after candidate detection). Iterative
+    min-label propagation; the oracle computes the same components with a
+    recursive CTE over the identical d03 pair set."""
+    from rust_geo_booleanop_spark.operators import dedup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return dedup_clusters(pairs).select("doc_id", "cluster_rep")
+
+
 def _s01_cosine_topk(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import cosine_topk
 
@@ -878,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_video_frames": _m03_video_frames,
         "m04_image_resize": _m04_image_resize,
         "d03_ngram_jaccard": _d03_ngram_jaccard,
+        "d04_dedup_clusters": _d04_dedup_clusters,
         "s01_cosine_topk": _s01_cosine_topk,
         "s02_lsh_buckets": _s02_lsh_buckets,
         "s04_ivf_topk": _s04_ivf_topk,
@@ -888,6 +900,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_embedding_neardup": _s03_embedding_neardup,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
     }
+
+
+# d03's full SQL as a constant: d04 embeds it as the pair-set CTE of its
+# recursive connected-components closure, so both gates share ONE pair
+# definition (mirrors the operator's scale-safe "auto" max_df default:
+# shingles in more than max(1000, 0.1% of corpus) docs are dropped before
+# the self-join; sizes computed after the filter).
+_D03_SQL = """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
+            ), sh_all AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                             i -> array_to_string(t[i:i+2], ' '))) AS shingle
+                FROM toks
+            ), hot AS (
+                SELECT shingle FROM sh_all GROUP BY shingle
+                HAVING COUNT(*) > greatest(1000.0, (SELECT COUNT(*) FROM documents) * 0.001)
+            ), sh AS (
+                SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b, s.n_shared,
+                   CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc_id = s.id_a
+            JOIN sizes sb ON sb.doc_id = s.id_b
+            WHERE CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.5
+"""
 
 
 def _langid_sql() -> str:
@@ -1482,31 +1527,25 @@ def oracle_sql() -> dict[str, str]:
         # operator's scale-safe "auto" max_df default: shingles in more
         # than max(1000, 0.1% of corpus) docs are dropped BEFORE the
         # self-join and sizes are computed after the filter.
-        "d03_ngram_jaccard": """
-            WITH toks AS (
-                SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
-            ), sh_all AS (
-                SELECT DISTINCT doc_id,
-                       unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-                                             i -> array_to_string(t[i:i+2], ' '))) AS shingle
-                FROM toks
-            ), hot AS (
-                SELECT shingle FROM sh_all GROUP BY shingle
-                HAVING COUNT(*) > greatest(1000.0, (SELECT COUNT(*) FROM documents) * 0.001)
-            ), sh AS (
-                SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
-            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            shared AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
+        "d03_ngram_jaccard": _D03_SQL,
+        # d04: connected components over the SAME pair set, as a recursive
+        # transitive closure; cluster_rep = the component's minimum id
+        # (exactly what min-label propagation converges to)
+        "d04_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_D03_SQL}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, w.r FROM reach w JOIN edges e ON e.dst = w.id
             )
-            SELECT s.id_a, s.id_b, s.n_shared,
-                   CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) AS jaccard
-            FROM shared s
-            JOIN sizes sa ON sa.doc_id = s.id_a
-            JOIN sizes sb ON sb.doc_id = s.id_b
-            WHERE CAST(s.n_shared AS DOUBLE) / CAST(sa.n + sb.n - s.n_shared AS DOUBLE) >= 0.5
+            SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+            FROM reach GROUP BY id
         """,
         # --- similarity (ids + ranks only; float similarity values are
         #     engine-internal) ---

@@ -383,6 +383,78 @@ def simhash_candidates(
     return pairs.withColumn("hamming", hamming)
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_rep).
+
+    The step AFTER candidate detection in a dedup pipeline: transitive
+    near-duplicates collapse into one cluster whose canonical
+    representative is the minimum id (keep that row, drop the rest).
+
+    Algorithm: iterative min-label propagation WITH label shortcutting
+    (pointer doubling): each round a node takes the minimum label among
+    itself, its neighbors' labels, and its LABEL'S label — the shortcut
+    step is valid because labels are always node ids inside the same
+    component, and it turns O(diameter) convergence into O(log n)
+    (a 10^6-doc near-dup chain converges in ~20 rounds). Per-iteration
+    convergence detection, localCheckpoint to cut lineage; each round is
+    two equi-joins + a map-side min aggregation, no driver-side data
+    beyond the changed-count action.
+    """
+    # materialize the edge list once — `pairs` is typically the output of
+    # an expensive near-dup pipeline, and every propagation round joins
+    # against edges; without the checkpoint the whole upstream pipeline
+    # would re-execute per iteration
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(neigh, labels.id == neigh.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # shortcut: label <- min(label, label-of-label) (pointer doubling)
+        lut = stepped.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        new_labels = (
+            stepped.join(lut, stepped.label == lut.lid, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("llabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
+
+
 def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs within `max_hamming` simhash bits, with TOTAL recall:
     n_blocks = max_hamming + 1 makes the pigeonhole guarantee cover every

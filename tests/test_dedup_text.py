@@ -442,3 +442,33 @@ class TestSimilarity:
             for r in ivf_cosine_topk(embeddings, queries, k=3, nprobe=2, stride=5).collect()
         )
         assert r1 == r2 and len(r1) > 0
+
+
+class TestDedupClusters:
+    def test_connected_components_min_label(self, spark):
+        """Chain 1-2-3-4 (transitive near-dups), triangle 10-11-12, pair
+        20-21: every node gets its component's MINIMUM id as the
+        canonical representative, including multi-hop chains."""
+        from rust_geo_booleanop_spark.operators import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "id_a long, id_b long",
+        )
+        got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+        assert got == {
+            1: 1, 2: 1, 3: 1, 4: 1,
+            10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20,
+        }
+
+    def test_long_chain_converges(self, spark):
+        from rust_geo_booleanop_spark.operators import dedup_clusters
+
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
