@@ -34,27 +34,49 @@ BOOLEAN_RESULTS_SCHEMA = (
 
 
 def pair_candidates(geoms: DataFrame) -> DataFrame:
-    """Form (subject, clipping) candidate pairs per case via an equi-join.
+    """Form (subject, clipping) candidate pairs per case from ONE pass.
 
-    Column-pruned before the shuffle so only the join key + payload move.
+    Changed in round 3: the previous shape self-joined a subject branch
+    and a clipping branch of the SAME extraction output, so Catalyst
+    planned the documents scan + extraction mapInPandas TWICE — at 100 TB
+    that doubles the most expensive scan+parse stage. Now a single scan
+    feeds one shuffle on case_id (column-pruned to key + url + geom_json),
+    and the subject x clipping cross product per case comes from exploding
+    the two collected sides — the identical pair set the equi-join
+    produced, at half the scan cost and the same one shuffle.
+
+    Bound: a case with S subjects and C clippings holds S+C geometries in
+    one aggregation row before exploding to S*C pairs; for the web-page
+    corpus (one subject + one clipping per case URL) this is 2. A
+    pathologically hot case would need the salted-join shape instead
+    (operators/skew.py) — not this corpus's contract.
     """
-    subjects = (
-        geoms.filter(F.col("role") == "subject")
+    s = F.when(
+        F.col("role") == "subject", F.struct(F.col("url"), F.col("geom_json"))
+    )
+    c = F.when(
+        F.col("role") == "clipping", F.struct(F.col("url"), F.col("geom_json"))
+    )
+    grouped = (
+        geoms.select("case_id", s.alias("s"), c.alias("c"))
+        .groupBy("case_id")
+        # collect_list skips NULLs: non-subject rows vanish from subs,
+        # non-clipping rows from clips; a case missing either side ends
+        # with an empty list and is dropped by the explode (inner-join
+        # semantics preserved)
+        .agg(F.collect_list("s").alias("subs"), F.collect_list("c").alias("clips"))
+    )
+    return (
+        grouped.select("case_id", F.explode("subs").alias("s"), "clips")
+        .select("case_id", "s", F.explode("clips").alias("c"))
         .select(
-            F.col("case_id"),
-            F.col("url").alias("subject_url"),
-            F.col("geom_json").alias("subject_json"),
+            "case_id",
+            F.col("s.url").alias("subject_url"),
+            F.col("s.geom_json").alias("subject_json"),
+            F.col("c.url").alias("clipping_url"),
+            F.col("c.geom_json").alias("clipping_json"),
         )
     )
-    clippings = (
-        geoms.filter(F.col("role") == "clipping")
-        .select(
-            F.col("case_id"),
-            F.col("url").alias("clipping_url"),
-            F.col("geom_json").alias("clipping_json"),
-        )
-    )
-    return subjects.join(clippings, on="case_id")
 
 
 def _make_kernel_batches(ops: Sequence[str]):
