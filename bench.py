@@ -22,6 +22,70 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _stream_worker(q, size_mb: int, iters: int):
+    import numpy as np
+
+    n = size_mb * 1024 * 1024 // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        a = b + 2.5 * c  # STREAM triad: read b, read c, write a
+        dt = time.perf_counter() - t0
+        del a
+        if best is None or dt < best:
+            best = dt
+    q.put(3 * n * 8 / best / 1e6)
+
+
+def _stream_mbps(n_proc: int, size_mb: int = 96, iters: int = 3) -> float:
+    """Aggregate memory bandwidth (MB/s) of n_proc concurrent STREAM-triad
+    workers. The flagship's kernel stage is allocation-heavy Python across
+    32 workers, so shared-DRAM contention is the box resource co-tenants
+    steal first — and the one a single-threaded sentinel cannot see."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_stream_worker, args=(q, size_mb, iters)) for _ in range(n_proc)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return round(sum(vals), 0)
+
+
+def box_noise_probe() -> dict:
+    """Cheap (~3 s) co-tenant-noise snapshot, recorded alongside every
+    flagship measurement so a slow number of record carries its own
+    explanation (round-2 driver bench landed in a noise phase with no
+    in-artifact evidence). Calm bands observed on this box (BENCH.md):
+    asia/union 0.42-0.60 s single-threaded; stream8 >= ~40000 MB/s."""
+    from rust_geo_booleanop_spark.kernel.bench_cases import CRITERION_CASES
+
+    make, op = next((m, o) for n, m, o in CRITERION_CASES if n == "asia/union")
+    operands = make()
+    sentinel = None
+    if operands is not None:
+        from rust_geo_booleanop_spark.kernel import boolean_op
+
+        subject, clipping = operands
+        for _ in range(2):
+            t0 = time.perf_counter()
+            boolean_op(subject, clipping, op)
+            dt = time.perf_counter() - t0
+            if sentinel is None or dt < sentinel:
+                sentinel = dt
+        sentinel = round(sentinel, 4)
+    return {
+        "asia_union_s": sentinel,
+        "stream8_mbps": _stream_mbps(8),
+        "loadavg_1m": round(os.getloadavg()[0], 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -84,6 +148,29 @@ def main():
         timings[name] = round(best, 3)
         return out
 
+    def timed_defended(name, fn, base_iters, max_iters=6, samples_out=None):
+        """Noise-defended timing for the headline metric: keep sampling
+        until the floor is corroborated (two samples within 10 % of the
+        best) or max_iters is spent. On a calm box this costs exactly
+        base_iters runs; in a noise phase the extra attempts either find
+        the floor or go on record as evidence the box was hot for every
+        attempt (all samples + before/after probes land in the JSON)."""
+        fn()  # untimed warm-up
+        samples = []
+        out = None
+        while len(samples) < max_iters:
+            t0 = time.time()
+            out = fn()
+            samples.append(round(time.time() - t0, 3))
+            if len(samples) >= max(2, base_iters):
+                s = sorted(samples)
+                if s[1] <= s[0] * 1.10:
+                    break
+        timings[name] = min(samples)
+        if samples_out is not None:
+            samples_out.extend(samples)
+        return out
+
     # Warm the JVM + ALL Python workers (one task per core, through the
     # same import-heavy code path) so the measured run isn't dominated by
     # interpreter spawn + module imports on 32 cold workers.
@@ -115,7 +202,19 @@ def main():
     # pay contended pandas/numpy imports, measured 1-3.5 s each). Timing
     # the steady state measures the engine, not the fork storm — on a real
     # cluster the pool persists across jobs anyway.
-    n_tiled = timed("flagship_boolean_tiling", flagship, iters=bench_iters)
+    probe_before = box_noise_probe()
+    flagship_samples: list[float] = []
+    n_tiled = timed_defended(
+        "flagship_boolean_tiling", flagship, base_iters=bench_iters,
+        samples_out=flagship_samples,
+    )
+    probe_after = box_noise_probe()
+    noise = {
+        "flagship_samples": flagship_samples,
+        "probe_before": probe_before,
+        "probe_after": probe_after,
+        "calm_bands": {"asia_union_s": [0.42, 0.60], "stream8_mbps_min": 40000},
+    }
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "flagship":
         print(json.dumps({
@@ -124,6 +223,7 @@ def main():
             "unit": "sec", "queries": timings, "sf": sf_dir, "cpus": n_workers,
             "pages": pages, "tiled_rows": n_tiled,
             "pages_per_sec": round(pages / timings["flagship_boolean_tiling"], 1),
+            "noise": noise,
         }))
         spark.stop()
         return
@@ -192,6 +292,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "kernel_cases": kernel_cases,
+        "noise": noise,
         "sf": sf_dir,
         "cpus": n_workers,
         "pages": pages,
