@@ -310,3 +310,162 @@ class TestReferenceApiParity:
         assert difference(a, b) == boolean_op(a, b, "diff")
         assert xor(a, b) == boolean_op(a, b, "xor")
         assert len(union(a, b)) == 1 and len(xor(a, b)) == 2
+
+
+# ---------------------------------------------------------------------------
+# Reference component-level goldens: exact event-queue pop order
+# (tests/src/fill_queue_test.rs:10-115) and exact intersection coordinates
+# + per-interval flags (tests/src/possible_intersection_test.rs:23-168).
+# These pin the processed-event SETS that the subdivide early-exit bounds
+# make observable — a sweepline/queue "optimization" that passes the
+# end-to-end fixtures but reorders value-distinct events trips here.
+# ---------------------------------------------------------------------------
+
+from heapq import heappop, heappush
+
+from rust_geo_booleanop_spark.kernel.booleanop import (
+    fill_queue,
+    possible_intersection,
+    subdivide,
+)
+from rust_geo_booleanop_spark.kernel.geojson import load_fixture
+
+_FIXDIR = "/root/reference/tests/fixtures"
+
+_INF = float("inf")
+
+
+def _fresh_bbox():
+    return [_INF, _INF, -_INF, -_INF]
+
+
+def _make_simple(a, b, is_subject):
+    # possible_intersection_test.rs:16-21 make_simple
+    other = Event(0, b[0], b[1], False, None, is_subject, True)
+    event = Event(0, a[0], a[1], True, other, is_subject, True)
+    other.other = event
+    return event, other
+
+
+class TestFillQueueGoldens:
+    def test_two_polygons_pop_order(self):
+        # fill_queue_test.rs:10-58 test_two_polygons
+        s, c, _ = load_fixture(f"{_FIXDIR}/two_shapes.geojson")
+        q = fill_queue(s, c, _fresh_bbox(), _fresh_bbox(), "intersection")
+        popped = []
+        while q:
+            e = heappop(q)
+            popped.append((e.left, e.x, e.y, e.other.x, e.other.y))
+        assert popped == [
+            (True, 16.0, 282.0, 153.0, 203.5),
+            (True, 16.0, 282.0, 298.0, 359.0),
+            (True, 56.0, 181.0, 108.5, 120.0),
+            (True, 56.0, 181.0, 153.0, 294.5),
+            (False, 108.5, 120.0, 56.0, 181.0),
+            (True, 108.5, 120.0, 241.5, 229.5),
+            (False, 153.0, 203.5, 16.0, 282.0),
+            (True, 153.0, 203.5, 298.0, 359.0),
+            (False, 153.0, 294.5, 56.0, 181.0),
+            (True, 153.0, 294.5, 241.5, 229.5),
+            (False, 241.5, 229.5, 108.5, 120.0),
+            (False, 241.5, 229.5, 153.0, 294.5),
+            (False, 298.0, 359.0, 153.0, 203.5),
+            (False, 298.0, 359.0, 16.0, 282.0),
+        ]
+
+    def test_fill_event_queue_two_triangles(self):
+        # fill_queue_test.rs:60-115 test_fill_event_queue
+        s, c, _ = load_fixture(f"{_FIXDIR}/two_triangles.geojson")
+        sbbox, cbbox = _fresh_bbox(), _fresh_bbox()
+        q = fill_queue(s, c, sbbox, cbbox, "intersection")
+        assert sbbox == [20.0, -113.5, 226.5, 74.0]
+        assert cbbox == [54.5, -198.0, 239.5, 33.5]
+        popped = []
+        while q:
+            e = heappop(q)
+            popped.append((e.x, e.y, e.left, e.other.x, e.other.y, e.other.left))
+        assert popped == [
+            (20.0, -23.5, True, 226.5, -113.5, False),
+            (20.0, -23.5, True, 170.0, 74.0, False),
+            (54.5, -170.5, True, 239.5, -198.0, False),
+            (54.5, -170.5, True, 140.5, 33.5, False),
+            (140.5, 33.5, False, 54.5, -170.5, True),
+            (140.5, 33.5, True, 239.5, -198.0, False),
+            (170.0, 74.0, False, 20.0, -23.5, True),
+            (170.0, 74.0, True, 226.5, -113.5, False),
+            (226.5, -113.5, False, 20.0, -23.5, True),
+            (226.5, -113.5, False, 170.0, 74.0, True),
+            (239.5, -198.0, False, 54.5, -170.5, True),
+            (239.5, -198.0, False, 140.5, 33.5, True),
+        ]
+
+
+class TestPossibleIntersectionGoldens:
+    def test_possible_intersection_exact_coords(self):
+        # possible_intersection_test.rs:23-73 test_possible_intersection
+        s, c, _ = load_fixture(f"{_FIXDIR}/two_shapes.geojson")
+        s_ext = s[0][0]
+        c_ext = c[0][0]
+        q = []
+        se1, _o1 = _make_simple(s_ext[3], s_ext[2], True)
+        se2, _o2 = _make_simple(c_ext[0], c_ext[1], False)
+        assert possible_intersection(se1, se2, q) == 1
+        assert len(q) == 4
+        expect_others = [(56.0, 181.0), (16.0, 282.0), (153.0, 203.5), (153.0, 294.5)]
+        for other_pt in expect_others:
+            e = heappop(q)
+            assert (e.x, e.y) == (100.79403384562251, 233.41363754101192)
+            assert (e.other.x, e.other.y) == other_pt
+
+    def test_on_two_polygons_subdivide_intervals(self):
+        # possible_intersection_test.rs:76-168 test_on_two_polygons
+        s, c, _ = load_fixture(f"{_FIXDIR}/two_shapes.geojson")
+        sbbox, cbbox = _fresh_bbox(), _fresh_bbox()
+        q = fill_queue(s, c, sbbox, cbbox, "intersection")
+
+        p0, p1, p2 = (16.0, 282.0), (298.0, 359.0), (156.0, 203.5)
+        te = Event(0, p0[0], p0[1], True, None, True, True)
+        te2 = Event(0, p1[0], p1[1], False, te, False, True)
+        te.other = te2
+        te3 = Event(0, p0[0], p0[1], True, None, True, True)
+        te4 = Event(0, p2[0], p2[1], True, te3, False, True)
+        te3.other = te4
+        assert compare_segments(te, te3) > 0
+        assert compare_segments(te3, te) < 0
+
+        segments = subdivide(q, sbbox, cbbox, "intersection")
+        left_segments = [e for e in segments if e.left]
+        assert len(left_segments) == 11
+
+        e = (16.0, 282.0)
+        i = (100.79403384562252, 233.41363754101192)
+        g = (298.0, 359.0)
+        cc = (153.0, 294.5)
+        j = (203.36313843035356, 257.5101243166895)
+        f = (153.0, 203.5)
+        d = (56.0, 181.0)
+        a = (108.5, 120.0)
+        b = (241.5, 229.5)
+        intervals = [
+            ("EI", e, i, False, True, False),
+            ("IF", i, f, False, False, True),
+            ("FJ", f, j, False, False, True),
+            ("JG", j, g, False, True, False),
+            ("EG", e, g, True, True, False),
+            ("DA", d, a, False, True, False),
+            ("AB", a, b, False, True, False),
+            ("JB", j, b, True, True, False),
+            ("CJ", cc, j, True, False, True),
+            ("IC", i, cc, True, False, True),
+            ("DC", d, i, True, True, False),  # reference names it DC, spans d->i
+        ]
+        for name, pa, pb, in_out, other_in_out, in_result in intervals:
+            found = any(
+                (seg.x, seg.y) == pa
+                and (seg.other.x, seg.other.y) == pb
+                and seg.in_out == in_out
+                and seg.other_in_out == other_in_out
+                and seg.in_result == in_result
+                for seg in left_segments
+            )
+            assert found, f"interval {name} not found"
