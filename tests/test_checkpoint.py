@@ -74,3 +74,18 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "every oracle key must have a query"
     assert len(qs) >= 30
+
+
+def test_fingerprint_persisted_with_zero_pending_partitions(spark, tmp_path):
+    """Regression (round-2 verdict): a run with ZERO pending partitions
+    (empty input here) must still persist the job fingerprint, or a later
+    resume under different parameters would go undetected."""
+    import pytest
+
+    from rust_geo_booleanop_spark.sources import checkpointed_write
+
+    base = str(tmp_path / "fp_empty")
+    empty = spark.createDataFrame([], "id long, part int")
+    checkpointed_write(empty, base, "part", job_fingerprint="job buckets=2")
+    with pytest.raises(ValueError, match="fresh output path"):
+        checkpointed_write(empty, base, "part", job_fingerprint="job buckets=4")
