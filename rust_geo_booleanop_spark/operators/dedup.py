@@ -183,19 +183,32 @@ def ngram_jaccard_pairs(
 _ROLL_MULT = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio odd constant
 
 
-def _hash_shingles(text: str, k: int) -> np.ndarray:
+def _hash_shingles(text: str, k: int, token_cache: dict | None = None) -> np.ndarray:
     """Stable 64-bit hashes of the k-gram word shingles of `text`.
 
-    One blake2b per TOKEN, then a vectorized polynomial roll over the k
-    window (uint64 wraparound) — k x fewer bytes hashed than hashing each
-    shingle string, and the combine is pure NumPy.
+    One blake2b per UNIQUE token (memoized in `token_cache`, which callers
+    share across a whole Arrow batch — natural-language corpora repeat
+    tokens heavily, so most lookups are dict hits, not hash calls), then a
+    vectorized polynomial roll over the k window (uint64 wraparound) —
+    k x fewer bytes hashed than hashing each shingle string, and the
+    combine is pure NumPy. Hash values are independent of the cache, so
+    signatures are bit-identical with or without it (pinned by
+    tests/test_dedup_text.py golden).
     """
     tokens = [t for t in _TOKEN_RE.split(text.lower()) if t]
     if not tokens:
         return np.zeros(1, dtype=np.uint64)
-    th = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        th[i] = struct.unpack("<Q", hashlib.blake2b(t.encode(), digest_size=8).digest())[0]
+    if token_cache is None:
+        token_cache = {}
+    get = token_cache.get
+    vals = []
+    for t in tokens:
+        v = get(t)
+        if v is None:
+            v = struct.unpack("<Q", hashlib.blake2b(t.encode(), digest_size=8).digest())[0]
+            token_cache[t] = v
+        vals.append(v)
+    th = np.array(vals, dtype=np.uint64)
     if len(tokens) < k:
         # scalar uint64 ops DO emit overflow RuntimeWarnings (array ops
         # wrap silently) — guard this branch, not just the array one
@@ -219,13 +232,23 @@ def _perm_params(num_perm: int, seed: int = 42):
     return a, b
 
 
-def minhash_signature(text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray) -> list:
-    h = _hash_shingles(text, k)
+def _minhash_sig_u64(
+    text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray,
+    token_cache: dict | None = None,
+) -> np.ndarray:
+    h = _hash_shingles(text, k, token_cache)
     # permuted[i,j] = mix(a[j]*h[i] + b[j]) in wraparound uint64 arithmetic
     with np.errstate(over="ignore"):
         hv = h[:, None] * a[None, :] + b[None, :]
         hv ^= hv >> np.uint64(29)  # xorshift finalizer decorrelates high bits
-    return [int(x) for x in hv.min(axis=0)]
+    return hv.min(axis=0)
+
+
+def minhash_signature(
+    text: str, num_perm: int, k: int, a: np.ndarray, b: np.ndarray,
+    token_cache: dict | None = None,
+) -> list:
+    return [int(x) for x in _minhash_sig_u64(text, num_perm, k, a, b, token_cache)]
 
 
 def minhash_candidates(
@@ -242,14 +265,21 @@ def minhash_candidates(
 
     @F.pandas_udf(ArrayType(LongType()))
     def band_hashes(texts: pd.Series) -> pd.Series:
+        # one token->hash memo per Arrow batch: blake2b runs once per
+        # UNIQUE token in the batch instead of once per occurrence
+        token_cache: dict = {}
         out = []
         for t in texts:
-            sig = minhash_signature(t or "", num_perm, shingle_k, a_params, b_params)
+            sig = _minhash_sig_u64(
+                t or "", num_perm, shingle_k, a_params, b_params, token_cache
+            )
+            # '<u8'.tobytes() emits the identical little-endian 8-byte
+            # layout struct.pack('<q', signed(v)) produced (two's
+            # complement) — band digests are bit-identical
+            sig_le = sig.astype("<u8", copy=False)
             bh = []
             for bi in range(bands):
-                chunk = bytes()
-                for v in sig[bi * rows : (bi + 1) * rows]:
-                    chunk += struct.pack("<q", v - (1 << 63) if v >= (1 << 63) else v)
+                chunk = sig_le[bi * rows : (bi + 1) * rows].tobytes()
                 digest = hashlib.blake2b(chunk + bytes([bi]), digest_size=8).digest()
                 bh.append(struct.unpack("<q", digest)[0])
             out.append(bh)
@@ -294,11 +324,14 @@ def jaccard_verify(
     texted = ensure_parallelism(texted)
 
     def jac_batches(batches):
+        token_cache: dict = {}
         for pdf in batches:
+            if len(token_cache) > 1_000_000:  # bound task-lifetime memory
+                token_cache.clear()
             sims = []
             for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                sa = set(_hash_shingles(ta or "", shingle_k).tolist())
-                sb = set(_hash_shingles(tb or "", shingle_k).tolist())
+                sa = set(_hash_shingles(ta or "", shingle_k, token_cache).tolist())
+                sb = set(_hash_shingles(tb or "", shingle_k, token_cache).tolist())
                 union = len(sa | sb)
                 sims.append(len(sa & sb) / union if union else 1.0)
             out = pdf[["id_a", "id_b"]].copy()

@@ -472,3 +472,52 @@ class TestDedupClusters:
         got = {r.doc_id: r.cluster_rep for r in dedup_clusters(pairs).collect()}
         assert set(got.values()) == {0}
         assert len(got) == n + 1
+
+
+class TestMinhashGolden:
+    """Bit-identity pin for the minhash signature path (round-3 golden):
+    _hash_shingles/minhash_signature values captured BEFORE the
+    token-cache + vectorized band packing refactor. Any change to the
+    token hashing, roll constant, permutation family, or finalizer — or a
+    cache that leaks wrong values — trips here."""
+
+    def test_signatures_bit_identical_with_and_without_cache(self):
+        from rust_geo_booleanop_spark.operators.dedup import (
+            _hash_shingles,
+            _perm_params,
+            minhash_signature,
+        )
+
+        a, b = _perm_params(8)
+        cases = [
+            ("the quick brown fox jumps over the lazy dog",
+             [10881971890021203780, 1658365200481406752, 17177976396787444567,
+              13978500375360594464],
+             [3699434254035690659, 5135989265678170951, 5202868519395119040,
+              84053207503103608]),
+            ("pack my box with five dozen liquor jugs",
+             [14053801368910916803, 582645232520237735, 17208278598765888106,
+              2694752810715936865],
+             [3243229077938254230, 661277178333788887, 61267167374592247,
+              7593037643318585688]),
+            ("the quick brown fox jumps over the lazy dog the quick brown fox",
+             [10881971890021203780, 1658365200481406752, 17177976396787444567,
+              13978500375360594464],
+             [3699434254035690659, 5135989265678170951, 2842644459456549410,
+              84053207503103608]),
+            ("", [0],
+             [1865242740838074494, 3838261596602324031, 379716981212367260,
+              8668306691964858714]),
+            ("one", [14489617718373642804],
+             [8916603360611439144, 2118250756534590257, 9130763879890416878,
+              9111971516463413517]),
+            ("one two", [17898366591077449017],
+             [6333759960010571936, 6832023112761632088, 3789235619113790393,
+              1205834891181070478]),
+        ]
+        shared_cache: dict = {}
+        for text, exp_h, exp_sig in cases:
+            assert list(_hash_shingles(text, 3)[:4]) == exp_h
+            assert list(_hash_shingles(text, 3, shared_cache)[:4]) == exp_h
+            assert minhash_signature(text, 8, 3, a, b)[:4] == exp_sig
+            assert minhash_signature(text, 8, 3, a, b, shared_cache)[:4] == exp_sig
