@@ -124,6 +124,15 @@ def ngram_jaccard_pairs(
     plan (a broadcast 1-row count — no driver round trip). Pass an int for
     an explicit bound, or None for the exact all-pairs mode (opt-in: on
     web-scale boilerplate the unbounded shingle self-join is quadratic).
+
+    .. versionchanged:: round 2
+       The default changed from ``None`` (exact all-pairs jaccard) to
+       ``"auto"``. On corpora with >AUTO_MAX_DF_FLOOR docs sharing a
+       shingle, jaccard is now computed over the FILTERED shingle space
+       unless callers explicitly pass ``max_df=None`` — behavior change
+       flagged per the round-2 advice; the filter only ever drops
+       boilerplate shingles, and the auto bound never engages below
+       1000-doc document frequency.
     """
     from .spatial_join import ensure_parallelism
 
@@ -485,6 +494,15 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels were still moving when the budget ran out: the returned
+        # assignments are NOT connected components — fail loudly instead
+        # of handing callers silently-wrong clusters
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing); raise max_iters — pointer "
+            f"doubling needs ~log2(n) rounds"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep"))
 
 

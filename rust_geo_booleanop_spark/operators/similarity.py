@@ -383,7 +383,12 @@ def embedding_near_dup_pairs(
     p = 1 - arccos(threshold)/pi — size n_planes to the threshold (lower
     thresholds need fewer planes per table) and n_tables to the recall
     target. Candidate volume per table is bounded by bucket collisions;
-    the distinct() dedups pairs found in multiple tables before verify."""
+    the distinct() dedups pairs found in multiple tables before verify.
+
+    Precondition: `id_col` must be UNIQUE in `embeddings`. Candidates are
+    deduplicated on ids only (see shuffle note below) and vectors
+    re-attached by id join — duplicate ids would multiply candidate rows
+    where the pre-round-2 (id, vec)-tuple dedup collapsed them."""
     b = with_lsh_tables(embeddings, dim, n_planes, n_tables, vec_col)
     left = b.select(F.col(id_col).alias("id_a"), "lsh_bucket")
     right = b.select(F.col(id_col).alias("id_b"), "lsh_bucket")
