@@ -1,0 +1,133 @@
+"""Pure-stdlib media codecs: 8-bit grayscale PNG and PCM16 WAV.
+
+This container has no Pillow/soundfile/ffmpeg, but PNG and WAV are
+stdlib-decodable (zlib + struct, `wave`), so the image and audio seams of
+operators/multimodal.py run REAL decodes over real containers: the media
+column holds genuine PNG/WAV bytes and the feature extractors parse them
+— only the video seam remains a documented stub (no stdlib H.264).
+
+Scope (exactly what the synthetic corpus needs, kept small on purpose):
+PNG: 8-bit grayscale, non-interlaced; decoder handles all five scanline
+filters (None/Sub/Up/Average/Paeth) so a foreign encoder's output parses
+too; encoder emits filter 0 rows. WAV: mono PCM16 via the stdlib `wave`
+module. A Pillow/soundfile drop-in only has to reproduce
+`decode_png_gray8` / `decode_wav_pcm16` semantics (pinned by
+tests/test_multimodal.py seam tests).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(img: np.ndarray) -> bytes:
+    """Minimal valid PNG: 8-bit grayscale, filter 0 scanlines."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_png_gray8 expects a 2-D uint8 array")
+    h, w = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale non-interlaced PNG, all filter types."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8 or color != 0 or interlace != 0:
+                raise ValueError("only 8-bit grayscale non-interlaced PNG supported")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ft = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-1] -> cumsum mod 256
+            cur = np.cumsum(cur, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:  # Up
+            cur += prev  # uint8 wraparound
+        elif ft == 3:  # Average (sequential in x)
+            for x in range(w):
+                left = int(cur[x - 1]) if x else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ft == 4:  # Paeth (sequential in x)
+            for x in range(w):
+                a = int(cur[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono PCM16 WAV via the stdlib wave module."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav_pcm16 expects int16 samples")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16, sample_rate) from a mono PCM16 WAV payload."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+            raise ValueError("only mono PCM16 WAV supported")
+        frames = wf.readframes(wf.getnframes())
+        return np.frombuffer(frames, dtype=np.int16), wf.getframerate()

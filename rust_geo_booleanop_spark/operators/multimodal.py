@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The decode step is a DETERMINISTIC FAKE (clearly marked): this container
-has no image/audio libraries, so `_decode_image` / `_decode_audio`
-synthesize pixel/sample statistics from the payload bytes. Everything
-around the decode — schemas, Arrow batch shapes, mapInPandas signatures,
-partition-friendly explode of frame samples — is real and tested; swapping
-the fake for Pillow/librosa is a one-function change.
+Round 3: image and audio decode are REAL — the media column carries
+genuine PNG (8-bit grayscale) and WAV (mono PCM16) containers, and
+`_decode_image` / `_decode_audio` parse them with the pure-stdlib codecs
+in functions/codecs.py (zlib/struct/wave; no Pillow/soundfile needed).
+The pixel/sample CONTENT is still synthesized deterministically from the
+url hash (there is no real media corpus in the sandbox), so tests assert
+exact values, but the decode path exercised at scale is a real
+parse-container -> unfilter -> ndarray pipeline. Only the VIDEO frame
+decode remains a documented deterministic fake (no stdlib H.264); its
+seam is one function (`_decode_video_frame` — a PyAV drop-in changes
+nothing else).
 """
 
 from __future__ import annotations
@@ -19,20 +24,44 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.codecs import (
+    decode_png_gray8,
+    decode_wav_pcm16,
+    encode_png_gray8,
+    encode_wav_pcm16,
+)
+
 MEDIA_SCHEMA = (
     "url string, kind string, media binary, "
     "width int, height int, sample_rate int, duration_ms int, codec string"
 )
 
-# real decoders would be plugged here (PIL.Image.open / soundfile.read);
-# the fake derives deterministic content from the payload so tests can
-# assert exact values
-_FAKE_DECODE = True
+# Audio payloads store a capped excerpt (like a preview clip): enough for
+# every frame window the extractors read (m02 reads 0.8 s, tests 1.6 s)
+# without shuffling minute-long PCM per row through synth_media.
+AUDIO_EXCERPT_MS = 2000
+
+# Video decode is still a fake (see module docstring); image/audio are real.
+_FAKE_VIDEO_DECODE = True
+
+
+def _tile_content(content: bytes, n: int) -> np.ndarray:
+    """Deterministic uint8 content stream: the 256-byte url digest tiled
+    to length n (the synthetic stand-in for real media content)."""
+    raw = np.frombuffer(content, dtype=np.uint8)
+    reps = n // len(raw) + 1
+    return np.tile(raw, reps)[:n]
 
 
 def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFrame:
-    """Deterministic media table derived from document urls (binary payload
-    = keyed hash bytes; metadata derived from the key)."""
+    """Deterministic media table derived from document urls.
+
+    Payloads are REAL containers (PNG for images, WAV for audio — parsed
+    back by real decoders downstream); their pixel/sample content is the
+    url-keyed hash stream, so every derived feature is deterministic.
+    Video payloads stay raw hash bytes (decode is the documented fake).
+    Audio stores the first AUDIO_EXCERPT_MS of content (preview-clip
+    shape); duration_ms still records the full source duration."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -45,54 +74,58 @@ def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFr
                     hashlib.blake2b(url.encode(), digest_size=8).digest(), "little"
                 )
                 kind = kinds[seed % len(kinds)]
-                payload = hashlib.blake2b(
+                content = hashlib.blake2b(
                     url.encode(), digest_size=32, person=b"media"
                 ).digest() * 8  # 256 bytes of deterministic "content"
                 out["url"].append(url)
                 out["kind"].append(kind)
-                out["media"].append(payload)
                 if kind == "image":
-                    out["width"].append(64 + seed % 512)
-                    out["height"].append(64 + (seed >> 9) % 512)
+                    w = 64 + seed % 512
+                    h = 64 + (seed >> 9) % 512
+                    img = _tile_content(content, w * h).reshape(h, w)
+                    out["media"].append(encode_png_gray8(img))
+                    out["width"].append(w)
+                    out["height"].append(h)
                     out["sample_rate"].append(None)
                     out["duration_ms"].append(None)
                     out["codec"].append("png")
                 elif kind == "video":
+                    out["media"].append(content)
                     out["width"].append(64 + seed % 256)
                     out["height"].append(64 + (seed >> 9) % 256)
                     out["sample_rate"].append(None)
                     out["duration_ms"].append(2000 + seed % 30000)
                     out["codec"].append("h264")
                 else:
+                    sr = 16000
+                    dur_ms = 1000 + seed % 60000
+                    n = int(sr * min(dur_ms, AUDIO_EXCERPT_MS) / 1000)
+                    samples = (
+                        (_tile_content(content, n).astype(np.int16) - 128) * 256
+                    )
+                    out["media"].append(encode_wav_pcm16(samples, sr))
                     out["width"].append(None)
                     out["height"].append(None)
-                    out["sample_rate"].append(16000)
-                    out["duration_ms"].append(1000 + seed % 60000)
+                    out["sample_rate"].append(sr)
+                    out["duration_ms"].append(dur_ms)
                     out["codec"].append("pcm16")
             yield pd.DataFrame(out)
 
     return documents.select("url").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """FAKE decode: deterministic pseudo-pixels from payload bytes.
-
-    A real implementation would be:  np.asarray(PIL.Image.open(BytesIO(payload)))
-    """
-    if not _FAKE_DECODE:  # pragma: no cover
-        raise NotImplementedError("real image decode requires Pillow")
-    rng_bytes = np.frombuffer(payload, dtype=np.uint8)
-    reps = (width * height) // len(rng_bytes) + 1
-    return np.tile(rng_bytes, reps)[: width * height].reshape(height, width)
+def _decode_image(payload: bytes) -> np.ndarray:
+    """REAL decode: parse the PNG container (functions/codecs.py). A
+    Pillow drop-in is `np.asarray(PIL.Image.open(BytesIO(payload)))` —
+    same contract, pinned by the seam test."""
+    return decode_png_gray8(bytes(payload))
 
 
-def _decode_audio(payload: bytes, n_samples: int) -> np.ndarray:
-    """FAKE decode: deterministic int16 samples from payload bytes."""
-    if not _FAKE_DECODE:  # pragma: no cover
-        raise NotImplementedError("real audio decode requires soundfile")
-    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
-    reps = n_samples // len(raw) + 1
-    return (np.tile(raw, reps)[:n_samples] - 128) * 256
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """REAL decode: parse the WAV container; returns int16 samples. A
+    soundfile drop-in is `soundfile.read(BytesIO(payload), dtype='int16')`."""
+    samples, _sr = decode_wav_pcm16(bytes(payload))
+    return samples
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -102,13 +135,13 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Decode (stub) + feature-extract per image, Arrow-batched."""
+    """Real PNG decode + feature-extract per image, Arrow-batched."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {k: [] for k in ("url", "width", "height", "mean_pixel", "std_pixel", "phash")}
             for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-                img = _decode_image(bytes(payload), int(w), int(h))
+                img = _decode_image(payload)
                 # 8x8 average-hash style fingerprint on a coarse grid
                 hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
                 bits = (hh > hh.mean()).flatten()
@@ -133,14 +166,14 @@ RESIZE_SCHEMA = "url string, out_width int, out_height int, thumb binary"
 
 
 def resize_images(media: DataFrame, out_width: int = 32, out_height: int = 32) -> DataFrame:
-    """Stub resize: nearest-neighbor downsample of the (fake-)decoded image;
-    emits the raw thumbnail bytes (real impl would re-encode)."""
+    """Real PNG decode + nearest-neighbor downsample; emits the raw
+    thumbnail bytes (a real impl might re-encode — same seam)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"url": [], "out_width": [], "out_height": [], "thumb": []}
             for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-                img = _decode_image(bytes(payload), int(w), int(h))
+                img = _decode_image(payload)
                 ys = np.linspace(0, img.shape[0] - 1, out_height).astype(int)
                 xs = np.linspace(0, img.shape[1] - 1, out_width).astype(int)
                 thumb = img[np.ix_(ys, xs)]
@@ -156,13 +189,14 @@ def resize_images(media: DataFrame, out_width: int = 32, out_height: int = 32) -
 def _decode_video_frame(payload: bytes, width: int, height: int, frame_no: int) -> np.ndarray:
     """FAKE decode of one video frame: deterministic pseudo-pixels from
     (payload, frame_no). A real implementation would seek+decode via
-    PyAV/ffmpeg; only this function changes."""
-    if not _FAKE_DECODE:  # pragma: no cover
+    PyAV/ffmpeg; only this function changes (image/audio decode are real
+    as of round 3 — video is the one remaining stub: no stdlib H.264)."""
+    if not _FAKE_VIDEO_DECODE:  # pragma: no cover
         raise NotImplementedError("real video decode requires PyAV/ffmpeg")
     salt = hashlib.blake2b(
         payload + struct.pack("<i", frame_no), digest_size=32
     ).digest()
-    return _decode_image(salt * 8, width, height)
+    return _tile_content(salt * 8, width * height).reshape(height, width)
 
 
 VIDEO_FRAMES_SCHEMA = (
@@ -218,8 +252,9 @@ def sample_audio_frames(media: DataFrame, frame_ms: int = 100, max_frames: int =
             for url, payload, sr, dur in zip(
                 pdf["url"], pdf["media"], pdf["sample_rate"], pdf["duration_ms"]
             ):
-                n_samples = int(int(sr) * int(dur) / 1000)
-                samples = _decode_audio(bytes(payload), n_samples)
+                # the decoded WAV is the ground truth for available
+                # samples (synth stores an AUDIO_EXCERPT_MS excerpt)
+                samples = _decode_audio(payload)
                 frame_len = int(int(sr) * frame_ms / 1000)
                 n_frames = min(max_frames, max(1, len(samples) // frame_len))
                 for fi in range(n_frames):

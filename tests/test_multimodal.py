@@ -84,3 +84,121 @@ def test_audio_frame_sampling(spark):
         assert r.rms >= 0.0 and r.peak >= 0
     for url, nos in per_url.items():
         assert nos == sorted(nos) and len(nos) <= 4
+
+
+class TestCodecSeam:
+    """The decode seam is real as of round 3: media payloads are genuine
+    PNG/WAV containers and the extractors parse them. These tests pin the
+    codec contract a Pillow/soundfile drop-in must reproduce."""
+
+    def test_png_roundtrip_exact(self):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import (
+            decode_png_gray8,
+            encode_png_gray8,
+        )
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, size=(37, 53), dtype=np.uint8)
+        assert (decode_png_gray8(encode_png_gray8(img)) == img).all()
+
+    def test_png_decoder_handles_all_filter_types(self):
+        """A foreign encoder may emit Sub/Up/Average/Paeth scanlines; build
+        one PNG per filter type by hand and check exact reconstruction."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import decode_png_gray8
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(6, 9), dtype=np.uint8)
+
+        def encode_with_filter(img, ft):
+            h, w = img.shape
+            rows = []
+            prev = np.zeros(w, dtype=np.uint8)
+            for y in range(h):
+                cur = img[y]
+                if ft == 0:
+                    filt = cur.copy()
+                elif ft == 1:  # Sub
+                    filt = cur.copy()
+                    filt[1:] = (cur[1:].astype(int) - cur[:-1].astype(int)) % 256
+                elif ft == 2:  # Up
+                    filt = ((cur.astype(int) - prev.astype(int)) % 256).astype(np.uint8)
+                elif ft == 3:  # Average
+                    filt = np.empty(w, dtype=np.uint8)
+                    for x in range(w):
+                        left = int(cur[x - 1]) if x else 0
+                        filt[x] = (int(cur[x]) - (left + int(prev[x])) // 2) % 256
+                else:  # Paeth
+                    filt = np.empty(w, dtype=np.uint8)
+                    for x in range(w):
+                        a = int(cur[x - 1]) if x else 0
+                        b = int(prev[x])
+                        c = int(prev[x - 1]) if x else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        filt[x] = (int(cur[x]) - pred) % 256
+                rows.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+                prev = cur
+            raw = b"".join(rows)
+
+            def chunk(typ, data):
+                return (
+                    struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        for ft in range(5):
+            got = decode_png_gray8(encode_with_filter(img, ft))
+            assert (got == img).all(), f"filter {ft}"
+
+    def test_wav_roundtrip_exact(self):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import (
+            decode_wav_pcm16,
+            encode_wav_pcm16,
+        )
+
+        rng = np.random.RandomState(5)
+        samples = rng.randint(-32768, 32768, size=4321, dtype=np.int16)
+        got, sr = decode_wav_pcm16(encode_wav_pcm16(samples, 16000))
+        assert sr == 16000
+        assert (got == samples).all()
+
+    def test_media_payloads_are_real_containers(self, spark):
+        """synth_media emits parseable PNG/WAV payloads whose decoded
+        shape matches the metadata columns."""
+        from rust_geo_booleanop_spark.functions.codecs import (
+            decode_png_gray8,
+            decode_wav_pcm16,
+        )
+        from rust_geo_booleanop_spark.operators import synth_media
+
+        docs = spark.createDataFrame(
+            [(f"https://ex.com/{i}",) for i in range(40)], "url string"
+        )
+        rows = synth_media(spark, docs).collect()
+        kinds = {r.kind for r in rows}
+        assert kinds == {"image", "audio"}
+        for r in rows:
+            if r.kind == "image":
+                img = decode_png_gray8(bytes(r.media))
+                assert img.shape == (r.height, r.width)
+                assert bytes(r.media)[:8] == b"\x89PNG\r\n\x1a\n"
+            else:
+                samples, sr = decode_wav_pcm16(bytes(r.media))
+                assert sr == r.sample_rate
+                assert len(samples) == sr * min(r.duration_ms, 2000) // 1000
