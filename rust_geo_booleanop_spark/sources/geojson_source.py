@@ -131,14 +131,91 @@ def fixture_pairs(features: DataFrame) -> DataFrame:
     )
 
 
+def format_js_number(x) -> str:
+    """serde_json / JS-style float formatting (compact_geojson.rs:45-52):
+    shortest round-trip repr with the trailing `.0` stripped from integral
+    floats, and Rust/JS exponent spelling (`1e30`, `1.5e-7`) instead of
+    Python's (`1e+30`, `1.5e-07`)."""
+    s = repr(float(x))
+    if s.endswith(".0"):
+        s = s[:-2]
+    if "e" in s:
+        mant, exp = s.split("e")
+        sign = "-" if exp.startswith("-") else ""
+        s = f"{mant}e{sign}{int(exp.lstrip('+-'))}"
+    return s
+
+
+def _compact_polygon(out: list, polygon, indent: int) -> None:
+    # compact_geojson.rs:41-72 write_polygon
+    pad = " " * indent
+    for i, ring in enumerate(polygon):
+        out.append(f"{pad}[\n")
+        for j, point in enumerate(ring):
+            comma = "," if j < len(ring) - 1 else ""
+            out.append(
+                f"{pad}  [{format_js_number(point[0])}, "
+                f"{format_js_number(point[1])}]{comma}\n"
+            )
+        out.append(f"{pad}],\n" if i < len(polygon) - 1 else f"{pad}]\n")
+
+
+def _indent_block(indent: int, s: str) -> str:
+    pad = " " * indent
+    lines = s.split("\n")
+    return "\n".join(line if i == 0 else pad + line for i, line in enumerate(lines))
+
+
+def compact_feature_collection(features: list[dict]) -> str:
+    """Byte-for-byte the reference's compact GeoJSON writer
+    (tests/src/compact_geojson.rs:85-139): fixed indentation, JS-style
+    numbers, geometry/properties/type key order, serde-pretty properties
+    with sorted keys. Byte parity with the reference's committed fixture
+    files is pinned by tests/test_plans_and_sources.py."""
+    out: list[str] = ["{\n", "  \"features\": [\n"]
+    for fi, feature in enumerate(features):
+        geom = feature["geometry"]
+        out.append("    {\n")
+        out.append("      \"geometry\": {\n")
+        out.append("        \"coordinates\": [\n")
+        if geom["type"] == "Polygon":
+            _compact_polygon(out, geom["coordinates"], 10)
+        elif geom["type"] == "MultiPolygon":
+            # compact_geojson.rs:75-83 write_multi_polygon
+            polys = geom["coordinates"]
+            for pi, poly in enumerate(polys):
+                out.append("          [\n")
+                _compact_polygon(out, poly, 12)
+                out.append("          ],\n" if pi < len(polys) - 1 else "          ]\n")
+        else:
+            raise ValueError("feature must be Polygon or MultiPolygon")
+        props = feature.get("properties")
+        props_str = (
+            "{}\n"
+            if props is None
+            else _indent_block(6, json.dumps(props, indent=2, sort_keys=True))
+        )
+        out.append("        ],\n")
+        out.append(f"        \"type\": \"{geom['type']}\"\n")
+        out.append("      },\n")
+        out.append(f"      \"properties\": {props_str},\n")
+        out.append("      \"type\": \"Feature\"\n")
+        out.append("    },\n" if fi < len(features) - 1 else "    }\n")
+    out.append("  ],\n")
+    out.append("  \"type\": \"FeatureCollection\"\n")
+    out.append("}\n")
+    return "".join(out)
+
+
 def write_feature_collection(
     rows, out_path: str, geom_col: str = "result_json", props_cols=("op",)
 ) -> int:
     """Collect result rows into ONE FeatureCollection file (fixture-style).
 
     For outputs that fit on the driver (goldens, reports). Large outputs
-    should use parquet sinks; this mirrors the reference's compact GeoJSON
-    writer role.
+    should use parquet sinks. Round 3: emits the reference's compact
+    JS-style byte format (compact_feature_collection) so outputs diff
+    cleanly against the reference's fixture corpus.
     """
     collected = rows.collect()
     features = []
@@ -146,8 +223,7 @@ def write_feature_collection(
         geom = json.loads(r[geom_col])
         props = {c: r[c] for c in props_cols}
         features.append({"type": "Feature", "properties": props, "geometry": geom})
-    fc = {"type": "FeatureCollection", "features": features}
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
-        json.dump(fc, f, separators=(",", ":"))
+        f.write(compact_feature_collection(features))
     return len(features)

@@ -148,3 +148,38 @@ class TestRaster:
         assert rows[(3, 4)][0] == 7.0  # (3 + 0.5) * 2
         # JVM-only generation: no Python nodes in the plan
         assert "InPandas" not in plan_str(g) and "EvalPython" not in plan_str(g)
+
+
+class TestCompactGeojsonWriter:
+    """Round 3: the GeoJSON sink emits the reference writer's exact byte
+    format (tests/src/compact_geojson.rs). The reference's committed
+    fixture corpus IS that writer's output, so byte-identity over all 45
+    files is full format parity — indentation, key order, JS-style
+    numbers."""
+
+    def test_all_45_fixtures_roundtrip_byte_identical(self):
+        import glob
+        import json
+
+        from rust_geo_booleanop_spark.sources.geojson_source import (
+            compact_feature_collection,
+        )
+
+        files = sorted(
+            glob.glob("/root/reference/tests/fixtures/generic_test_cases/*.geojson")
+        )
+        assert len(files) == 45
+        for path in files:
+            orig = open(path).read()
+            ours = compact_feature_collection(json.loads(orig)["features"])
+            assert ours == orig, path
+
+    def test_js_number_formatting(self):
+        from rust_geo_booleanop_spark.sources.geojson_source import format_js_number
+
+        assert format_js_number(5.0) == "5"
+        assert format_js_number(-0.5) == "-0.5"
+        assert format_js_number(56.819774453961585) == "56.819774453961585"
+        assert format_js_number(1e30) == "1e30"
+        assert format_js_number(1.5e-7) == "1.5e-7"
+        assert format_js_number(-2e21) == "-2e21"
