@@ -24,6 +24,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _leg_sentinel(leg: dict):
+    """Compact per-leg noise evidence: the single-threaded asia/union
+    sentinel from bench.py's before/after probes.  A hot box inflates
+    these (no Spark involved), so readers can separate co-tenant noise
+    from engine scaling without trusting the ratio alone."""
+    noise = leg.get("noise") or {}
+    vals = []
+    for key in ("probe_before", "probe_after"):
+        probe = noise.get(key) or {}
+        s = probe.get("asia_union_s")
+        if s is not None:
+            vals.append(s)
+    return vals or None
+
+
 def run_leg(cpus: int, replicate: int) -> dict:
     env = dict(
         os.environ,
@@ -65,6 +80,8 @@ def main():
             "pps_lo": lo["pages_per_sec"],
             "pps_hi": hi["pages_per_sec"],
             "ratio": round(hi["pages_per_sec"] / lo["pages_per_sec"], 3),
+            "sentinel_lo_s": _leg_sentinel(lo),
+            "sentinel_hi_s": _leg_sentinel(hi),
         }
         pairs.append(pair)
         print(f"pair {i+1}: local[{lo_cpus}] {pair['pps_lo']} p/s  "
