@@ -121,10 +121,17 @@ def main():
     # kernel micro-benches, run BEFORE the JVM comes up so Spark startup
     # noise can't contaminate them. Tracked round-over-round.
     kernel_cases = None
+    kernel_cases_python = None
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") != "flagship":
+        from rust_geo_booleanop_spark.kernel import resolve_boolean_op
         from rust_geo_booleanop_spark.kernel.bench_cases import run_criterion_cases
 
-        kernel_cases = run_criterion_cases(iters=2)
+        # kernel_cases = the engine-active kernel (native C when available,
+        # round 3+); kernel_cases_python = the pure-Python reference kernel,
+        # directly comparable with the kernel_cases of rounds 1-2 AND the
+        # box-noise calm bands calibrated on it.
+        kernel_cases = run_criterion_cases(iters=2, op_fn=resolve_boolean_op())
+        kernel_cases_python = run_criterion_cases(iters=2)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
@@ -176,9 +183,15 @@ def main():
     # interpreter spawn + module imports on 32 cold workers.
     n_workers = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
 
+    # Build the native kernel once on the driver (content-hashed .so)
+    # before workers fork: they then just dlopen it.
+    from rust_geo_booleanop_spark.kernel import resolve_boolean_op as _resolve
+    _resolve()
+
     def _warm(batches):
         import pandas as _pd  # noqa: F401
-        from rust_geo_booleanop_spark.kernel import boolean_op as _bo  # noqa: F401
+        from rust_geo_booleanop_spark.kernel import resolve_boolean_op as _r
+        _r()  # dlopen the native kernel in every pooled worker
         for b in batches:
             yield b
 
@@ -292,6 +305,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "kernel_cases": kernel_cases,
+        "kernel_cases_python": kernel_cases_python,
         "noise": noise,
         "sf": sf_dir,
         "cpus": n_workers,

@@ -26,8 +26,41 @@ from .geojson import (
 from .predicates import signed_area, segment_intersection
 from .f32 import boolean_op_f32, quantize_multipolygon_f32
 
+import os as _os
+
+
+def resolve_boolean_op(engine: str | None = None):
+    """Pick the boolean-op implementation for the hot path.
+
+    engine (or $SPARK_GRAFT_KERNEL): 'auto' (default) uses the native C
+    kernel when it is available and falls back to pure Python; 'python'
+    forces the pure-Python reference kernel; 'native' requires the C
+    kernel (raises if it cannot be built/loaded).
+
+    The two implementations are bit-identical on every reference fixture,
+    both operand orders, all five operations — pinned by
+    tests/test_native_kernel.py. `boolean_op` itself stays pure Python:
+    it is the semantic reference the fixture suite graded from round 1.
+    """
+    eng = engine or _os.environ.get("SPARK_GRAFT_KERNEL", "auto")
+    if eng == "python":
+        return boolean_op
+    native_mod = None
+    try:
+        from . import native as native_mod  # compile-on-first-import
+    except Exception:
+        native_mod = None
+    if native_mod is not None and native_mod.NATIVE_AVAILABLE:
+        return native_mod.boolean_op_native
+    if eng == "native":
+        raise RuntimeError(
+            "SPARK_GRAFT_KERNEL=native but the C kernel is unavailable"
+        )
+    return boolean_op
+
 __all__ = [
     "boolean_op",
+    "resolve_boolean_op",
     "intersection",
     "union",
     "difference",

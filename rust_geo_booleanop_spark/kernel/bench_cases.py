@@ -144,9 +144,14 @@ CRITERION_CASES = [
 ]
 
 
-def run_criterion_cases(iters: int = 2) -> dict[str, float | None]:
+def run_criterion_cases(iters: int = 2, op_fn=None) -> dict[str, float | None]:
     """Best-of-`iters` wall seconds per criterion case (load/generation cost
-    excluded, matching criterion's iter_batched). Missing fixtures -> None."""
+    excluded, matching criterion's iter_batched). Missing fixtures -> None.
+
+    `op_fn` selects the kernel implementation (default: the pure-Python
+    reference kernel, comparable with rounds 1-2; pass
+    `kernel.resolve_boolean_op()` to measure the engine-active kernel)."""
+    fn = op_fn or boolean_op
     out: dict[str, float | None] = {}
     for name, make, op in CRITERION_CASES:
         operands = make()
@@ -157,7 +162,7 @@ def run_criterion_cases(iters: int = 2) -> dict[str, float | None]:
         best = None
         for _ in range(max(1, iters)):
             t0 = time.perf_counter()
-            boolean_op(subject, clipping, op)
+            fn(subject, clipping, op)
             dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt

@@ -1,0 +1,265 @@
+"""Native (C, via ctypes) fast path for the Martinez boolean-op kernel.
+
+`martinez.c` is a bit-exact twin of the pure-Python kernel
+(`kernel/booleanop.py` et al.), which stays the semantic reference:
+`tests/test_native_kernel.py` asserts native == Python on every reference
+fixture, every operation, both operand orders, plus the criterion bench
+shapes. Exactness rests on copying the Python FP operation order
+(compiled with -ffp-contract=off so no FMA contraction changes results),
+replicating CPython heapq's sift comparison sequence (tie pop-order
+parity), replicating the sweep-status bisect probe order, and routing the
+rare filter-inconclusive orient2d through the same Python Fraction
+fallback via a callback.
+
+The library is compiled on first import (gcc, ~1 s) into a content-hashed
+cache next to the source, under a lock so 32 concurrently-forked Spark
+Python workers build it once. Anything failing (no gcc, sandbox without
+exec) degrades to NATIVE_AVAILABLE = False and callers fall back to the
+pure-Python kernel — behavior, not just results, stays identical.
+
+Engine selection for the Spark operators lives in
+`kernel.resolve_boolean_op` (env: SPARK_GRAFT_KERNEL=auto|native|python).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from ctypes import (
+    CFUNCTYPE,
+    POINTER,
+    c_double,
+    c_int,
+    c_int32,
+    c_int64,
+    c_void_p,
+)
+from fractions import Fraction
+
+from ..booleanop import (
+    DIFFERENCE,
+    INTERSECTION,
+    UNION,
+    XOR,
+    KernelLimitExceeded,
+    _normalize_multipolygon,
+    _trivial_result,
+)
+
+_OP_CODES = {INTERSECTION: 0, UNION: 1, DIFFERENCE: 2, XOR: 3}
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "martinez.c")
+_BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+
+NATIVE_AVAILABLE = False
+_LIB = None
+
+
+class _MartinezResult(ctypes.Structure):
+    _fields_ = [
+        ("status", c_int32),
+        ("n_contours", c_int32),
+        ("total_pts", c_int64),
+        ("total_holes", c_int64),
+        ("pts", POINTER(c_double)),
+        ("contour_np", POINTER(c_int32)),
+        ("hole_of", POINTER(c_int32)),
+        ("contour_nh", POINTER(c_int32)),
+        ("holes", POINTER(c_int32)),
+    ]
+
+
+_EXACT_SIGN_CFUNC = CFUNCTYPE(
+    c_int, c_double, c_double, c_double, c_double, c_double, c_double
+)
+
+
+def _exact_sign(p0x, p0y, p1x, p1y, p2x, p2y):
+    # Same exact-rational fallback as predicates.signed_area — doubles are
+    # exactly representable as Fractions, so the sign is exact.
+    exact = (Fraction(p0x) - Fraction(p2x)) * (Fraction(p1y) - Fraction(p2y)) - (
+        Fraction(p0y) - Fraction(p2y)
+    ) * (Fraction(p1x) - Fraction(p2x))
+    if exact > 0:
+        return 1
+    if exact < 0:
+        return -1
+    return 0
+
+
+# Must stay referenced for the lifetime of the process (ctypes callback).
+_EXACT_SIGN_KEEPALIVE = _EXACT_SIGN_CFUNC(_exact_sign)
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_BUILD_DIR, f"libmartinez-{digest}.so")
+
+
+def _build(so_path: str) -> bool:
+    """Compile martinez.c once, under an flock (32 workers import at once).
+
+    -ffp-contract=off is load-bearing: without it GCC may fuse a*b-c*d
+    into FMA, changing results by an ulp and breaking fixture exactness.
+    No -ffast-math anywhere (IEEE semantics required).
+    """
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    lock_path = os.path.join(_BUILD_DIR, ".build.lock")
+    import fcntl
+
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            if os.path.exists(so_path):
+                return True
+            tmp = so_path + f".tmp.{os.getpid()}"
+            cmd = [
+                "gcc",
+                "-O2",
+                "-fPIC",
+                "-shared",
+                "-ffp-contract=off",
+                "-fno-unsafe-math-optimizations",
+                "-o",
+                tmp,
+                _SRC,
+                "-lm",
+            ]
+            proc = subprocess.run(cmd, capture_output=True, timeout=120)
+            if proc.returncode != 0:
+                return False
+            os.replace(tmp, so_path)  # atomic publish
+            return True
+        except Exception:
+            return False
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
+def _load() -> None:
+    global _LIB, NATIVE_AVAILABLE
+    if os.environ.get("SPARK_GRAFT_NO_NATIVE"):
+        return
+    try:
+        so = _so_path()
+        if not os.path.exists(so) and not _build(so):
+            return
+        lib = ctypes.CDLL(so)
+        lib.martinez_boolean_op.restype = POINTER(_MartinezResult)
+        lib.martinez_boolean_op.argtypes = [
+            POINTER(c_double), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
+            POINTER(c_double), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
+            c_int32,
+        ]
+        lib.martinez_free.restype = None
+        lib.martinez_free.argtypes = [c_void_p]
+        lib.martinez_set_exact_sign.restype = None
+        lib.martinez_set_exact_sign.argtypes = [_EXACT_SIGN_CFUNC]
+        lib.martinez_set_exact_sign(_EXACT_SIGN_KEEPALIVE)
+        _LIB = lib
+        NATIVE_AVAILABLE = True
+    except Exception:
+        _LIB = None
+        NATIVE_AVAILABLE = False
+
+
+_load()
+
+
+def _flatten(mp):
+    """Flatten a normalized multipolygon into ctypes arrays."""
+    coords: list[float] = []
+    ring_np: list[int] = []
+    poly_nr: list[int] = []
+    ext = coords.extend
+    for poly in mp:
+        poly_nr.append(len(poly))
+        for ring in poly:
+            ring_np.append(len(ring))
+            for pt in ring:
+                ext(pt)
+    c_coords = (c_double * max(1, len(coords)))(*coords)
+    c_ring_np = (c_int32 * max(1, len(ring_np)))(*ring_np)
+    c_poly_nr = (c_int32 * max(1, len(poly_nr)))(*poly_nr)
+    return c_coords, c_ring_np, len(ring_np), c_poly_nr, len(poly_nr)
+
+
+def boolean_op_native(subject, clipping, operation):
+    """Drop-in replacement for kernel.boolean_op backed by the C sweep.
+
+    Same inputs, outputs, and exceptions (KernelLimitExceeded on the
+    degenerate-overlap pathology). Fixture-exact vs the Python kernel —
+    see tests/test_native_kernel.py.
+    """
+    if operation == "diff_ba":
+        subject, clipping, operation = clipping, subject, DIFFERENCE
+    if operation not in (INTERSECTION, UNION, DIFFERENCE, XOR):
+        raise ValueError(f"unknown operation: {operation!r}")
+    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
+        raise RuntimeError("native kernel not available")
+
+    subject = _normalize_multipolygon(subject)
+    clipping = _normalize_multipolygon(clipping)
+
+    s_args = _flatten(subject)
+    c_args = _flatten(clipping)
+
+    res_ptr = _LIB.martinez_boolean_op(*s_args, *c_args, _OP_CODES[operation])
+    if not res_ptr:
+        raise MemoryError("martinez_boolean_op allocation failure")
+    try:
+        res = res_ptr.contents
+        status = res.status
+        if status == 1:  # trivial: disjoint bboxes
+            return _trivial_result(subject, clipping, operation)
+        if status == 2:
+            raise KernelLimitExceeded(
+                f"sweep exceeded the processed-event budget (operation={operation})"
+            )
+        if status != 0:
+            raise MemoryError("martinez_boolean_op out of memory")
+
+        n = res.n_contours
+        contour_np = res.contour_np[:n] if n else []
+        hole_of = res.hole_of[:n] if n else []
+        contour_nh = res.contour_nh[:n] if n else []
+        total_pts = int(res.total_pts)
+        flat = res.pts[: 2 * total_pts] if total_pts else []
+        total_holes = int(res.total_holes)
+        holes_flat = res.holes[:total_holes] if total_holes else []
+
+        # Rebuild per-contour point lists (open rings, as the Python
+        # kernel's Contour.points) then run the identical assembly tail.
+        points = []
+        off = 0
+        for np_i in contour_np:
+            pts = [(flat[2 * j], flat[2 * j + 1]) for j in range(off, off + np_i)]
+            points.append(pts)
+            off += np_i
+        hole_ids = []
+        hoff = 0
+        for nh_i in contour_nh:
+            hole_ids.append(holes_flat[hoff : hoff + nh_i])
+            hoff += nh_i
+    finally:
+        _LIB.martinez_free(ctypes.cast(res_ptr, c_void_p))
+
+    def close_ring(ring):
+        if ring and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
+            return list(ring) + [ring[0]]
+        return ring
+
+    polygons = []
+    for i in range(len(points)):
+        if hole_of[i] == -1:
+            rings = [close_ring(points[i])]
+            for hid in hole_ids[i]:
+                rings.append(close_ring(points[hid]))
+            polygons.append(rings)
+    return polygons
+
+
+__all__ = ["NATIVE_AVAILABLE", "boolean_op_native"]

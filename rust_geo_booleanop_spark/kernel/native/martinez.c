@@ -1,0 +1,1168 @@
+/* Martinez-Rueda-Feito boolean operations — native fast path.
+ *
+ * Bit-exact C twin of the pure-Python kernel in ../booleanop.py /
+ * ../events.py / ../predicates.py / ../sweepline.py (which remains the
+ * semantic reference; see tests/test_native_kernel.py for the
+ * every-fixture equivalence gate). Reference semantics originate from
+ * 21re/rust-geo-booleanop (/root/reference/lib/src/boolean/) — cited in
+ * the Python modules; this file is a translation of OUR Python kernel,
+ * not of the Rust.
+ *
+ * Exactness contract (why this matches the Python kernel bit-for-bit):
+ *  - every floating-point expression copies the Python operation order;
+ *    compile with -O2 -ffp-contract=off (no FMA contraction, no
+ *    reassociation; x86-64 SSE2 doubles have no excess precision);
+ *  - the event queue replicates CPython heapq's _siftdown/_siftup
+ *    comparison sequence, so pop order of tie pairs (where `<` is False
+ *    both ways) is identical;
+ *  - the sweep-line insert replicates the Python bisect probe sequence
+ *    (same midpoints), which matters when a mid-sweep divide_segment has
+ *    invalidated the comparator (see ../sweepline.py module docstring);
+ *  - the exact-rational orientation fallback (filter-inconclusive
+ *    orient2d) calls back into Python Fractions via a registered
+ *    function pointer — the rare path stays arbitrary-precision exact;
+ *  - object identity becomes arena indices; Python `is` -> index ==.
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* constants mirroring ../events.py / ../predicates.py / booleanop.py  */
+/* ------------------------------------------------------------------ */
+
+#define OP_INTERSECTION 0
+#define OP_UNION 1
+#define OP_DIFFERENCE 2
+#define OP_XOR 3
+
+#define EDGE_NORMAL 0
+#define EDGE_NON_CONTRIBUTING 1
+#define EDGE_SAME_TRANSITION 2
+#define EDGE_DIFFERENT_TRANSITION 3
+
+#define TRANS_NONE 0
+#define TRANS_IN_OUT 1
+#define TRANS_OUT_IN 2
+
+#define SI_NONE 0
+#define SI_POINT 1
+#define SI_OVERLAP 2
+
+#define STATUS_OK 0
+#define STATUS_TRIVIAL 1
+#define STATUS_LIMIT 2
+#define STATUS_OOM 3
+
+/* Shewchuk's static filter bound: (3 + 16*eps) * eps, eps = 2^-53.
+ * 0x1p-53 is exact, so this equals the Python module constant. */
+static const double CCW_ERRBOUND = (3.0 + 16.0 * 0x1p-53) * 0x1p-53;
+
+/* Exact-sign fallback, registered from Python (Fraction arithmetic). */
+typedef int (*exact_sign_fn)(double, double, double, double, double, double);
+static exact_sign_fn g_exact_sign = 0;
+
+void martinez_set_exact_sign(exact_sign_fn f) { g_exact_sign = f; }
+
+/* ------------------------------------------------------------------ */
+/* predicates (../predicates.py)                                      */
+/* ------------------------------------------------------------------ */
+
+static double signed_area(double p0x, double p0y, double p1x, double p1y,
+                          double p2x, double p2y) {
+    double detleft = (p0x - p2x) * (p1y - p2y);
+    double detright = (p0y - p2y) * (p1x - p2x);
+    double det = detleft - detright;
+    double detsum;
+
+    if (detleft > 0.0) {
+        if (detright <= 0.0) return det;
+        detsum = detleft + detright;
+    } else if (detleft < 0.0) {
+        if (detright >= 0.0) return det;
+        detsum = -detleft - detright;
+    } else {
+        return det;
+    }
+
+    double errbound = CCW_ERRBOUND * detsum;
+    if (det >= errbound || -det >= errbound) return det;
+
+    /* filter inconclusive: exact rational sign via the Python callback */
+    return (double)g_exact_sign(p0x, p0y, p1x, p1y, p2x, p2y);
+}
+
+typedef struct {
+    int kind;
+    double px, py, qx, qy;
+} SegInter;
+
+static void si_clamp(double x, double y, double lo_x, double lo_y,
+                     double hi_x, double hi_y, double *ox, double *oy) {
+    if (x < lo_x) {
+        x = lo_x;
+    } else if (x > hi_x) {
+        x = hi_x;
+    }
+    if (y < lo_y) {
+        y = lo_y;
+    } else if (y > hi_y) {
+        y = hi_y;
+    }
+    *ox = x;
+    *oy = y;
+}
+
+static SegInter segment_intersection(double a1x, double a1y, double a2x,
+                                     double a2y, double b1x, double b1y,
+                                     double b2x, double b2y) {
+    SegInter r;
+    r.kind = SI_NONE;
+    r.px = r.py = r.qx = r.qy = 0.0;
+
+    double a_min_x, a_max_x, a_min_y, a_max_y;
+    double b_min_x, b_max_x, b_min_y, b_max_y;
+    if (a1x < a2x) { a_min_x = a1x; a_max_x = a2x; } else { a_min_x = a2x; a_max_x = a1x; }
+    if (a1y < a2y) { a_min_y = a1y; a_max_y = a2y; } else { a_min_y = a2y; a_max_y = a1y; }
+    if (b1x < b2x) { b_min_x = b1x; b_max_x = b2x; } else { b_min_x = b2x; b_max_x = b1x; }
+    if (b1y < b2y) { b_min_y = b1y; b_max_y = b2y; } else { b_min_y = b2y; b_max_y = b1y; }
+    double lo_x = a_min_x > b_min_x ? a_min_x : b_min_x;
+    double lo_y = a_min_y > b_min_y ? a_min_y : b_min_y;
+    double hi_x = a_max_x < b_max_x ? a_max_x : b_max_x;
+    double hi_y = a_max_y < b_max_y ? a_max_y : b_max_y;
+    if (!(lo_x <= hi_x && lo_y <= hi_y)) return r;
+
+    double vax = a2x - a1x;
+    double vay = a2y - a1y;
+    double vbx = b2x - b1x;
+    double vby = b2y - b1y;
+    double ex = b1x - a1x;
+    double ey = b1y - a1y;
+
+    double kross = vax * vby - vay * vbx;
+    double sqr_kross = kross * kross;
+    double sqr_len_a = vax * vax + vay * vay;
+
+    if (sqr_kross > 0.0) {
+        double s = (ex * vby - ey * vbx) / kross;
+        if (s < 0.0 || s > 1.0) return r;
+        double t = (ex * vay - ey * vax) / kross;
+        if (t < 0.0 || t > 1.0) return r;
+        r.kind = SI_POINT;
+        if (s == 0.0 || s == 1.0) {
+            si_clamp(a1x + s * vax, a1y + s * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+            return r;
+        }
+        if (t == 0.0 || t == 1.0) {
+            si_clamp(b1x + t * vbx, b1y + t * vby, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+            return r;
+        }
+        si_clamp(a1x + s * vax, a1y + s * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+        return r;
+    }
+
+    kross = ex * vay - ey * vax;
+    sqr_kross = kross * kross;
+    if (sqr_kross > 0.0) return r;
+
+    /* zero-length segment a: mirror the Python NaN-comparison outcome */
+    if (sqr_len_a == 0.0) return r;
+
+    double sa = (vax * ex + vay * ey) / sqr_len_a;
+    double sb = sa + (vax * vbx + vay * vby) / sqr_len_a;
+    double smin = sa < sb ? sa : sb;
+    double smax = sa > sb ? sa : sb;
+
+    if (smin <= 1.0 && smax >= 0.0) {
+        if (smin == 1.0) {
+            r.kind = SI_POINT;
+            si_clamp(a1x + smin * vax, a1y + smin * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+            return r;
+        }
+        if (smax == 0.0) {
+            r.kind = SI_POINT;
+            si_clamp(a1x + smax * vax, a1y + smax * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+            return r;
+        }
+        double lo_s = smin > 0.0 ? smin : 0.0;
+        double hi_s = smax < 1.0 ? smax : 1.0;
+        r.kind = SI_OVERLAP;
+        si_clamp(a1x + lo_s * vax, a1y + lo_s * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
+        si_clamp(a1x + hi_s * vax, a1y + hi_s * vay, lo_x, lo_y, hi_x, hi_y, &r.qx, &r.qy);
+        return r;
+    }
+
+    return r;
+}
+
+/* ------------------------------------------------------------------ */
+/* event arena (../events.py Event; `other` links become indices)     */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    double x, y;
+    int32_t other;             /* paired endpoint index, -1 = None */
+    int32_t contour_id;
+    int32_t prev_in_result;    /* event index, -1 = None */
+    int32_t other_pos;
+    int32_t output_contour_id;
+    uint8_t left;
+    uint8_t is_subject;
+    uint8_t is_exterior_ring;  /* write-only, kept for parity */
+    uint8_t edge_type;
+    uint8_t in_out;
+    uint8_t other_in_out;
+    uint8_t result_transition;
+} Event;
+
+typedef struct {
+    double *pts;      /* open contour points, x,y pairs */
+    int32_t np, pcap;
+    int32_t *holes;   /* hole contour ids, in append order */
+    int32_t nh, hcap;
+    int32_t hole_of;  /* parent contour id, -1 = exterior */
+    int32_t depth;
+} CContour;
+
+typedef struct {
+    Event *ev;
+    int32_t n, cap;
+    int32_t *heap;
+    int32_t hn, hcap;
+    int32_t *sl;      /* sweep-line status: event indices in order */
+    int32_t sln, slcap;
+    int32_t *se;      /* sorted (processed) events */
+    int32_t sen, secap;
+    int oom;
+} Ctx;
+
+#define E(i) (&c->ev[(i)])
+
+static int grow_i32(int32_t **arr, int32_t *cap, int32_t need) {
+    if (need <= *cap) return 1;
+    int32_t ncap = *cap ? *cap : 64;
+    while (ncap < need) ncap *= 2;
+    int32_t *p = (int32_t *)realloc(*arr, (size_t)ncap * sizeof(int32_t));
+    if (!p) return 0;
+    *arr = p;
+    *cap = ncap;
+    return 1;
+}
+
+static int32_t new_event(Ctx *c, int32_t contour_id, double x, double y,
+                         int left, int32_t other, int is_subject,
+                         int is_exterior_ring) {
+    if (c->n >= c->cap) {
+        int32_t ncap = c->cap ? c->cap * 2 : 256;
+        Event *p = (Event *)realloc(c->ev, (size_t)ncap * sizeof(Event));
+        if (!p) {
+            c->oom = 1;
+            return -1;
+        }
+        c->ev = p;
+        c->cap = ncap;
+    }
+    Event *e = &c->ev[c->n];
+    e->x = x;
+    e->y = y;
+    e->other = other;
+    e->contour_id = contour_id;
+    e->prev_in_result = -1;
+    e->other_pos = 0;
+    e->output_contour_id = -1;
+    e->left = (uint8_t)left;
+    e->is_subject = (uint8_t)is_subject;
+    e->is_exterior_ring = (uint8_t)is_exterior_ring;
+    e->edge_type = EDGE_NORMAL;
+    e->in_out = 0;
+    e->other_in_out = 0;
+    e->result_transition = TRANS_NONE;
+    return c->n++;
+}
+
+/* ------------------------------------------------------------------ */
+/* orderings (../events.py)                                           */
+/* ------------------------------------------------------------------ */
+
+/* Event.__lt__: min-heap "a processed before b"; ties False both ways. */
+static int event_lt(Ctx *c, int32_t a, int32_t b) {
+    Event *ea = E(a), *eb = E(b);
+    double sx = ea->x, bx = eb->x;
+    if (sx != bx) return sx < bx;
+    double sy = ea->y, by = eb->y;
+    if (sy != by) return sy < by;
+    if (ea->left != eb->left) return eb->left;
+    int32_t so = ea->other, bo = eb->other;
+    if (so >= 0 && bo >= 0) {
+        Event *eso = E(so), *ebo = E(bo);
+        double sa = signed_area(bx, by, ebo->x, ebo->y, eso->x, eso->y);
+        if (sa != 0.0) return eb->left ? (sa < 0.0) : (sa > 0.0);
+    }
+    return ea->is_subject && !eb->is_subject;
+}
+
+/* event_is_before: natural ascending queue order. */
+static int event_is_before(Ctx *c, int32_t a, int32_t b) {
+    Event *ea = E(a), *eb = E(b);
+    double ax = ea->x, bx = eb->x;
+    if (ax != bx) return ax < bx;
+    double ay = ea->y, by = eb->y;
+    if (ay != by) return ay < by;
+    if (ea->left != eb->left) return !ea->left;
+    int32_t ao = ea->other, bo = eb->other;
+    if (ao >= 0 && bo >= 0) {
+        Event *eao = E(ao), *ebo = E(bo);
+        double sa = signed_area(ax, ay, eao->x, eao->y, ebo->x, ebo->y);
+        if (sa != 0.0) return ea->left ? (sa > 0.0) : (sa < 0.0);
+    }
+    return !((!ea->is_subject) && eb->is_subject);
+}
+
+/* compare_segments: sweep-line status order (../events.py:156). */
+static int compare_segments(Ctx *c, int32_t se1, int32_t se2) {
+    if (se1 == se2) return 0;
+
+    int32_t se_old, se_new;
+    int flip;
+    if (event_is_before(c, se1, se2)) {
+        se_old = se1;
+        se_new = se2;
+        flip = 1;
+    } else {
+        se_old = se2;
+        se_new = se1;
+        flip = -1;
+    }
+
+    int32_t o_old = E(se_old)->other;
+    int32_t o_new = E(se_new)->other;
+    if (o_old < 0 || o_new < 0) return -flip;
+
+    double ox = E(se_old)->x, oy = E(se_old)->y;
+    double nx = E(se_new)->x, ny = E(se_new)->y;
+    double oox = E(o_old)->x, ooy = E(o_old)->y;
+    double sa_l = signed_area(ox, oy, oox, ooy, nx, ny);
+    double sa_r = signed_area(ox, oy, oox, ooy, E(o_new)->x, E(o_new)->y);
+    if (sa_l != 0.0 || sa_r != 0.0) {
+        if (ox == nx && oy == ny) return sa_r > 0.0 ? -flip : flip;
+        if (ox == nx) return oy < ny ? -flip : flip;
+        if ((sa_l > 0.0) == (sa_r > 0.0)) return sa_l > 0.0 ? -flip : flip;
+        if (sa_l == 0.0) return sa_r > 0.0 ? -flip : flip;
+        SegInter si = segment_intersection(ox, oy, oox, ooy, nx, ny,
+                                           E(o_new)->x, E(o_new)->y);
+        if (si.kind == SI_POINT) {
+            if (si.px == nx && si.py == ny) return sa_r > 0.0 ? -flip : flip;
+            return sa_l > 0.0 ? -flip : flip;
+        }
+        if (si.kind != SI_OVERLAP) return sa_l > 0.0 ? -flip : flip;
+        /* overlap: fall through to collinear */
+    }
+
+    if (E(se_old)->is_subject == E(se_new)->is_subject) {
+        if (E(se_old)->x == E(se_new)->x && E(se_old)->y == E(se_new)->y)
+            return E(se_old)->contour_id < E(se_new)->contour_id ? -flip : flip;
+        return -flip;
+    }
+    return E(se_old)->is_subject ? -flip : flip;
+}
+
+/* ------------------------------------------------------------------ */
+/* binary heap replicating CPython heapq's comparison sequence        */
+/* ------------------------------------------------------------------ */
+
+static int heap_push(Ctx *c, int32_t item) {
+    if (!grow_i32(&c->heap, &c->hcap, c->hn + 1)) {
+        c->oom = 1;
+        return 0;
+    }
+    c->heap[c->hn++] = item;
+    /* _siftdown(heap, 0, len-1) */
+    int32_t pos = c->hn - 1;
+    int32_t newitem = item;
+    while (pos > 0) {
+        int32_t parentpos = (pos - 1) >> 1;
+        int32_t parent = c->heap[parentpos];
+        if (event_lt(c, newitem, parent)) {
+            c->heap[pos] = parent;
+            pos = parentpos;
+            continue;
+        }
+        break;
+    }
+    c->heap[pos] = newitem;
+    return 1;
+}
+
+static int32_t heap_pop(Ctx *c) {
+    int32_t lastelt = c->heap[--c->hn];
+    if (c->hn == 0) return lastelt;
+    int32_t returnitem = c->heap[0];
+    c->heap[0] = lastelt;
+    /* _siftup(heap, 0) */
+    int32_t endpos = c->hn;
+    int32_t startpos = 0;
+    int32_t pos = 0;
+    int32_t newitem = c->heap[0];
+    int32_t childpos = 1;
+    while (childpos < endpos) {
+        int32_t rightpos = childpos + 1;
+        if (rightpos < endpos &&
+            !event_lt(c, c->heap[childpos], c->heap[rightpos]))
+            childpos = rightpos;
+        c->heap[pos] = c->heap[childpos];
+        pos = childpos;
+        childpos = 2 * pos + 1;
+    }
+    c->heap[pos] = newitem;
+    /* _siftdown(heap, startpos, pos) */
+    while (pos > startpos) {
+        int32_t parentpos = (pos - 1) >> 1;
+        int32_t parent = c->heap[parentpos];
+        if (event_lt(c, newitem, parent)) {
+            c->heap[pos] = parent;
+            pos = parentpos;
+            continue;
+        }
+        break;
+    }
+    c->heap[pos] = newitem;
+    return returnitem;
+}
+
+/* ------------------------------------------------------------------ */
+/* sweep-line status list (../sweepline.py)                           */
+/* ------------------------------------------------------------------ */
+
+/* Insert replicating the Python bisect probe order exactly. */
+static int32_t sl_insert(Ctx *c, int32_t event) {
+    int32_t lo = 0, hi = c->sln;
+    while (lo < hi) {
+        int32_t mid = (lo + hi) >> 1;
+        if (compare_segments(c, event, c->sl[mid]) < 0)
+            hi = mid;
+        else
+            lo = mid + 1;
+    }
+    if (!grow_i32(&c->sl, &c->slcap, c->sln + 1)) {
+        c->oom = 1;
+        return 0;
+    }
+    memmove(c->sl + lo + 1, c->sl + lo,
+            (size_t)(c->sln - lo) * sizeof(int32_t));
+    c->sl[lo] = event;
+    c->sln++;
+    return lo;
+}
+
+/* Identity scan: the unique positional index (== Python semantics). */
+static int32_t sl_index_of(Ctx *c, int32_t event) {
+    for (int32_t i = 0; i < c->sln; i++)
+        if (c->sl[i] == event) return i;
+    return -1;
+}
+
+static void sl_remove_at(Ctx *c, int32_t i) {
+    memmove(c->sl + i, c->sl + i + 1,
+            (size_t)(c->sln - i - 1) * sizeof(int32_t));
+    c->sln--;
+}
+
+/* ------------------------------------------------------------------ */
+/* queue construction (../booleanop.py fill_queue/_process_ring)      */
+/* ------------------------------------------------------------------ */
+
+static void process_ring(Ctx *c, const double *coords, int32_t n,
+                         int is_subject, int32_t contour_id, double *bbox,
+                         int is_exterior_ring) {
+    if (n < 2) return;
+    double min_x = bbox[0], min_y = bbox[1], max_x = bbox[2], max_y = bbox[3];
+    for (int32_t i = 0; i < n - 1; i++) {
+        double sx = coords[2 * i], sy = coords[2 * i + 1];
+        double ex = coords[2 * i + 2], ey = coords[2 * i + 3];
+        if (sx == ex && sy == ey) continue; /* collapsed edge */
+        int32_t e1 = new_event(c, contour_id, sx, sy, 0, -1, is_subject,
+                               is_exterior_ring);
+        int32_t e2 = new_event(c, contour_id, ex, ey, 0, e1, is_subject,
+                               is_exterior_ring);
+        if (c->oom) return;
+        E(e1)->other = e2;
+        if (event_is_before(c, e1, e2))
+            E(e1)->left = 1;
+        else
+            E(e2)->left = 1;
+        if (sx < min_x) min_x = sx;
+        if (sy < min_y) min_y = sy;
+        if (sx > max_x) max_x = sx;
+        if (sy > max_y) max_y = sy;
+        if (!heap_push(c, e1)) return;
+        if (!heap_push(c, e2)) return;
+    }
+    bbox[0] = min_x;
+    bbox[1] = min_y;
+    bbox[2] = max_x;
+    bbox[3] = max_y;
+}
+
+/* ------------------------------------------------------------------ */
+/* divide_segment / possible_intersection (../booleanop.py)           */
+/* ------------------------------------------------------------------ */
+
+static void divide_segment(Ctx *c, int32_t se_l, double ix, double iy) {
+    int32_t se_r = E(se_l)->other;
+    if (se_r < 0) return;
+    if (ix == E(se_l)->x && iy < E(se_l)->y) ix = nextafter(ix, INFINITY);
+
+    int32_t cid = E(se_l)->contour_id;
+    int isub = E(se_l)->is_subject;
+    int32_t r = new_event(c, cid, ix, iy, 0, se_l, isub, 1);
+    int32_t l = new_event(c, cid, ix, iy, 1, se_r, isub, 1);
+    if (c->oom) return;
+
+    if (!event_is_before(c, l, se_r)) {
+        E(se_r)->left = 1;
+        E(l)->left = 0;
+    }
+
+    E(se_l)->other = r;
+    E(se_r)->other = l;
+
+    heap_push(c, l);
+    heap_push(c, r);
+}
+
+static int possible_intersection(Ctx *c, int32_t se1, int32_t se2) {
+    int32_t other1 = E(se1)->other;
+    int32_t other2 = E(se2)->other;
+    if (other1 < 0 || other2 < 0) return 0;
+
+    SegInter si = segment_intersection(E(se1)->x, E(se1)->y, E(other1)->x,
+                                       E(other1)->y, E(se2)->x, E(se2)->y,
+                                       E(other2)->x, E(other2)->y);
+
+    if (si.kind == SI_NONE) return 0;
+
+    if (si.kind == SI_POINT) {
+        if ((E(se1)->x == E(se2)->x && E(se1)->y == E(se2)->y) ||
+            (E(other1)->x == E(other2)->x && E(other1)->y == E(other2)->y))
+            return 0;
+        double px = si.px, py = si.py;
+        if (!(E(se1)->x == px && E(se1)->y == py) &&
+            !(E(other1)->x == px && E(other1)->y == py))
+            divide_segment(c, se1, px, py);
+        if (!(E(se2)->x == px && E(se2)->y == py) &&
+            !(E(other2)->x == px && E(other2)->y == py))
+            divide_segment(c, se2, px, py);
+        return 1;
+    }
+
+    /* overlap */
+    if (E(se1)->is_subject == E(se2)->is_subject) return 0;
+
+    int32_t evs[4][2];
+    int ne = 0;
+    int left_coincide = (E(se1)->x == E(se2)->x && E(se1)->y == E(se2)->y);
+    if (!left_coincide) {
+        if (!event_is_before(c, se1, se2)) {
+            evs[ne][0] = se2; evs[ne][1] = other2; ne++;
+            evs[ne][0] = se1; evs[ne][1] = other1; ne++;
+        } else {
+            evs[ne][0] = se1; evs[ne][1] = other1; ne++;
+            evs[ne][0] = se2; evs[ne][1] = other2; ne++;
+        }
+    }
+
+    int right_coincide =
+        (E(other1)->x == E(other2)->x && E(other1)->y == E(other2)->y);
+    if (!right_coincide) {
+        if (!event_is_before(c, other1, other2)) {
+            evs[ne][0] = other2; evs[ne][1] = se2; ne++;
+            evs[ne][0] = other1; evs[ne][1] = se1; ne++;
+        } else {
+            evs[ne][0] = other1; evs[ne][1] = se1; ne++;
+            evs[ne][0] = other2; evs[ne][1] = se2; ne++;
+        }
+    }
+
+    if (left_coincide) {
+        E(se2)->edge_type = EDGE_NON_CONTRIBUTING;
+        E(se1)->edge_type = (E(se1)->in_out == E(se2)->in_out)
+                                ? EDGE_SAME_TRANSITION
+                                : EDGE_DIFFERENT_TRANSITION;
+        if (!right_coincide) {
+            double dx = E(evs[0][0])->x, dy = E(evs[0][0])->y;
+            divide_segment(c, evs[1][1], dx, dy);
+        }
+        return 2;
+    }
+
+    if (right_coincide) {
+        double dx = E(evs[1][0])->x, dy = E(evs[1][0])->y;
+        divide_segment(c, evs[0][0], dx, dy);
+        return 3;
+    }
+
+    if (evs[0][0] != evs[3][1]) {
+        double d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
+        divide_segment(c, evs[0][0], d1x, d1y);
+        double d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
+        divide_segment(c, evs[1][0], d2x, d2y);
+        return 3;
+    }
+
+    /* total containment */
+    {
+        double d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
+        divide_segment(c, evs[0][0], d1x, d1y);
+        /* re-fetch the mutated other event AFTER the first division */
+        int32_t tgt = E(evs[3][0])->other;
+        double d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
+        divide_segment(c, tgt, d2x, d2y);
+        return 3;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* field computation (../booleanop.py compute_fields et al.)          */
+/* ------------------------------------------------------------------ */
+
+static int ev_is_vertical(Ctx *c, int32_t e) {
+    int32_t o = E(e)->other;
+    return o >= 0 && E(e)->x == E(o)->x;
+}
+
+static int in_result_op(Ctx *c, int32_t event, int operation) {
+    int et = E(event)->edge_type;
+    if (et == EDGE_NORMAL) {
+        if (operation == OP_INTERSECTION) return !E(event)->other_in_out;
+        if (operation == OP_UNION) return E(event)->other_in_out;
+        if (operation == OP_DIFFERENCE)
+            return (E(event)->is_subject && E(event)->other_in_out) ||
+                   (!E(event)->is_subject && !E(event)->other_in_out);
+        return 1; /* xor */
+    }
+    if (et == EDGE_SAME_TRANSITION)
+        return operation == OP_INTERSECTION || operation == OP_UNION;
+    if (et == EDGE_DIFFERENT_TRANSITION) return operation == OP_DIFFERENCE;
+    return 0;
+}
+
+static int result_transition_op(Ctx *c, int32_t event, int operation) {
+    int this_in = !E(event)->in_out;
+    int that_in = !E(event)->other_in_out;
+    int is_in;
+    if (operation == OP_INTERSECTION)
+        is_in = this_in && that_in;
+    else if (operation == OP_UNION)
+        is_in = this_in || that_in;
+    else if (operation == OP_XOR)
+        is_in = this_in != that_in;
+    else {
+        if (E(event)->is_subject)
+            is_in = this_in && !that_in;
+        else
+            is_in = that_in && !this_in;
+    }
+    return is_in ? TRANS_OUT_IN : TRANS_IN_OUT;
+}
+
+static void compute_fields(Ctx *c, int32_t event, int32_t prev, int operation) {
+    if (prev >= 0) {
+        if (E(event)->is_subject == E(prev)->is_subject) {
+            E(event)->in_out = !E(prev)->in_out;
+            E(event)->other_in_out = E(prev)->other_in_out;
+        } else if (ev_is_vertical(c, prev)) {
+            E(event)->in_out = !E(prev)->other_in_out;
+            E(event)->other_in_out = !E(prev)->in_out;
+        } else {
+            E(event)->in_out = !E(prev)->other_in_out;
+            E(event)->other_in_out = E(prev)->in_out;
+        }
+
+        if (E(prev)->result_transition != TRANS_NONE && !ev_is_vertical(c, prev))
+            E(event)->prev_in_result = prev;
+        else if (E(prev)->prev_in_result >= 0)
+            E(event)->prev_in_result = E(prev)->prev_in_result;
+        else
+            E(event)->prev_in_result = -1;
+    } else {
+        E(event)->in_out = 0;
+        E(event)->other_in_out = 1;
+        E(event)->prev_in_result = -1;
+    }
+
+    if (in_result_op(c, event, operation))
+        E(event)->result_transition =
+            (uint8_t)result_transition_op(c, event, operation);
+    else
+        E(event)->result_transition = TRANS_NONE;
+}
+
+/* ------------------------------------------------------------------ */
+/* the sweep (../booleanop.py subdivide)                              */
+/* ------------------------------------------------------------------ */
+
+static int subdivide(Ctx *c, const double *sbbox, const double *cbbox,
+                     int operation) {
+    double rightbound = sbbox[2] < cbbox[2] ? sbbox[2] : cbbox[2];
+    double sbbox_max_x = sbbox[2];
+
+    long event_budget = 100L * (long)c->hn + 100000L;
+
+    while (c->hn) {
+        int32_t event = heap_pop(c);
+        if (!grow_i32(&c->se, &c->secap, c->sen + 1)) {
+            c->oom = 1;
+            return STATUS_OOM;
+        }
+        c->se[c->sen++] = event;
+        if ((long)c->sen > event_budget) return STATUS_LIMIT;
+
+        if ((operation == OP_INTERSECTION && E(event)->x > rightbound) ||
+            (operation == OP_DIFFERENCE && E(event)->x > sbbox_max_x))
+            break;
+
+        if (E(event)->left) {
+            int32_t idx = sl_insert(c, event);
+            if (c->oom) return STATUS_OOM;
+            int32_t prev = idx > 0 ? c->sl[idx - 1] : -1;
+            int32_t nxt = idx < c->sln - 1 ? c->sl[idx + 1] : -1;
+
+            compute_fields(c, event, prev, operation);
+
+            if (nxt >= 0) {
+                if (possible_intersection(c, event, nxt) == 2) {
+                    compute_fields(c, event, prev, operation);
+                    compute_fields(c, nxt, event, operation);
+                }
+            }
+            if (c->oom) return STATUS_OOM;
+
+            if (prev >= 0) {
+                if (possible_intersection(c, prev, event) == 2) {
+                    int32_t prev_prev = (idx - 1) > 0 ? c->sl[idx - 2] : -1;
+                    compute_fields(c, prev, prev_prev, operation);
+                    compute_fields(c, event, prev, operation);
+                }
+            }
+            if (c->oom) return STATUS_OOM;
+        } else {
+            int32_t other = E(event)->other;
+            if (other >= 0) {
+                int32_t i = sl_index_of(c, other);
+                if (i >= 0) {
+                    int32_t prev = i > 0 ? c->sl[i - 1] : -1;
+                    int32_t nxt = i < c->sln - 1 ? c->sl[i + 1] : -1;
+                    if (prev >= 0 && nxt >= 0)
+                        possible_intersection(c, prev, nxt);
+                    if (c->oom) return STATUS_OOM;
+                    sl_remove_at(c, i);
+                }
+            }
+        }
+    }
+    return STATUS_OK;
+}
+
+/* ------------------------------------------------------------------ */
+/* result assembly (../booleanop.py connect_edges etc.)               */
+/* ------------------------------------------------------------------ */
+
+static int32_t *order_events(Ctx *c, int32_t *out_n) {
+    int32_t n = 0;
+    int32_t *res = (int32_t *)malloc((size_t)(c->sen ? c->sen : 1) * sizeof(int32_t));
+    if (!res) {
+        c->oom = 1;
+        return 0;
+    }
+    for (int32_t i = 0; i < c->sen; i++) {
+        int32_t e = c->se[i];
+        int keep;
+        if (E(e)->left)
+            keep = E(e)->result_transition != TRANS_NONE;
+        else
+            keep = E(e)->other >= 0 &&
+                   E(E(e)->other)->result_transition != TRANS_NONE;
+        if (keep) res[n++] = e;
+    }
+
+    /* reference's adaptive bubble sort, identical pass structure */
+    int unsorted = 1;
+    while (unsorted) {
+        unsorted = 0;
+        for (int32_t i = 1; i < n; i++) {
+            int32_t a = res[i - 1];
+            int32_t b = res[i];
+            if (!event_is_before(c, a, b)) {
+                res[i - 1] = b;
+                res[i] = a;
+                unsorted = 1;
+            }
+        }
+    }
+
+    for (int32_t pos = 0; pos < n; pos++) E(res[pos])->other_pos = pos;
+    for (int32_t i = 0; i < n; i++) {
+        int32_t e = res[i];
+        if (E(e)->left && E(e)->other >= 0) {
+            int32_t o = E(e)->other;
+            int32_t tmp = E(e)->other_pos;
+            E(e)->other_pos = E(o)->other_pos;
+            E(o)->other_pos = tmp;
+        }
+    }
+
+    *out_n = n;
+    return res;
+}
+
+static int32_t *precompute_iteration_order(Ctx *c, const int32_t *events,
+                                           int32_t n) {
+    int32_t *nxt = (int32_t *)calloc((size_t)(n ? n : 1), sizeof(int32_t));
+    if (!nxt) {
+        c->oom = 1;
+        return 0;
+    }
+    int32_t i = 0;
+    while (i < n) {
+        int32_t ref = events[i];
+        double rx = E(ref)->x, ry = E(ref)->y;
+        int32_t r_from = i;
+        while (i < n && E(events[i])->x == rx && E(events[i])->y == ry &&
+               !E(events[i])->left)
+            i++;
+        int32_t r_upto_ex = i;
+        int32_t l_from = i;
+        while (i < n && E(events[i])->x == rx && E(events[i])->y == ry) i++;
+        int32_t l_upto_ex = i;
+
+        int has_r = r_upto_ex > r_from;
+        int has_l = l_upto_ex > l_from;
+
+        if (has_r) {
+            int32_t r_upto = r_upto_ex - 1;
+            for (int32_t j = r_from; j < r_upto; j++) nxt[j] = j + 1;
+            nxt[r_upto] = has_l ? l_upto_ex - 1 : r_from;
+        }
+        if (has_l) {
+            int32_t l_upto = l_upto_ex - 1;
+            for (int32_t j = l_from + 1; j <= l_upto; j++) nxt[j] = j - 1;
+            nxt[l_from] = has_r ? r_from : l_upto;
+        }
+    }
+    return nxt;
+}
+
+static int32_t next_pos(int32_t pos, const uint8_t *processed,
+                        const int32_t *iteration_map) {
+    int32_t start = pos;
+    for (;;) {
+        pos = iteration_map[pos];
+        if (pos == start) return -1;
+        if (!processed[pos]) return pos;
+    }
+}
+
+static int contour_push_pt(CContour *ct, double x, double y) {
+    if (ct->np + 1 > ct->pcap) {
+        int32_t ncap = ct->pcap ? ct->pcap * 2 : 16;
+        double *p = (double *)realloc(ct->pts, (size_t)ncap * 2 * sizeof(double));
+        if (!p) return 0;
+        ct->pts = p;
+        ct->pcap = ncap;
+    }
+    ct->pts[2 * ct->np] = x;
+    ct->pts[2 * ct->np + 1] = y;
+    ct->np++;
+    return 1;
+}
+
+static int contour_push_hole(CContour *ct, int32_t hole_id) {
+    if (ct->nh + 1 > ct->hcap) {
+        int32_t ncap = ct->hcap ? ct->hcap * 2 : 4;
+        int32_t *p = (int32_t *)realloc(ct->holes, (size_t)ncap * sizeof(int32_t));
+        if (!p) return 0;
+        ct->holes = p;
+        ct->hcap = ncap;
+    }
+    ct->holes[ct->nh++] = hole_id;
+    return 1;
+}
+
+/* _initialize_contour: fills hole_of/depth of the contour being created
+ * (already appended at index contour_id) and may register it as a hole. */
+static int initialize_contour(Ctx *c, int32_t event, CContour *contours,
+                              int32_t contour_id) {
+    CContour *me = &contours[contour_id];
+    int32_t pir = E(event)->prev_in_result;
+    if (pir < 0) {
+        me->hole_of = -1;
+        me->depth = 0;
+        return 1;
+    }
+    int32_t lower_id = E(pir)->output_contour_id;
+    if (!(0 <= lower_id && lower_id < contour_id)) {
+        /* invariant breach on degenerate-overlap inputs: degrade to
+         * exterior (matches the Python kernel's guard) */
+        me->hole_of = -1;
+        me->depth = 0;
+        return 1;
+    }
+    if (E(pir)->result_transition == TRANS_OUT_IN) {
+        if (contours[lower_id].hole_of >= 0) {
+            int32_t parent_id = contours[lower_id].hole_of;
+            if (!contour_push_hole(&contours[parent_id], contour_id)) return 0;
+            me->hole_of = parent_id;
+            me->depth = contours[lower_id].depth;
+            return 1;
+        }
+        if (!contour_push_hole(&contours[lower_id], contour_id)) return 0;
+        me->hole_of = lower_id;
+        me->depth = contours[lower_id].depth + 1;
+        return 1;
+    }
+    me->hole_of = -1;
+    me->depth = contours[lower_id].depth;
+    return 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* public result struct + entry point                                 */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int32_t status;
+    int32_t n_contours;
+    int64_t total_pts;
+    int64_t total_holes;
+    double *pts;          /* flattened contour points, x,y */
+    int32_t *contour_np;  /* per contour: number of points (open ring) */
+    int32_t *hole_of;     /* per contour: parent id or -1 */
+    int32_t *contour_nh;  /* per contour: number of hole ids */
+    int32_t *holes;       /* flattened hole ids */
+} MartinezResult;
+
+void martinez_free(MartinezResult *r) {
+    if (!r) return;
+    free(r->pts);
+    free(r->contour_np);
+    free(r->hole_of);
+    free(r->contour_nh);
+    free(r->holes);
+    free(r);
+}
+
+static MartinezResult *result_with_status(int status) {
+    MartinezResult *r = (MartinezResult *)calloc(1, sizeof(MartinezResult));
+    if (!r) return 0;
+    r->status = status;
+    return r;
+}
+
+static void ctx_free(Ctx *c) {
+    free(c->ev);
+    free(c->heap);
+    free(c->sl);
+    free(c->se);
+}
+
+/* Inputs: flattened closed rings.
+ *   coords: x,y pairs for all rings of all polygons, concatenated
+ *   ring_np: points per ring
+ *   poly_nr: rings per polygon
+ * Caller guarantees rings are closed (first == last) — the Python
+ * wrapper mirrors _normalize_multipolygon before flattening. */
+MartinezResult *martinez_boolean_op(
+    const double *s_coords, const int32_t *s_ring_np, int32_t s_nrings,
+    const int32_t *s_poly_nr, int32_t s_npolys, const double *c_coords,
+    const int32_t *c_ring_np, int32_t c_nrings, const int32_t *c_poly_nr,
+    int32_t c_npolys, int32_t operation) {
+    (void)s_nrings;
+    (void)c_nrings;
+
+    Ctx ctx_store;
+    Ctx *c = &ctx_store;
+    memset(c, 0, sizeof(Ctx));
+
+    double sbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+    double cbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+
+    /* fill_queue */
+    int32_t contour_id = 0;
+    {
+        const double *p = s_coords;
+        int32_t ring_idx = 0;
+        for (int32_t poly = 0; poly < s_npolys; poly++) {
+            contour_id++;
+            int32_t nr = s_poly_nr[poly];
+            for (int32_t k = 0; k < nr; k++) {
+                int32_t np = s_ring_np[ring_idx++];
+                process_ring(c, p, np, 1, contour_id, sbbox, k == 0);
+                p += 2 * np;
+                if (c->oom) {
+                    ctx_free(c);
+                    return result_with_status(STATUS_OOM);
+                }
+            }
+        }
+        p = c_coords;
+        ring_idx = 0;
+        for (int32_t poly = 0; poly < c_npolys; poly++) {
+            int exterior = operation != OP_DIFFERENCE;
+            if (exterior) contour_id++;
+            int32_t nr = c_poly_nr[poly];
+            for (int32_t k = 0; k < nr; k++) {
+                int32_t np = c_ring_np[ring_idx++];
+                process_ring(c, p, np, 0, contour_id, cbbox,
+                             exterior && k == 0);
+                p += 2 * np;
+                if (c->oom) {
+                    ctx_free(c);
+                    return result_with_status(STATUS_OOM);
+                }
+            }
+        }
+    }
+
+    /* trivial bbox short-circuit: the Python wrapper builds the result */
+    if (sbbox[0] > cbbox[2] || cbbox[0] > sbbox[2] || sbbox[1] > cbbox[3] ||
+        cbbox[1] > sbbox[3]) {
+        ctx_free(c);
+        return result_with_status(STATUS_TRIVIAL);
+    }
+
+    int st = subdivide(c, sbbox, cbbox, operation);
+    if (st != STATUS_OK) {
+        ctx_free(c);
+        return result_with_status(st);
+    }
+
+    /* connect_edges */
+    int32_t n_res = 0;
+    int32_t *res = order_events(c, &n_res);
+    if (!res) {
+        ctx_free(c);
+        return result_with_status(STATUS_OOM);
+    }
+    int32_t *iter_map = precompute_iteration_order(c, res, n_res);
+    if (!iter_map) {
+        free(res);
+        ctx_free(c);
+        return result_with_status(STATUS_OOM);
+    }
+    uint8_t *processed = (uint8_t *)calloc((size_t)(n_res ? n_res : 1), 1);
+    CContour *contours = 0;
+    int32_t n_contours = 0, cap_contours = 0;
+    int oom = processed == 0;
+
+    for (int32_t i = 0; i < n_res && !oom; i++) {
+        if (processed[i]) continue;
+
+        int32_t cid = n_contours;
+        if (n_contours + 1 > cap_contours) {
+            int32_t ncap = cap_contours ? cap_contours * 2 : 16;
+            CContour *p =
+                (CContour *)realloc(contours, (size_t)ncap * sizeof(CContour));
+            if (!p) {
+                oom = 1;
+                break;
+            }
+            contours = p;
+            cap_contours = ncap;
+        }
+        CContour *ct = &contours[n_contours++];
+        memset(ct, 0, sizeof(CContour));
+        if (!initialize_contour(c, res[i], contours, cid)) {
+            oom = 1;
+            break;
+        }
+        ct = &contours[cid]; /* re-deref: hole push may not realloc self, but be safe */
+
+        int32_t pos = i;
+        double initial_x = E(res[pos])->x;
+        double initial_y = E(res[pos])->y;
+        if (!contour_push_pt(ct, initial_x, initial_y)) {
+            oom = 1;
+            break;
+        }
+
+        for (;;) {
+            processed[pos] = 1;
+            E(res[pos])->output_contour_id = cid;
+
+            pos = E(res[pos])->other_pos;
+            processed[pos] = 1;
+            E(res[pos])->output_contour_id = cid;
+            if (!contour_push_pt(ct, E(res[pos])->x, E(res[pos])->y)) {
+                oom = 1;
+                break;
+            }
+
+            pos = next_pos(pos, processed, iter_map);
+            if (pos < 0) break;
+            if (E(res[pos])->x == initial_x && E(res[pos])->y == initial_y)
+                break;
+        }
+        if (oom) break;
+    }
+
+    free(res);
+    free(iter_map);
+    free(processed);
+
+    MartinezResult *out = 0;
+    if (!oom) {
+        out = (MartinezResult *)calloc(1, sizeof(MartinezResult));
+        if (out) {
+            int64_t total_pts = 0, total_holes = 0;
+            for (int32_t i = 0; i < n_contours; i++) {
+                total_pts += contours[i].np;
+                total_holes += contours[i].nh;
+            }
+            out->status = STATUS_OK;
+            out->n_contours = n_contours;
+            out->total_pts = total_pts;
+            out->total_holes = total_holes;
+            out->pts = (double *)malloc((size_t)(total_pts ? total_pts : 1) * 2 *
+                                        sizeof(double));
+            out->contour_np =
+                (int32_t *)malloc((size_t)(n_contours ? n_contours : 1) * sizeof(int32_t));
+            out->hole_of =
+                (int32_t *)malloc((size_t)(n_contours ? n_contours : 1) * sizeof(int32_t));
+            out->contour_nh =
+                (int32_t *)malloc((size_t)(n_contours ? n_contours : 1) * sizeof(int32_t));
+            out->holes = (int32_t *)malloc(
+                (size_t)(total_holes ? total_holes : 1) * sizeof(int32_t));
+            if (!out->pts || !out->contour_np || !out->hole_of ||
+                !out->contour_nh || !out->holes) {
+                martinez_free(out);
+                out = 0;
+            } else {
+                double *pp = out->pts;
+                int32_t *hp = out->holes;
+                for (int32_t i = 0; i < n_contours; i++) {
+                    memcpy(pp, contours[i].pts,
+                           (size_t)contours[i].np * 2 * sizeof(double));
+                    pp += 2 * contours[i].np;
+                    out->contour_np[i] = contours[i].np;
+                    out->hole_of[i] = contours[i].hole_of;
+                    out->contour_nh[i] = contours[i].nh;
+                    memcpy(hp, contours[i].holes,
+                           (size_t)contours[i].nh * sizeof(int32_t));
+                    hp += contours[i].nh;
+                }
+            }
+        }
+    }
+
+    for (int32_t i = 0; i < n_contours; i++) {
+        free(contours[i].pts);
+        free(contours[i].holes);
+    }
+    free(contours);
+    ctx_free(c);
+
+    if (!out) return result_with_status(STATUS_OOM);
+    return out;
+}

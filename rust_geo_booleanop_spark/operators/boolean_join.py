@@ -17,7 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel.booleanop import KernelLimitExceeded, boolean_op
+from ..kernel import resolve_boolean_op
+from ..kernel.booleanop import KernelLimitExceeded
 from ..kernel.geojson import (
     multipolygon_bbox,
     parse_multipolygon,
@@ -81,6 +82,9 @@ def pair_candidates(geoms: DataFrame) -> DataFrame:
 
 def _make_kernel_batches(ops: Sequence[str]):
     def kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Resolved inside the Spark Python worker (after fork): native C
+        # sweep when available, bit-identical pure-Python fallback.
+        boolean_op = resolve_boolean_op()
         for pdf in batches:
             rows = {k: [] for k in (
                 "case_id", "subject_url", "clipping_url", "op",

@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel.booleanop import KernelLimitExceeded, boolean_op
+from ..kernel import resolve_boolean_op
+from ..kernel.booleanop import KernelLimitExceeded
 from ..kernel.geojson import parse_multipolygon, serialize_multipolygon
 
 _PARTIAL_SCHEMA = "key string, geom_json string, status string"
@@ -35,6 +36,7 @@ DISSOLVE_SCHEMA = "key string, geom_json string, n_polys int, status string"
 
 
 def _fold_union(jsons) -> tuple[str, str]:
+    boolean_op = resolve_boolean_op()  # native C sweep when available
     acc = None
     for gj in jsons:
         mp = parse_multipolygon(gj)

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.cells import bbox_cover_cells, cell_bounds
-from ..kernel.booleanop import KernelLimitExceeded, boolean_op
+from ..kernel import resolve_boolean_op
+from ..kernel.booleanop import KernelLimitExceeded
 from ..kernel.geojson import parse_multipolygon, serialize_multipolygon
 
 DEFAULT_TILE_LEVEL = 4
@@ -55,6 +56,7 @@ _CLIP_SCHEMA = (
 
 
 def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    boolean_op = resolve_boolean_op()  # native C sweep when available
     for pdf in batches:
         out = {
             "tile_id": [], "url": [], "op": [],

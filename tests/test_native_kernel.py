@@ -1,0 +1,138 @@
+"""Native (C) kernel == pure-Python kernel, bit-for-bit.
+
+The C fast path (kernel/native/martinez.c) must reproduce the Python
+reference kernel EXACTLY — same coordinates, same ring order, same start
+vertices, same contour/hole structure, same KernelLimitExceeded behavior —
+on every reference fixture, both operand orders, all five operations.
+The Python kernel is itself pinned coordinate-exact to the reference by
+tests/test_kernel_fixtures.py, so transitively the native kernel is too.
+
+Any edit to martinez.c OR to the Python kernel must keep this file green
+(it is the tripwire for FP-order drift, heap tie-order drift, and bisect
+probe-order drift — see the exactness contract in martinez.c's header).
+"""
+
+import glob
+import os
+
+import pytest
+
+from rust_geo_booleanop_spark.kernel import (
+    KernelLimitExceeded,
+    boolean_op,
+    load_fixture,
+    resolve_boolean_op,
+)
+from rust_geo_booleanop_spark.kernel.native import NATIVE_AVAILABLE
+
+if NATIVE_AVAILABLE:
+    from rust_geo_booleanop_spark.kernel.native import boolean_op_native
+
+pytestmark = pytest.mark.skipif(
+    not NATIVE_AVAILABLE, reason="native kernel unavailable (no gcc?)"
+)
+
+FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+OPS = ("intersection", "union", "diff", "xor", "diff_ba")
+
+
+def _fixture_files():
+    return sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.geojson")))
+
+
+@pytest.mark.parametrize(
+    "path", _fixture_files(), ids=lambda p: os.path.basename(p)[:-8]
+)
+def test_native_matches_python_on_fixture(path):
+    subject, clipping, _ = load_fixture(path)
+    for a, b in ((subject, clipping), (clipping, subject)):
+        for op in OPS:
+            assert boolean_op_native(a, b, op) == boolean_op(a, b, op), (
+                f"{os.path.basename(path)} {op} (swapped={a is clipping})"
+            )
+
+
+def test_native_matches_python_on_criterion_cases():
+    """The reference's criterion bench shapes (incl. the big asia/
+    circles_vs_rects inputs that exercise deep sweeps)."""
+    from rust_geo_booleanop_spark.kernel.bench_cases import CRITERION_CASES
+
+    for name, make, op in CRITERION_CASES:
+        operands = make()
+        if operands is None:
+            continue
+        s, c = operands
+        assert boolean_op_native(s, c, op) == boolean_op(s, c, op), name
+
+
+def test_native_matches_python_on_corpus_templates():
+    """Every synthetic corpus template (the flagship's actual workload)."""
+    from rust_geo_booleanop_spark.sources.corpus import (
+        CORPUS_SIZE,
+        HEAVY_EVERY,
+        case_geometry,
+    )
+
+    for t in list(range(CORPUS_SIZE)) + [HEAVY_EVERY]:
+        s, c = case_geometry(t)
+        for op in ("intersection", "union", "diff", "xor"):
+            assert boolean_op_native(s, c, op) == boolean_op(s, c, op), (t, op)
+
+
+def test_native_limit_behavior_matches_python():
+    """Degenerate-overlap re-ingestion: both engines must return the same
+    result OR both raise KernelLimitExceeded — never hang, never diverge."""
+    import random
+
+    def random_triangles(n, seed, span=256.0, size=24.0):
+        rng = random.Random(seed)
+        polys = []
+        for _ in range(n):
+            cx = rng.uniform(size, span - size)
+            cy = rng.uniform(size, span - size)
+            pts = [
+                (cx + rng.uniform(-size, size), cy + rng.uniform(-size, size))
+                for _ in range(3)
+            ]
+            pts.append(pts[0])
+            polys.append([pts])
+        return polys
+
+    for seed in (7, 99, 55555):
+        a = random_triangles(8, seed)
+        aa = boolean_op(a, a, "union")
+        assert boolean_op_native(a, a, "union") == aa
+        for op in ("union", "intersection", "diff", "xor"):
+            for pair in ((aa, a), (aa, aa)):
+                try:
+                    py = boolean_op(*pair, op)
+                    py_exc = False
+                except KernelLimitExceeded:
+                    py, py_exc = None, True
+                try:
+                    nat = boolean_op_native(*pair, op)
+                    nat_exc = False
+                except KernelLimitExceeded:
+                    nat, nat_exc = None, True
+                assert py_exc == nat_exc, (seed, op)
+                if not py_exc:
+                    assert py == nat, (seed, op)
+
+
+def test_native_trivial_and_empty_paths():
+    rect = [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]]]
+    far = [[[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]]]
+    for op in OPS:
+        assert boolean_op_native(rect, far, op) == boolean_op(rect, far, op)
+        assert boolean_op_native([], rect, op) == boolean_op([], rect, op)
+        assert boolean_op_native(rect, [], op) == boolean_op(rect, [], op)
+        assert boolean_op_native([], [], op) == boolean_op([], [], op)
+
+
+def test_resolver_prefers_native_and_env_forces_python(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_KERNEL", raising=False)
+    assert resolve_boolean_op() is boolean_op_native
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL", "python")
+    assert resolve_boolean_op() is boolean_op
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL", "native")
+    assert resolve_boolean_op() is boolean_op_native
