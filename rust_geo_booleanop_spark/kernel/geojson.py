@@ -46,7 +46,13 @@ def multipolygon_to_geometry(mp) -> dict[str, Any]:
 
 
 def serialize_multipolygon(mp) -> str:
-    return json.dumps(multipolygon_to_geometry(mp), separators=(",", ":"))
+    # json's C encoder walks tuples as arrays, so the kernel's native
+    # (x, y)-tuple rings serialize without the multipolygon_to_geometry
+    # list rebuild — byte-identical output, ~1.5x faster (it was the
+    # single biggest term of the post-native-kernel boolean-op stage).
+    return json.dumps(
+        {"type": "MultiPolygon", "coordinates": mp}, separators=(",", ":")
+    )
 
 
 def load_fixture(path: str):

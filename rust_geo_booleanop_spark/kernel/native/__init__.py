@@ -27,6 +27,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+from array import array
 from ctypes import (
     CFUNCTYPE,
     POINTER,
@@ -170,10 +171,15 @@ _load()
 
 
 def _flatten(mp):
-    """Flatten a normalized multipolygon into ctypes arrays."""
-    coords: list[float] = []
-    ring_np: list[int] = []
-    poly_nr: list[int] = []
+    """Flatten a normalized multipolygon into zero-copy ctypes views.
+
+    array('d')/array('i') append in C and expose the buffer protocol, so
+    the ctypes arrays are views, not element-wise copies (the tuple-unpack
+    ctypes constructor was ~30% of a small boolean op). The arrays are
+    returned too, keeping the buffers alive for the call's duration."""
+    coords = array("d")
+    ring_np = array("i")
+    poly_nr = array("i")
     ext = coords.extend
     for poly in mp:
         poly_nr.append(len(poly))
@@ -181,10 +187,18 @@ def _flatten(mp):
             ring_np.append(len(ring))
             for pt in ring:
                 ext(pt)
-    c_coords = (c_double * max(1, len(coords)))(*coords)
-    c_ring_np = (c_int32 * max(1, len(ring_np)))(*ring_np)
-    c_poly_nr = (c_int32 * max(1, len(poly_nr)))(*poly_nr)
-    return c_coords, c_ring_np, len(ring_np), c_poly_nr, len(poly_nr)
+    n_rings = len(ring_np)
+    n_polys = len(poly_nr)
+    if not coords:
+        coords.append(0.0)  # keep valid non-empty buffers; with n_polys/
+    if not ring_np:
+        ring_np.append(0)  # n_rings at their true (smaller) counts the C
+    if not poly_nr:
+        poly_nr.append(0)  # side never reads the padding
+    c_coords = (c_double * len(coords)).from_buffer(coords)
+    c_ring_np = (c_int32 * len(ring_np)).from_buffer(ring_np)
+    c_poly_nr = (c_int32 * len(poly_nr)).from_buffer(poly_nr)
+    return c_coords, c_ring_np, n_rings, c_poly_nr, n_polys
 
 
 def boolean_op_native(subject, clipping, operation):
@@ -227,7 +241,11 @@ def boolean_op_native(subject, clipping, operation):
         hole_of = res.hole_of[:n] if n else []
         contour_nh = res.contour_nh[:n] if n else []
         total_pts = int(res.total_pts)
-        flat = res.pts[: 2 * total_pts] if total_pts else []
+        # bulk-copy the coordinate buffer once (vs per-element ctypes
+        # getitem), then slice-zip per contour
+        flat = array("d")
+        if total_pts:
+            flat.frombytes(ctypes.string_at(res.pts, 16 * total_pts))
         total_holes = int(res.total_holes)
         holes_flat = res.holes[:total_holes] if total_holes else []
 
@@ -236,9 +254,9 @@ def boolean_op_native(subject, clipping, operation):
         points = []
         off = 0
         for np_i in contour_np:
-            pts = [(flat[2 * j], flat[2 * j + 1]) for j in range(off, off + np_i)]
-            points.append(pts)
-            off += np_i
+            end = off + 2 * np_i
+            points.append(list(zip(flat[off:end:2], flat[off + 1 : end : 2])))
+            off = end
         hole_ids = []
         hoff = 0
         for nh_i in contour_nh:
