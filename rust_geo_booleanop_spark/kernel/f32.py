@@ -8,15 +8,22 @@ in, the sweep runs in f64 (binary64 is a strict superset — every f32
 value is exactly representable, so quantized inputs lose nothing
 further), and outputs are rounded to nearest-f32 on the way out.
 
-Honest divergence note: this is f32 STORAGE with f64 COMPUTE, not the
-reference's f32-native arithmetic. Intermediate rounding points differ,
-so results can disagree with a true f32 sweep on adversarial
-near-degenerate inputs (the same class of inputs where the reference's
-own f32/f64 instantiations disagree with each other). For the engine's
-GeoJSON pipeline — doubles on the wire — the f64 kernel is the primary
-path; this exists for parity with the reference's narrower-width type
-surface and for callers whose geometry source is genuinely f32 (e.g.
-float32 sensor/embedding-adjacent payloads).
+Two compute widths (round 3):
+- compute="f64" (default): f32 storage, f64 sweep. Deterministic, and
+  since binary64 ⊃ binary32 the quantized inputs lose nothing further —
+  but intermediate rounding points differ from a true f32 sweep, so
+  results can disagree with the reference's f32 instantiation on
+  adversarial near-degenerate inputs.
+- compute="f32": TRUE f32-native arithmetic via the C kernel compiled at
+  float width (kernel/native, -DMARTINEZ_F32) — every FP operation of
+  the sweep rounds to binary32, matching the reference's f32
+  instantiation op-for-op (its Float trait, helper.rs:8-10). Requires
+  the native kernel (gcc); raises RuntimeError when unavailable.
+
+For the engine's GeoJSON pipeline — doubles on the wire — the f64 kernel
+is the primary path; this surface exists for parity with the reference's
+narrower-width type surface and for callers whose geometry source is
+genuinely f32 (e.g. float32 sensor/embedding-adjacent payloads).
 """
 
 from __future__ import annotations
@@ -38,10 +45,19 @@ def quantize_multipolygon_f32(mp):
     ]
 
 
-def boolean_op_f32(subject, clipping, operation):
-    """Boolean operation at f32 width: f32-quantized operands, exact f64
-    sweep, f32-quantized result. Deterministic; all output coordinates
-    are exactly representable in binary32."""
+def boolean_op_f32(subject, clipping, operation, compute: str = "f64"):
+    """Boolean operation at f32 width. All output coordinates are exactly
+    representable in binary32; deterministic for both compute widths.
+
+    compute="f64" (default): f32-quantized operands, exact f64 sweep,
+    f32-quantized result. compute="f32": true f32-native sweep (see
+    module docstring; requires the native C kernel)."""
+    if compute == "f32":
+        from .native import boolean_op_f32_native
+
+        return boolean_op_f32_native(subject, clipping, operation)
+    if compute != "f64":
+        raise ValueError(f"compute must be 'f64' or 'f32', got {compute!r}")
     result = boolean_op(
         quantize_multipolygon_f32(subject),
         quantize_multipolygon_f32(clipping),

@@ -55,21 +55,30 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "martinez.c")
 _BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
 
 NATIVE_AVAILABLE = False
+F32_NATIVE_AVAILABLE = False
 _LIB = None
+_LIB32 = None
 
 
-class _MartinezResult(ctypes.Structure):
-    _fields_ = [
-        ("status", c_int32),
-        ("n_contours", c_int32),
-        ("total_pts", c_int64),
-        ("total_holes", c_int64),
-        ("pts", POINTER(c_double)),
-        ("contour_np", POINTER(c_int32)),
-        ("hole_of", POINTER(c_int32)),
-        ("contour_nh", POINTER(c_int32)),
-        ("holes", POINTER(c_int32)),
-    ]
+def _result_struct(coord_ctype):
+    class _MartinezResult(ctypes.Structure):
+        _fields_ = [
+            ("status", c_int32),
+            ("n_contours", c_int32),
+            ("total_pts", c_int64),
+            ("total_holes", c_int64),
+            ("pts", POINTER(coord_ctype)),
+            ("contour_np", POINTER(c_int32)),
+            ("hole_of", POINTER(c_int32)),
+            ("contour_nh", POINTER(c_int32)),
+            ("holes", POINTER(c_int32)),
+        ]
+
+    return _MartinezResult
+
+
+_MartinezResult = _result_struct(c_double)
+_MartinezResult32 = _result_struct(ctypes.c_float)
 
 
 _EXACT_SIGN_CFUNC = CFUNCTYPE(
@@ -94,13 +103,14 @@ def _exact_sign(p0x, p0y, p1x, p1y, p2x, p2y):
 _EXACT_SIGN_KEEPALIVE = _EXACT_SIGN_CFUNC(_exact_sign)
 
 
-def _so_path() -> str:
+def _so_path(f32: bool = False) -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    return os.path.join(_BUILD_DIR, f"libmartinez-{digest}.so")
+    stem = "libmartinez32" if f32 else "libmartinez"
+    return os.path.join(_BUILD_DIR, f"{stem}-{digest}.so")
 
 
-def _build(so_path: str) -> bool:
+def _build(so_path: str, f32: bool = False) -> bool:
     """Compile martinez.c once, under an flock (32 workers import at once).
 
     -ffp-contract=off is load-bearing: without it GCC may fuse a*b-c*d
@@ -124,11 +134,10 @@ def _build(so_path: str) -> bool:
                 "-shared",
                 "-ffp-contract=off",
                 "-fno-unsafe-math-optimizations",
-                "-o",
-                tmp,
-                _SRC,
-                "-lm",
             ]
+            if f32:
+                cmd.append("-DMARTINEZ_F32")
+            cmd += ["-o", tmp, _SRC, "-lm"]
             proc = subprocess.run(cmd, capture_output=True, timeout=120)
             if proc.returncode != 0:
                 return False
@@ -140,44 +149,62 @@ def _build(so_path: str) -> bool:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
+def _load_one(f32: bool, coord_ctype, result_struct):
+    so = _so_path(f32)
+    if not os.path.exists(so) and not _build(so, f32):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.martinez_boolean_op.restype = POINTER(result_struct)
+    lib.martinez_boolean_op.argtypes = [
+        POINTER(coord_ctype), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
+        POINTER(coord_ctype), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
+        c_int32,
+    ]
+    lib.martinez_free.restype = None
+    lib.martinez_free.argtypes = [c_void_p]
+    lib.martinez_set_exact_sign.restype = None
+    lib.martinez_set_exact_sign.argtypes = [_EXACT_SIGN_CFUNC]
+    lib.martinez_set_exact_sign(_EXACT_SIGN_KEEPALIVE)
+    return lib
+
+
 def _load() -> None:
     global _LIB, NATIVE_AVAILABLE
     if os.environ.get("SPARK_GRAFT_NO_NATIVE"):
         return
     try:
-        so = _so_path()
-        if not os.path.exists(so) and not _build(so):
-            return
-        lib = ctypes.CDLL(so)
-        lib.martinez_boolean_op.restype = POINTER(_MartinezResult)
-        lib.martinez_boolean_op.argtypes = [
-            POINTER(c_double), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
-            POINTER(c_double), POINTER(c_int32), c_int32, POINTER(c_int32), c_int32,
-            c_int32,
-        ]
-        lib.martinez_free.restype = None
-        lib.martinez_free.argtypes = [c_void_p]
-        lib.martinez_set_exact_sign.restype = None
-        lib.martinez_set_exact_sign.argtypes = [_EXACT_SIGN_CFUNC]
-        lib.martinez_set_exact_sign(_EXACT_SIGN_KEEPALIVE)
-        _LIB = lib
-        NATIVE_AVAILABLE = True
+        _LIB = _load_one(False, c_double, _MartinezResult)
+        NATIVE_AVAILABLE = _LIB is not None
     except Exception:
         _LIB = None
         NATIVE_AVAILABLE = False
 
 
+def _load_f32() -> None:
+    """The f32 build is loaded lazily on first f32-native call (most
+    deployments never touch the narrow-width surface)."""
+    global _LIB32, F32_NATIVE_AVAILABLE
+    if _LIB32 is not None or os.environ.get("SPARK_GRAFT_NO_NATIVE"):
+        return
+    try:
+        _LIB32 = _load_one(True, ctypes.c_float, _MartinezResult32)
+        F32_NATIVE_AVAILABLE = _LIB32 is not None
+    except Exception:
+        _LIB32 = None
+        F32_NATIVE_AVAILABLE = False
+
+
 _load()
 
 
-def _flatten(mp):
+def _flatten(mp, typecode="d", coord_ctype=c_double):
     """Flatten a normalized multipolygon into zero-copy ctypes views.
 
     array('d')/array('i') append in C and expose the buffer protocol, so
     the ctypes arrays are views, not element-wise copies (the tuple-unpack
     ctypes constructor was ~30% of a small boolean op). The arrays are
     returned too, keeping the buffers alive for the call's duration."""
-    coords = array("d")
+    coords = array(typecode)
     ring_np = array("i")
     poly_nr = array("i")
     ext = coords.extend
@@ -195,33 +222,20 @@ def _flatten(mp):
         ring_np.append(0)  # n_rings at their true (smaller) counts the C
     if not poly_nr:
         poly_nr.append(0)  # side never reads the padding
-    c_coords = (c_double * len(coords)).from_buffer(coords)
+    c_coords = (coord_ctype * len(coords)).from_buffer(coords)
     c_ring_np = (c_int32 * len(ring_np)).from_buffer(ring_np)
     c_poly_nr = (c_int32 * len(poly_nr)).from_buffer(poly_nr)
     return c_coords, c_ring_np, n_rings, c_poly_nr, n_polys
 
 
-def boolean_op_native(subject, clipping, operation):
-    """Drop-in replacement for kernel.boolean_op backed by the C sweep.
+def _run_native(lib, typecode, coord_ctype, subject, clipping, operation):
+    """Shared call path for the f64 and f32 builds (subject/clipping must
+    already be normalized; for f32 also already binary32-quantized)."""
+    s_args = _flatten(subject, typecode, coord_ctype)
+    c_args = _flatten(clipping, typecode, coord_ctype)
+    itemsize = 8 if typecode == "d" else 4
 
-    Same inputs, outputs, and exceptions (KernelLimitExceeded on the
-    degenerate-overlap pathology). Fixture-exact vs the Python kernel —
-    see tests/test_native_kernel.py.
-    """
-    if operation == "diff_ba":
-        subject, clipping, operation = clipping, subject, DIFFERENCE
-    if operation not in (INTERSECTION, UNION, DIFFERENCE, XOR):
-        raise ValueError(f"unknown operation: {operation!r}")
-    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
-        raise RuntimeError("native kernel not available")
-
-    subject = _normalize_multipolygon(subject)
-    clipping = _normalize_multipolygon(clipping)
-
-    s_args = _flatten(subject)
-    c_args = _flatten(clipping)
-
-    res_ptr = _LIB.martinez_boolean_op(*s_args, *c_args, _OP_CODES[operation])
+    res_ptr = lib.martinez_boolean_op(*s_args, *c_args, _OP_CODES[operation])
     if not res_ptr:
         raise MemoryError("martinez_boolean_op allocation failure")
     try:
@@ -243,9 +257,9 @@ def boolean_op_native(subject, clipping, operation):
         total_pts = int(res.total_pts)
         # bulk-copy the coordinate buffer once (vs per-element ctypes
         # getitem), then slice-zip per contour
-        flat = array("d")
+        flat = array(typecode)
         if total_pts:
-            flat.frombytes(ctypes.string_at(res.pts, 16 * total_pts))
+            flat.frombytes(ctypes.string_at(res.pts, 2 * itemsize * total_pts))
         total_holes = int(res.total_holes)
         holes_flat = res.holes[:total_holes] if total_holes else []
 
@@ -263,7 +277,7 @@ def boolean_op_native(subject, clipping, operation):
             hole_ids.append(holes_flat[hoff : hoff + nh_i])
             hoff += nh_i
     finally:
-        _LIB.martinez_free(ctypes.cast(res_ptr, c_void_p))
+        lib.martinez_free(ctypes.cast(res_ptr, c_void_p))
 
     def close_ring(ring):
         if ring and (ring[0][0] != ring[-1][0] or ring[0][1] != ring[-1][1]):
@@ -280,4 +294,52 @@ def boolean_op_native(subject, clipping, operation):
     return polygons
 
 
-__all__ = ["NATIVE_AVAILABLE", "boolean_op_native"]
+def _check_op(subject, clipping, operation):
+    if operation == "diff_ba":
+        return clipping, subject, DIFFERENCE
+    if operation not in (INTERSECTION, UNION, DIFFERENCE, XOR):
+        raise ValueError(f"unknown operation: {operation!r}")
+    return subject, clipping, operation
+
+
+def boolean_op_native(subject, clipping, operation):
+    """Drop-in replacement for kernel.boolean_op backed by the C sweep.
+
+    Same inputs, outputs, and exceptions (KernelLimitExceeded on the
+    degenerate-overlap pathology). Fixture-exact vs the Python kernel —
+    see tests/test_native_kernel.py.
+    """
+    subject, clipping, operation = _check_op(subject, clipping, operation)
+    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
+        raise RuntimeError("native kernel not available")
+    subject = _normalize_multipolygon(subject)
+    clipping = _normalize_multipolygon(clipping)
+    return _run_native(_LIB, "d", c_double, subject, clipping, operation)
+
+
+def boolean_op_f32_native(subject, clipping, operation):
+    """True f32-native boolean operation: every FP operation of the sweep
+    rounds to binary32, like the reference kernel's f32 instantiation
+    (lib/src/boolean/helper.rs:8-10) — unlike kernel.f32.boolean_op_f32's
+    default f32-storage/f64-compute path. Inputs are binary32-quantized on
+    the way in; all output coordinates are exact binary32 values (returned
+    as Python floats). The exact-orientation fallback stays
+    arbitrary-precision (f32 values are exact doubles are exact Fractions).
+    """
+    subject, clipping, operation = _check_op(subject, clipping, operation)
+    _load_f32()
+    if _LIB32 is None:
+        raise RuntimeError("native f32 kernel not available")
+    from ..f32 import quantize_multipolygon_f32
+
+    subject = _normalize_multipolygon(quantize_multipolygon_f32(subject))
+    clipping = _normalize_multipolygon(quantize_multipolygon_f32(clipping))
+    return _run_native(_LIB32, "f", ctypes.c_float, subject, clipping, operation)
+
+
+__all__ = [
+    "NATIVE_AVAILABLE",
+    "F32_NATIVE_AVAILABLE",
+    "boolean_op_native",
+    "boolean_op_f32_native",
+]

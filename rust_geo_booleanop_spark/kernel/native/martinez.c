@@ -29,6 +29,23 @@
 #include <stdlib.h>
 #include <string.h>
 
+/* Width genericity, mirroring the reference kernel's Float trait
+ * (lib/src/boolean/helper.rs:8-10, instantiated at f32 and f64 by its
+ * test suite). Default build: f64, bit-exact vs the Python kernel.
+ * -DMARTINEZ_F32 build: true f32-native arithmetic — every FP op rounds
+ * to binary32, like the reference's f32 instantiation (x86-64 SSE has
+ * FLT_EVAL_METHOD 0, so C float expressions evaluate in float). The
+ * exact-sign callback takes doubles; float args promote exactly. */
+#ifdef MARTINEZ_F32
+typedef float real_t;
+#define REAL_EPS 0x1p-24
+#define REAL_NEXTAFTER nextafterf
+#else
+typedef double real_t;
+#define REAL_EPS 0x1p-53
+#define REAL_NEXTAFTER nextafter
+#endif
+
 /* ------------------------------------------------------------------ */
 /* constants mirroring ../events.py / ../predicates.py / booleanop.py  */
 /* ------------------------------------------------------------------ */
@@ -56,9 +73,11 @@
 #define STATUS_LIMIT 2
 #define STATUS_OOM 3
 
-/* Shewchuk's static filter bound: (3 + 16*eps) * eps, eps = 2^-53.
- * 0x1p-53 is exact, so this equals the Python module constant. */
-static const double CCW_ERRBOUND = (3.0 + 16.0 * 0x1p-53) * 0x1p-53;
+/* Shewchuk's static filter bound: (3 + 16*eps) * eps for the build's
+ * precision (eps = 2^-53 f64 / 2^-24 f32; the f64 constant equals the
+ * Python module constant exactly — 0x1p-53 is an exact literal). */
+static const real_t CCW_ERRBOUND =
+    (real_t)((3.0 + 16.0 * REAL_EPS) * REAL_EPS);
 
 /* Exact-sign fallback, registered from Python (Fraction arithmetic). */
 typedef int (*exact_sign_fn)(double, double, double, double, double, double);
@@ -70,12 +89,12 @@ void martinez_set_exact_sign(exact_sign_fn f) { g_exact_sign = f; }
 /* predicates (../predicates.py)                                      */
 /* ------------------------------------------------------------------ */
 
-static double signed_area(double p0x, double p0y, double p1x, double p1y,
-                          double p2x, double p2y) {
-    double detleft = (p0x - p2x) * (p1y - p2y);
-    double detright = (p0y - p2y) * (p1x - p2x);
-    double det = detleft - detright;
-    double detsum;
+static real_t signed_area(real_t p0x, real_t p0y, real_t p1x, real_t p1y,
+                          real_t p2x, real_t p2y) {
+    real_t detleft = (p0x - p2x) * (p1y - p2y);
+    real_t detright = (p0y - p2y) * (p1x - p2x);
+    real_t det = detleft - detright;
+    real_t detsum;
 
     if (detleft > 0.0) {
         if (detright <= 0.0) return det;
@@ -87,20 +106,20 @@ static double signed_area(double p0x, double p0y, double p1x, double p1y,
         return det;
     }
 
-    double errbound = CCW_ERRBOUND * detsum;
+    real_t errbound = CCW_ERRBOUND * detsum;
     if (det >= errbound || -det >= errbound) return det;
 
     /* filter inconclusive: exact rational sign via the Python callback */
-    return (double)g_exact_sign(p0x, p0y, p1x, p1y, p2x, p2y);
+    return (real_t)g_exact_sign(p0x, p0y, p1x, p1y, p2x, p2y);
 }
 
 typedef struct {
     int kind;
-    double px, py, qx, qy;
+    real_t px, py, qx, qy;
 } SegInter;
 
-static void si_clamp(double x, double y, double lo_x, double lo_y,
-                     double hi_x, double hi_y, double *ox, double *oy) {
+static void si_clamp(real_t x, real_t y, real_t lo_x, real_t lo_y,
+                     real_t hi_x, real_t hi_y, real_t *ox, real_t *oy) {
     if (x < lo_x) {
         x = lo_x;
     } else if (x > hi_x) {
@@ -115,40 +134,40 @@ static void si_clamp(double x, double y, double lo_x, double lo_y,
     *oy = y;
 }
 
-static SegInter segment_intersection(double a1x, double a1y, double a2x,
-                                     double a2y, double b1x, double b1y,
-                                     double b2x, double b2y) {
+static SegInter segment_intersection(real_t a1x, real_t a1y, real_t a2x,
+                                     real_t a2y, real_t b1x, real_t b1y,
+                                     real_t b2x, real_t b2y) {
     SegInter r;
     r.kind = SI_NONE;
     r.px = r.py = r.qx = r.qy = 0.0;
 
-    double a_min_x, a_max_x, a_min_y, a_max_y;
-    double b_min_x, b_max_x, b_min_y, b_max_y;
+    real_t a_min_x, a_max_x, a_min_y, a_max_y;
+    real_t b_min_x, b_max_x, b_min_y, b_max_y;
     if (a1x < a2x) { a_min_x = a1x; a_max_x = a2x; } else { a_min_x = a2x; a_max_x = a1x; }
     if (a1y < a2y) { a_min_y = a1y; a_max_y = a2y; } else { a_min_y = a2y; a_max_y = a1y; }
     if (b1x < b2x) { b_min_x = b1x; b_max_x = b2x; } else { b_min_x = b2x; b_max_x = b1x; }
     if (b1y < b2y) { b_min_y = b1y; b_max_y = b2y; } else { b_min_y = b2y; b_max_y = b1y; }
-    double lo_x = a_min_x > b_min_x ? a_min_x : b_min_x;
-    double lo_y = a_min_y > b_min_y ? a_min_y : b_min_y;
-    double hi_x = a_max_x < b_max_x ? a_max_x : b_max_x;
-    double hi_y = a_max_y < b_max_y ? a_max_y : b_max_y;
+    real_t lo_x = a_min_x > b_min_x ? a_min_x : b_min_x;
+    real_t lo_y = a_min_y > b_min_y ? a_min_y : b_min_y;
+    real_t hi_x = a_max_x < b_max_x ? a_max_x : b_max_x;
+    real_t hi_y = a_max_y < b_max_y ? a_max_y : b_max_y;
     if (!(lo_x <= hi_x && lo_y <= hi_y)) return r;
 
-    double vax = a2x - a1x;
-    double vay = a2y - a1y;
-    double vbx = b2x - b1x;
-    double vby = b2y - b1y;
-    double ex = b1x - a1x;
-    double ey = b1y - a1y;
+    real_t vax = a2x - a1x;
+    real_t vay = a2y - a1y;
+    real_t vbx = b2x - b1x;
+    real_t vby = b2y - b1y;
+    real_t ex = b1x - a1x;
+    real_t ey = b1y - a1y;
 
-    double kross = vax * vby - vay * vbx;
-    double sqr_kross = kross * kross;
-    double sqr_len_a = vax * vax + vay * vay;
+    real_t kross = vax * vby - vay * vbx;
+    real_t sqr_kross = kross * kross;
+    real_t sqr_len_a = vax * vax + vay * vay;
 
     if (sqr_kross > 0.0) {
-        double s = (ex * vby - ey * vbx) / kross;
+        real_t s = (ex * vby - ey * vbx) / kross;
         if (s < 0.0 || s > 1.0) return r;
-        double t = (ex * vay - ey * vax) / kross;
+        real_t t = (ex * vay - ey * vax) / kross;
         if (t < 0.0 || t > 1.0) return r;
         r.kind = SI_POINT;
         if (s == 0.0 || s == 1.0) {
@@ -170,10 +189,10 @@ static SegInter segment_intersection(double a1x, double a1y, double a2x,
     /* zero-length segment a: mirror the Python NaN-comparison outcome */
     if (sqr_len_a == 0.0) return r;
 
-    double sa = (vax * ex + vay * ey) / sqr_len_a;
-    double sb = sa + (vax * vbx + vay * vby) / sqr_len_a;
-    double smin = sa < sb ? sa : sb;
-    double smax = sa > sb ? sa : sb;
+    real_t sa = (vax * ex + vay * ey) / sqr_len_a;
+    real_t sb = sa + (vax * vbx + vay * vby) / sqr_len_a;
+    real_t smin = sa < sb ? sa : sb;
+    real_t smax = sa > sb ? sa : sb;
 
     if (smin <= 1.0 && smax >= 0.0) {
         if (smin == 1.0) {
@@ -186,8 +205,8 @@ static SegInter segment_intersection(double a1x, double a1y, double a2x,
             si_clamp(a1x + smax * vax, a1y + smax * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
             return r;
         }
-        double lo_s = smin > 0.0 ? smin : 0.0;
-        double hi_s = smax < 1.0 ? smax : 1.0;
+        real_t lo_s = smin > 0.0 ? smin : 0.0;
+        real_t hi_s = smax < 1.0 ? smax : 1.0;
         r.kind = SI_OVERLAP;
         si_clamp(a1x + lo_s * vax, a1y + lo_s * vay, lo_x, lo_y, hi_x, hi_y, &r.px, &r.py);
         si_clamp(a1x + hi_s * vax, a1y + hi_s * vay, lo_x, lo_y, hi_x, hi_y, &r.qx, &r.qy);
@@ -202,7 +221,7 @@ static SegInter segment_intersection(double a1x, double a1y, double a2x,
 /* ------------------------------------------------------------------ */
 
 typedef struct {
-    double x, y;
+    real_t x, y;
     int32_t other;             /* paired endpoint index, -1 = None */
     int32_t contour_id;
     int32_t prev_in_result;    /* event index, -1 = None */
@@ -218,7 +237,7 @@ typedef struct {
 } Event;
 
 typedef struct {
-    double *pts;      /* open contour points, x,y pairs */
+    real_t *pts;      /* open contour points, x,y pairs */
     int32_t np, pcap;
     int32_t *holes;   /* hole contour ids, in append order */
     int32_t nh, hcap;
@@ -251,7 +270,7 @@ static int grow_i32(int32_t **arr, int32_t *cap, int32_t need) {
     return 1;
 }
 
-static int32_t new_event(Ctx *c, int32_t contour_id, double x, double y,
+static int32_t new_event(Ctx *c, int32_t contour_id, real_t x, real_t y,
                          int left, int32_t other, int is_subject,
                          int is_exterior_ring) {
     if (c->n >= c->cap) {
@@ -289,15 +308,15 @@ static int32_t new_event(Ctx *c, int32_t contour_id, double x, double y,
 /* Event.__lt__: min-heap "a processed before b"; ties False both ways. */
 static int event_lt(Ctx *c, int32_t a, int32_t b) {
     Event *ea = E(a), *eb = E(b);
-    double sx = ea->x, bx = eb->x;
+    real_t sx = ea->x, bx = eb->x;
     if (sx != bx) return sx < bx;
-    double sy = ea->y, by = eb->y;
+    real_t sy = ea->y, by = eb->y;
     if (sy != by) return sy < by;
     if (ea->left != eb->left) return eb->left;
     int32_t so = ea->other, bo = eb->other;
     if (so >= 0 && bo >= 0) {
         Event *eso = E(so), *ebo = E(bo);
-        double sa = signed_area(bx, by, ebo->x, ebo->y, eso->x, eso->y);
+        real_t sa = signed_area(bx, by, ebo->x, ebo->y, eso->x, eso->y);
         if (sa != 0.0) return eb->left ? (sa < 0.0) : (sa > 0.0);
     }
     return ea->is_subject && !eb->is_subject;
@@ -306,15 +325,15 @@ static int event_lt(Ctx *c, int32_t a, int32_t b) {
 /* event_is_before: natural ascending queue order. */
 static int event_is_before(Ctx *c, int32_t a, int32_t b) {
     Event *ea = E(a), *eb = E(b);
-    double ax = ea->x, bx = eb->x;
+    real_t ax = ea->x, bx = eb->x;
     if (ax != bx) return ax < bx;
-    double ay = ea->y, by = eb->y;
+    real_t ay = ea->y, by = eb->y;
     if (ay != by) return ay < by;
     if (ea->left != eb->left) return !ea->left;
     int32_t ao = ea->other, bo = eb->other;
     if (ao >= 0 && bo >= 0) {
         Event *eao = E(ao), *ebo = E(bo);
-        double sa = signed_area(ax, ay, eao->x, eao->y, ebo->x, ebo->y);
+        real_t sa = signed_area(ax, ay, eao->x, eao->y, ebo->x, ebo->y);
         if (sa != 0.0) return ea->left ? (sa > 0.0) : (sa < 0.0);
     }
     return !((!ea->is_subject) && eb->is_subject);
@@ -340,11 +359,11 @@ static int compare_segments(Ctx *c, int32_t se1, int32_t se2) {
     int32_t o_new = E(se_new)->other;
     if (o_old < 0 || o_new < 0) return -flip;
 
-    double ox = E(se_old)->x, oy = E(se_old)->y;
-    double nx = E(se_new)->x, ny = E(se_new)->y;
-    double oox = E(o_old)->x, ooy = E(o_old)->y;
-    double sa_l = signed_area(ox, oy, oox, ooy, nx, ny);
-    double sa_r = signed_area(ox, oy, oox, ooy, E(o_new)->x, E(o_new)->y);
+    real_t ox = E(se_old)->x, oy = E(se_old)->y;
+    real_t nx = E(se_new)->x, ny = E(se_new)->y;
+    real_t oox = E(o_old)->x, ooy = E(o_old)->y;
+    real_t sa_l = signed_area(ox, oy, oox, ooy, nx, ny);
+    real_t sa_r = signed_area(ox, oy, oox, ooy, E(o_new)->x, E(o_new)->y);
     if (sa_l != 0.0 || sa_r != 0.0) {
         if (ox == nx && oy == ny) return sa_r > 0.0 ? -flip : flip;
         if (ox == nx) return oy < ny ? -flip : flip;
@@ -473,14 +492,14 @@ static void sl_remove_at(Ctx *c, int32_t i) {
 /* queue construction (../booleanop.py fill_queue/_process_ring)      */
 /* ------------------------------------------------------------------ */
 
-static void process_ring(Ctx *c, const double *coords, int32_t n,
-                         int is_subject, int32_t contour_id, double *bbox,
+static void process_ring(Ctx *c, const real_t *coords, int32_t n,
+                         int is_subject, int32_t contour_id, real_t *bbox,
                          int is_exterior_ring) {
     if (n < 2) return;
-    double min_x = bbox[0], min_y = bbox[1], max_x = bbox[2], max_y = bbox[3];
+    real_t min_x = bbox[0], min_y = bbox[1], max_x = bbox[2], max_y = bbox[3];
     for (int32_t i = 0; i < n - 1; i++) {
-        double sx = coords[2 * i], sy = coords[2 * i + 1];
-        double ex = coords[2 * i + 2], ey = coords[2 * i + 3];
+        real_t sx = coords[2 * i], sy = coords[2 * i + 1];
+        real_t ex = coords[2 * i + 2], ey = coords[2 * i + 3];
         if (sx == ex && sy == ey) continue; /* collapsed edge */
         int32_t e1 = new_event(c, contour_id, sx, sy, 0, -1, is_subject,
                                is_exterior_ring);
@@ -509,10 +528,10 @@ static void process_ring(Ctx *c, const double *coords, int32_t n,
 /* divide_segment / possible_intersection (../booleanop.py)           */
 /* ------------------------------------------------------------------ */
 
-static void divide_segment(Ctx *c, int32_t se_l, double ix, double iy) {
+static void divide_segment(Ctx *c, int32_t se_l, real_t ix, real_t iy) {
     int32_t se_r = E(se_l)->other;
     if (se_r < 0) return;
-    if (ix == E(se_l)->x && iy < E(se_l)->y) ix = nextafter(ix, INFINITY);
+    if (ix == E(se_l)->x && iy < E(se_l)->y) ix = REAL_NEXTAFTER(ix, INFINITY);
 
     int32_t cid = E(se_l)->contour_id;
     int isub = E(se_l)->is_subject;
@@ -547,7 +566,7 @@ static int possible_intersection(Ctx *c, int32_t se1, int32_t se2) {
         if ((E(se1)->x == E(se2)->x && E(se1)->y == E(se2)->y) ||
             (E(other1)->x == E(other2)->x && E(other1)->y == E(other2)->y))
             return 0;
-        double px = si.px, py = si.py;
+        real_t px = si.px, py = si.py;
         if (!(E(se1)->x == px && E(se1)->y == py) &&
             !(E(other1)->x == px && E(other1)->y == py))
             divide_segment(c, se1, px, py);
@@ -591,33 +610,33 @@ static int possible_intersection(Ctx *c, int32_t se1, int32_t se2) {
                                 ? EDGE_SAME_TRANSITION
                                 : EDGE_DIFFERENT_TRANSITION;
         if (!right_coincide) {
-            double dx = E(evs[0][0])->x, dy = E(evs[0][0])->y;
+            real_t dx = E(evs[0][0])->x, dy = E(evs[0][0])->y;
             divide_segment(c, evs[1][1], dx, dy);
         }
         return 2;
     }
 
     if (right_coincide) {
-        double dx = E(evs[1][0])->x, dy = E(evs[1][0])->y;
+        real_t dx = E(evs[1][0])->x, dy = E(evs[1][0])->y;
         divide_segment(c, evs[0][0], dx, dy);
         return 3;
     }
 
     if (evs[0][0] != evs[3][1]) {
-        double d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
+        real_t d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
         divide_segment(c, evs[0][0], d1x, d1y);
-        double d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
+        real_t d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
         divide_segment(c, evs[1][0], d2x, d2y);
         return 3;
     }
 
     /* total containment */
     {
-        double d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
+        real_t d1x = E(evs[1][0])->x, d1y = E(evs[1][0])->y;
         divide_segment(c, evs[0][0], d1x, d1y);
         /* re-fetch the mutated other event AFTER the first division */
         int32_t tgt = E(evs[3][0])->other;
-        double d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
+        real_t d2x = E(evs[2][0])->x, d2y = E(evs[2][0])->y;
         divide_segment(c, tgt, d2x, d2y);
         return 3;
     }
@@ -703,10 +722,10 @@ static void compute_fields(Ctx *c, int32_t event, int32_t prev, int operation) {
 /* the sweep (../booleanop.py subdivide)                              */
 /* ------------------------------------------------------------------ */
 
-static int subdivide(Ctx *c, const double *sbbox, const double *cbbox,
+static int subdivide(Ctx *c, const real_t *sbbox, const real_t *cbbox,
                      int operation) {
-    double rightbound = sbbox[2] < cbbox[2] ? sbbox[2] : cbbox[2];
-    double sbbox_max_x = sbbox[2];
+    real_t rightbound = sbbox[2] < cbbox[2] ? sbbox[2] : cbbox[2];
+    real_t sbbox_max_x = sbbox[2];
 
     long event_budget = 100L * (long)c->hn + 100000L;
 
@@ -827,7 +846,7 @@ static int32_t *precompute_iteration_order(Ctx *c, const int32_t *events,
     int32_t i = 0;
     while (i < n) {
         int32_t ref = events[i];
-        double rx = E(ref)->x, ry = E(ref)->y;
+        real_t rx = E(ref)->x, ry = E(ref)->y;
         int32_t r_from = i;
         while (i < n && E(events[i])->x == rx && E(events[i])->y == ry &&
                !E(events[i])->left)
@@ -864,10 +883,10 @@ static int32_t next_pos(int32_t pos, const uint8_t *processed,
     }
 }
 
-static int contour_push_pt(CContour *ct, double x, double y) {
+static int contour_push_pt(CContour *ct, real_t x, real_t y) {
     if (ct->np + 1 > ct->pcap) {
         int32_t ncap = ct->pcap ? ct->pcap * 2 : 16;
-        double *p = (double *)realloc(ct->pts, (size_t)ncap * 2 * sizeof(double));
+        real_t *p = (real_t *)realloc(ct->pts, (size_t)ncap * 2 * sizeof(real_t));
         if (!p) return 0;
         ct->pts = p;
         ct->pcap = ncap;
@@ -936,7 +955,7 @@ typedef struct {
     int32_t n_contours;
     int64_t total_pts;
     int64_t total_holes;
-    double *pts;          /* flattened contour points, x,y */
+    real_t *pts;          /* flattened contour points, x,y */
     int32_t *contour_np;  /* per contour: number of points (open ring) */
     int32_t *hole_of;     /* per contour: parent id or -1 */
     int32_t *contour_nh;  /* per contour: number of hole ids */
@@ -974,8 +993,8 @@ static void ctx_free(Ctx *c) {
  * Caller guarantees rings are closed (first == last) — the Python
  * wrapper mirrors _normalize_multipolygon before flattening. */
 MartinezResult *martinez_boolean_op(
-    const double *s_coords, const int32_t *s_ring_np, int32_t s_nrings,
-    const int32_t *s_poly_nr, int32_t s_npolys, const double *c_coords,
+    const real_t *s_coords, const int32_t *s_ring_np, int32_t s_nrings,
+    const int32_t *s_poly_nr, int32_t s_npolys, const real_t *c_coords,
     const int32_t *c_ring_np, int32_t c_nrings, const int32_t *c_poly_nr,
     int32_t c_npolys, int32_t operation) {
     (void)s_nrings;
@@ -985,13 +1004,13 @@ MartinezResult *martinez_boolean_op(
     Ctx *c = &ctx_store;
     memset(c, 0, sizeof(Ctx));
 
-    double sbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
-    double cbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+    real_t sbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+    real_t cbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
 
     /* fill_queue */
     int32_t contour_id = 0;
     {
-        const double *p = s_coords;
+        const real_t *p = s_coords;
         int32_t ring_idx = 0;
         for (int32_t poly = 0; poly < s_npolys; poly++) {
             contour_id++;
@@ -1080,8 +1099,8 @@ MartinezResult *martinez_boolean_op(
         ct = &contours[cid]; /* re-deref: hole push may not realloc self, but be safe */
 
         int32_t pos = i;
-        double initial_x = E(res[pos])->x;
-        double initial_y = E(res[pos])->y;
+        real_t initial_x = E(res[pos])->x;
+        real_t initial_y = E(res[pos])->y;
         if (!contour_push_pt(ct, initial_x, initial_y)) {
             oom = 1;
             break;
@@ -1124,8 +1143,8 @@ MartinezResult *martinez_boolean_op(
             out->n_contours = n_contours;
             out->total_pts = total_pts;
             out->total_holes = total_holes;
-            out->pts = (double *)malloc((size_t)(total_pts ? total_pts : 1) * 2 *
-                                        sizeof(double));
+            out->pts = (real_t *)malloc((size_t)(total_pts ? total_pts : 1) * 2 *
+                                        sizeof(real_t));
             out->contour_np =
                 (int32_t *)malloc((size_t)(n_contours ? n_contours : 1) * sizeof(int32_t));
             out->hole_of =
@@ -1139,11 +1158,11 @@ MartinezResult *martinez_boolean_op(
                 martinez_free(out);
                 out = 0;
             } else {
-                double *pp = out->pts;
+                real_t *pp = out->pts;
                 int32_t *hp = out->holes;
                 for (int32_t i = 0; i < n_contours; i++) {
                     memcpy(pp, contours[i].pts,
-                           (size_t)contours[i].np * 2 * sizeof(double));
+                           (size_t)contours[i].np * 2 * sizeof(real_t));
                     pp += 2 * contours[i].np;
                     out->contour_np[i] = contours[i].np;
                     out->hole_of[i] = contours[i].hole_of;

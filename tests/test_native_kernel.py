@@ -136,3 +136,100 @@ def test_resolver_prefers_native_and_env_forces_python(monkeypatch):
     assert resolve_boolean_op() is boolean_op
     monkeypatch.setenv("SPARK_GRAFT_KERNEL", "native")
     assert resolve_boolean_op() is boolean_op_native
+
+
+# ---------------------------------------------------------------------------
+# f32-native width (the reference kernel is generic over float width;
+# -DMARTINEZ_F32 builds the same C source at binary32)
+# ---------------------------------------------------------------------------
+
+
+def _f32_available():
+    if not NATIVE_AVAILABLE:
+        return False
+    from rust_geo_booleanop_spark.kernel import native as _n
+
+    _n._load_f32()
+    return _n.F32_NATIVE_AVAILABLE
+
+
+f32_mark = pytest.mark.skipif(
+    not _f32_available(), reason="native f32 kernel unavailable"
+)
+
+
+def _mp_area(mp):
+    tot = 0.0
+    for poly in mp:
+        for k, ring in enumerate(poly):
+            a = 0.0
+            for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+                a += x1 * y2 - x2 * y1
+            tot += abs(a) / 2.0 * (1 if k == 0 else -1)
+    return tot
+
+
+@f32_mark
+def test_f32_native_outputs_are_binary32_exact_and_deterministic():
+    import numpy as np
+
+    from rust_geo_booleanop_spark.kernel.f32 import boolean_op_f32
+
+    for path in _fixture_files()[:10]:
+        subject, clipping, _ = load_fixture(path)
+        for op in ("intersection", "union", "diff", "xor"):
+            r1 = boolean_op_f32(subject, clipping, op, compute="f32")
+            r2 = boolean_op_f32(subject, clipping, op, compute="f32")
+            assert r1 == r2, (path, op)  # deterministic
+            for poly in r1:
+                for ring in poly:
+                    for x, y in ring:
+                        assert float(np.float32(x)) == x
+                        assert float(np.float32(y)) == y
+
+
+@f32_mark
+def test_f32_native_matches_f64_storage_path_on_integer_coords():
+    """On integer-coordinate rectangles every sweep intermediate is exactly
+    representable at both widths, so the true-f32 sweep and the
+    f32-storage/f64-compute path must agree bit-for-bit."""
+    from rust_geo_booleanop_spark.kernel.f32 import boolean_op_f32
+
+    s = [[[(0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0), (0.0, 0.0)]]]
+    c = [[[(4.0, 4.0), (12.0, 4.0), (12.0, 12.0), (4.0, 12.0), (4.0, 4.0)]]]
+    hole = [
+        [
+            [(0.0, 0.0), (16.0, 0.0), (16.0, 16.0), (0.0, 16.0), (0.0, 0.0)],
+            [(4.0, 4.0), (4.0, 12.0), (12.0, 12.0), (12.0, 4.0), (4.0, 4.0)],
+        ]
+    ]
+    for a, b in ((s, c), (hole, c), (s, hole)):
+        for op in ("intersection", "union", "diff", "xor", "diff_ba"):
+            assert boolean_op_f32(a, b, op, compute="f64") == boolean_op_f32(
+                a, b, op, compute="f32"
+            ), op
+
+
+@f32_mark
+def test_f32_native_area_agreement_on_fixtures():
+    """Across the full fixture corpus the two compute widths must agree on
+    area within 1e-3 relative — EXCEPT the fatal1/fatal2 adversarial
+    near-degenerate fixtures, the exact class where the reference's own
+    f32/f64 instantiations diverge (documented in kernel/f32.py)."""
+    from rust_geo_booleanop_spark.kernel.f32 import boolean_op_f32
+
+    for path in _fixture_files():
+        name = os.path.basename(path)
+        if name.startswith("fatal"):
+            continue
+        subject, clipping, _ = load_fixture(path)
+        for op in ("intersection", "union", "diff", "xor"):
+            try:
+                a64 = boolean_op_f32(subject, clipping, op, compute="f64")
+                a32 = boolean_op_f32(subject, clipping, op, compute="f32")
+            except KernelLimitExceeded:
+                continue
+            if a64 == a32:
+                continue
+            ref = _mp_area(a64)
+            assert abs(_mp_area(a32) - ref) <= 1e-3 * max(ref, 1e-9), (name, op)
