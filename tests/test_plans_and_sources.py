@@ -183,3 +183,23 @@ class TestCompactGeojsonWriter:
         assert format_js_number(1e30) == "1e30"
         assert format_js_number(1.5e-7) == "1.5e-7"
         assert format_js_number(-2e21) == "-2e21"
+
+
+def test_flagship_plan_scans_documents_once(spark):
+    """The round-3 single-pass pair join: the full flagship plan must hold
+    exactly ONE parquet scan of the documents table and ONE extraction +
+    ONE synthesis + ONE kernel MapInPandas (3 total) — the pre-round-3
+    self-join shape planned the scan and extraction twice, doubling the
+    most expensive scan+parse stage at 100 TB."""
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    docs = build_documents(spark, TESTDATA)
+    tiled = assign_tiles(boolean_pipeline(extract_geometries(docs)))
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("MapInPandas") == 3  # synthesis, extraction, kernel
