@@ -52,7 +52,42 @@ from ..booleanop import (
 _OP_CODES = {INTERSECTION: 0, UNION: 1, DIFFERENCE: 2, XOR: 3}
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "martinez.c")
-_BUILD_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_build")
+def _read_source() -> bytes:
+    """Read martinez.c — zip-safe.
+
+    Under `spark-submit --py-files engine.zip` the package is imported
+    from a zip, so open(__file__-relative path) fails; importlib.resources
+    reads package data from zips and directories alike. Executors then
+    compile the shipped C source locally (content-hashed, flock'd) — the
+    actual cluster deployment path, no prebuilt .so to distribute."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        from importlib import resources
+
+        return resources.files(__package__).joinpath("martinez.c").read_bytes()
+
+
+def _build_dir() -> str:
+    """Writable build dir: next to the source when the package lives on a
+    real filesystem, else a per-user tmp dir (zip/read-only installs)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    cand = os.path.join(pkg_dir, "_build")
+    try:
+        os.makedirs(cand, exist_ok=True)
+        if os.access(cand, os.W_OK):
+            return cand
+    except OSError:
+        pass
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"martinez-build-{os.getuid()}"
+    )
+
+
+_BUILD_DIR = _build_dir()
 
 NATIVE_AVAILABLE = False
 F32_NATIVE_AVAILABLE = False
@@ -103,11 +138,13 @@ def _exact_sign(p0x, p0y, p1x, p1y, p2x, p2y):
 _EXACT_SIGN_KEEPALIVE = _EXACT_SIGN_CFUNC(_exact_sign)
 
 
+def _src_digest() -> str:
+    return hashlib.sha256(_read_source()).hexdigest()[:16]
+
+
 def _so_path(f32: bool = False) -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
     stem = "libmartinez32" if f32 else "libmartinez"
-    return os.path.join(_BUILD_DIR, f"{stem}-{digest}.so")
+    return os.path.join(_BUILD_DIR, f"{stem}-{_src_digest()}.so")
 
 
 def _build(so_path: str, f32: bool = False) -> bool:
@@ -126,6 +163,13 @@ def _build(so_path: str, f32: bool = False) -> bool:
         try:
             if os.path.exists(so_path):
                 return True
+            # materialize the (possibly zip-shipped) source for gcc
+            src = _read_source()
+            src_path = os.path.join(_BUILD_DIR, f"martinez-{_src_digest()}.c")
+            if not os.path.exists(src_path):
+                with open(src_path + f".tmp.{os.getpid()}", "wb") as f:
+                    f.write(src)
+                os.replace(src_path + f".tmp.{os.getpid()}", src_path)
             tmp = so_path + f".tmp.{os.getpid()}"
             cmd = [
                 "gcc",
@@ -137,7 +181,7 @@ def _build(so_path: str, f32: bool = False) -> bool:
             ]
             if f32:
                 cmd.append("-DMARTINEZ_F32")
-            cmd += ["-o", tmp, _SRC, "-lm"]
+            cmd += ["-o", tmp, src_path, "-lm"]
             proc = subprocess.run(cmd, capture_output=True, timeout=120)
             if proc.returncode != 0:
                 return False
