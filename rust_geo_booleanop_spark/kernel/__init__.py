@@ -43,6 +43,12 @@ def resolve_boolean_op(engine: str | None = None):
     it is the semantic reference the fixture suite graded from round 1.
     """
     eng = engine or _os.environ.get("SPARK_GRAFT_KERNEL", "auto")
+    if eng not in ("auto", "native", "python"):
+        # A typo like SPARK_GRAFT_KERNEL=pyton silently running the native
+        # kernel would be the opposite of the operator's intent.
+        raise ValueError(
+            f"unknown kernel engine {eng!r}: expected 'auto', 'native', or 'python'"
+        )
     if eng == "python":
         return boolean_op
     native_mod = None

@@ -69,9 +69,41 @@ def _read_source() -> bytes:
         return resources.files(__package__).joinpath("martinez.c").read_bytes()
 
 
+def _secure_tmp_build_dir() -> str:
+    """Per-user tmp build dir, hardened against cache poisoning.
+
+    /tmp is world-writable: a predictable shared path would let another
+    local user pre-create the directory and plant a libmartinez-<digest>.so
+    (the digest is computable from the public C source), which ctypes would
+    then CDLL into every Spark worker. Defense: create with mode 0700 and
+    refuse any existing candidate that is a symlink, not a directory, group/
+    world-writable, or not owned by this uid — falling back to a fresh
+    mkdtemp (unguessable name, 0700 by construction) rather than trusting it.
+    """
+    import stat
+    import tempfile
+
+    cand = os.path.join(tempfile.gettempdir(), f"martinez-build-{os.getuid()}")
+    try:
+        os.mkdir(cand, 0o700)
+        return cand
+    except FileExistsError:
+        st = os.lstat(cand)
+        if (
+            stat.S_ISDIR(st.st_mode)
+            and st.st_uid == os.getuid()
+            and not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
+        ):
+            return cand
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix="martinez-build-")
+
+
 def _build_dir() -> str:
     """Writable build dir: next to the source when the package lives on a
-    real filesystem, else a per-user tmp dir (zip/read-only installs)."""
+    real filesystem, else a hardened per-user tmp dir (zip/read-only
+    installs)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     cand = os.path.join(pkg_dir, "_build")
     try:
@@ -80,11 +112,7 @@ def _build_dir() -> str:
             return cand
     except OSError:
         pass
-    import tempfile
-
-    return os.path.join(
-        tempfile.gettempdir(), f"martinez-build-{os.getuid()}"
-    )
+    return _secure_tmp_build_dir()
 
 
 _BUILD_DIR = _build_dir()

@@ -259,14 +259,26 @@ typedef struct {
 
 #define E(i) (&c->ev[(i)])
 
-static int grow_i32(int32_t **arr, int32_t *cap, int32_t need) {
-    if (need <= *cap) return 1;
-    int32_t ncap = *cap ? *cap : 64;
+/* Overflow-safe capacity doubling: counts stay int32 (arena indices are
+ * int32 throughout), so any growth that would pass INT32_MAX degrades to
+ * a clean failure (-> STATUS_OOM/STATUS_LIMIT) instead of signed-overflow
+ * UB. All intermediate arithmetic is int64. */
+static int64_t next_cap(int32_t cap, int64_t need, int32_t initial) {
+    if (need > INT32_MAX) return 0;
+    int64_t ncap = cap ? cap : initial;
     while (ncap < need) ncap *= 2;
+    if (ncap > INT32_MAX) ncap = INT32_MAX;
+    return ncap;
+}
+
+static int grow_i32(int32_t **arr, int32_t *cap, int64_t need) {
+    if (need <= *cap) return 1;
+    int64_t ncap = next_cap(*cap, need, 64);
+    if (!ncap) return 0;
     int32_t *p = (int32_t *)realloc(*arr, (size_t)ncap * sizeof(int32_t));
     if (!p) return 0;
     *arr = p;
-    *cap = ncap;
+    *cap = (int32_t)ncap;
     return 1;
 }
 
@@ -274,14 +286,15 @@ static int32_t new_event(Ctx *c, int32_t contour_id, real_t x, real_t y,
                          int left, int32_t other, int is_subject,
                          int is_exterior_ring) {
     if (c->n >= c->cap) {
-        int32_t ncap = c->cap ? c->cap * 2 : 256;
-        Event *p = (Event *)realloc(c->ev, (size_t)ncap * sizeof(Event));
+        int64_t ncap = next_cap(c->cap, (int64_t)c->n + 1, 256);
+        Event *p = ncap ? (Event *)realloc(c->ev, (size_t)ncap * sizeof(Event))
+                        : 0;
         if (!p) {
             c->oom = 1;
             return -1;
         }
         c->ev = p;
-        c->cap = ncap;
+        c->cap = (int32_t)ncap;
     }
     Event *e = &c->ev[c->n];
     e->x = x;
@@ -392,7 +405,7 @@ static int compare_segments(Ctx *c, int32_t se1, int32_t se2) {
 /* ------------------------------------------------------------------ */
 
 static int heap_push(Ctx *c, int32_t item) {
-    if (!grow_i32(&c->heap, &c->hcap, c->hn + 1)) {
+    if (!grow_i32(&c->heap, &c->hcap, (int64_t)c->hn + 1)) {
         c->oom = 1;
         return 0;
     }
@@ -424,15 +437,16 @@ static int32_t heap_pop(Ctx *c) {
     int32_t startpos = 0;
     int32_t pos = 0;
     int32_t newitem = c->heap[0];
-    int32_t childpos = 1;
+    /* childpos is int64: 2*pos+1 would sign-overflow int32 for pos>2^30 */
+    int64_t childpos = 1;
     while (childpos < endpos) {
-        int32_t rightpos = childpos + 1;
+        int64_t rightpos = childpos + 1;
         if (rightpos < endpos &&
             !event_lt(c, c->heap[childpos], c->heap[rightpos]))
             childpos = rightpos;
         c->heap[pos] = c->heap[childpos];
-        pos = childpos;
-        childpos = 2 * pos + 1;
+        pos = (int32_t)childpos;
+        childpos = 2 * childpos + 1;
     }
     c->heap[pos] = newitem;
     /* _siftdown(heap, startpos, pos) */
@@ -464,7 +478,7 @@ static int32_t sl_insert(Ctx *c, int32_t event) {
         else
             lo = mid + 1;
     }
-    if (!grow_i32(&c->sl, &c->slcap, c->sln + 1)) {
+    if (!grow_i32(&c->sl, &c->slcap, (int64_t)c->sln + 1)) {
         c->oom = 1;
         return 0;
     }
@@ -498,8 +512,8 @@ static void process_ring(Ctx *c, const real_t *coords, int32_t n,
     if (n < 2) return;
     real_t min_x = bbox[0], min_y = bbox[1], max_x = bbox[2], max_y = bbox[3];
     for (int32_t i = 0; i < n - 1; i++) {
-        real_t sx = coords[2 * i], sy = coords[2 * i + 1];
-        real_t ex = coords[2 * i + 2], ey = coords[2 * i + 3];
+        real_t sx = coords[(size_t)2 * i], sy = coords[(size_t)2 * i + 1];
+        real_t ex = coords[(size_t)2 * i + 2], ey = coords[(size_t)2 * i + 3];
         if (sx == ex && sy == ey) continue; /* collapsed edge */
         int32_t e1 = new_event(c, contour_id, sx, sy, 0, -1, is_subject,
                                is_exterior_ring);
@@ -731,7 +745,7 @@ static int subdivide(Ctx *c, const real_t *sbbox, const real_t *cbbox,
 
     while (c->hn) {
         int32_t event = heap_pop(c);
-        if (!grow_i32(&c->se, &c->secap, c->sen + 1)) {
+        if (!grow_i32(&c->se, &c->secap, (int64_t)c->sen + 1)) {
             c->oom = 1;
             return STATUS_OOM;
         }
@@ -884,26 +898,30 @@ static int32_t next_pos(int32_t pos, const uint8_t *processed,
 }
 
 static int contour_push_pt(CContour *ct, real_t x, real_t y) {
-    if (ct->np + 1 > ct->pcap) {
-        int32_t ncap = ct->pcap ? ct->pcap * 2 : 16;
-        real_t *p = (real_t *)realloc(ct->pts, (size_t)ncap * 2 * sizeof(real_t));
+    if ((int64_t)ct->np + 1 > ct->pcap) {
+        int64_t ncap = next_cap(ct->pcap, (int64_t)ct->np + 1, 16);
+        real_t *p = ncap ? (real_t *)realloc(
+                               ct->pts, (size_t)ncap * 2 * sizeof(real_t))
+                         : 0;
         if (!p) return 0;
         ct->pts = p;
-        ct->pcap = ncap;
+        ct->pcap = (int32_t)ncap;
     }
-    ct->pts[2 * ct->np] = x;
-    ct->pts[2 * ct->np + 1] = y;
+    ct->pts[(size_t)2 * ct->np] = x;
+    ct->pts[(size_t)2 * ct->np + 1] = y;
     ct->np++;
     return 1;
 }
 
 static int contour_push_hole(CContour *ct, int32_t hole_id) {
-    if (ct->nh + 1 > ct->hcap) {
-        int32_t ncap = ct->hcap ? ct->hcap * 2 : 4;
-        int32_t *p = (int32_t *)realloc(ct->holes, (size_t)ncap * sizeof(int32_t));
+    if ((int64_t)ct->nh + 1 > ct->hcap) {
+        int64_t ncap = next_cap(ct->hcap, (int64_t)ct->nh + 1, 4);
+        int32_t *p = ncap ? (int32_t *)realloc(ct->holes,
+                                               (size_t)ncap * sizeof(int32_t))
+                          : 0;
         if (!p) return 0;
         ct->holes = p;
-        ct->hcap = ncap;
+        ct->hcap = (int32_t)ncap;
     }
     ct->holes[ct->nh++] = hole_id;
     return 1;
@@ -1018,7 +1036,7 @@ MartinezResult *martinez_boolean_op(
             for (int32_t k = 0; k < nr; k++) {
                 int32_t np = s_ring_np[ring_idx++];
                 process_ring(c, p, np, 1, contour_id, sbbox, k == 0);
-                p += 2 * np;
+                p += (size_t)2 * np;
                 if (c->oom) {
                     ctx_free(c);
                     return result_with_status(STATUS_OOM);
@@ -1035,7 +1053,7 @@ MartinezResult *martinez_boolean_op(
                 int32_t np = c_ring_np[ring_idx++];
                 process_ring(c, p, np, 0, contour_id, cbbox,
                              exterior && k == 0);
-                p += 2 * np;
+                p += (size_t)2 * np;
                 if (c->oom) {
                     ctx_free(c);
                     return result_with_status(STATUS_OOM);
@@ -1079,16 +1097,17 @@ MartinezResult *martinez_boolean_op(
         if (processed[i]) continue;
 
         int32_t cid = n_contours;
-        if (n_contours + 1 > cap_contours) {
-            int32_t ncap = cap_contours ? cap_contours * 2 : 16;
-            CContour *p =
-                (CContour *)realloc(contours, (size_t)ncap * sizeof(CContour));
+        if ((int64_t)n_contours + 1 > cap_contours) {
+            int64_t ncap = next_cap(cap_contours, (int64_t)n_contours + 1, 16);
+            CContour *p = ncap ? (CContour *)realloc(
+                                     contours, (size_t)ncap * sizeof(CContour))
+                               : 0;
             if (!p) {
                 oom = 1;
                 break;
             }
             contours = p;
-            cap_contours = ncap;
+            cap_contours = (int32_t)ncap;
         }
         CContour *ct = &contours[n_contours++];
         memset(ct, 0, sizeof(CContour));
@@ -1163,7 +1182,7 @@ MartinezResult *martinez_boolean_op(
                 for (int32_t i = 0; i < n_contours; i++) {
                     memcpy(pp, contours[i].pts,
                            (size_t)contours[i].np * 2 * sizeof(real_t));
-                    pp += 2 * contours[i].np;
+                    pp += (size_t)2 * contours[i].np;
                     out->contour_np[i] = contours[i].np;
                     out->hole_of[i] = contours[i].hole_of;
                     out->contour_nh[i] = contours[i].nh;

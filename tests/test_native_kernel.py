@@ -138,6 +138,43 @@ def test_resolver_prefers_native_and_env_forces_python(monkeypatch):
     assert resolve_boolean_op() is boolean_op_native
 
 
+def test_resolver_rejects_unknown_engine(monkeypatch):
+    # A typo like 'pyton' must fail loudly, not silently pick 'auto'
+    # (which would run the native kernel — the opposite of the intent).
+    monkeypatch.setenv("SPARK_GRAFT_KERNEL", "pyton")
+    with pytest.raises(ValueError, match="pyton"):
+        resolve_boolean_op()
+    monkeypatch.delenv("SPARK_GRAFT_KERNEL", raising=False)
+    with pytest.raises(ValueError, match="Native"):
+        resolve_boolean_op("Native")
+
+
+def test_secure_tmp_build_dir_refuses_foreign_dir(tmp_path, monkeypatch):
+    # The /tmp fallback must never trust a pre-existing world/group-writable
+    # candidate (cache-poisoning: another uid plants a .so at the
+    # predictable path). A hostile-mode dir must be bypassed via mkdtemp.
+    import rust_geo_booleanop_spark.kernel.native as native_mod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    try:
+        cand = tmp_path / f"martinez-build-{os.getuid()}"
+        cand.mkdir(mode=0o777)
+        os.chmod(cand, 0o777)  # bypass umask
+        got = native_mod._secure_tmp_build_dir()
+        assert got != str(cand)
+        assert os.path.dirname(got) == str(tmp_path)
+        assert os.stat(got).st_mode & 0o077 == 0
+        os.rmdir(got)
+        # A clean 0700 self-owned candidate IS reused.
+        os.chmod(cand, 0o700)
+        assert native_mod._secure_tmp_build_dir() == str(cand)
+    finally:
+        tempfile.tempdir = None
+
+
 # ---------------------------------------------------------------------------
 # f32-native width (the reference kernel is generic over float width;
 # -DMARTINEZ_F32 builds the same C source at binary32)
