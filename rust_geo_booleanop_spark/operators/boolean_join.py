@@ -34,7 +34,7 @@ BOOLEAN_RESULTS_SCHEMA = (
 )
 
 
-def pair_candidates(geoms: DataFrame) -> DataFrame:
+def pair_candidates(geoms: DataFrame, max_side: int = 10_000) -> DataFrame:
     """Form (subject, clipping) candidate pairs per case from ONE pass.
 
     Changed in round 3: the previous shape self-joined a subject branch
@@ -46,11 +46,15 @@ def pair_candidates(geoms: DataFrame) -> DataFrame:
     the two collected sides — the identical pair set the equi-join
     produced, at half the scan cost and the same one shuffle.
 
-    Bound: a case with S subjects and C clippings holds S+C geometries in
-    one aggregation row before exploding to S*C pairs; for the web-page
-    corpus (one subject + one clipping per case URL) this is 2. A
-    pathologically hot case would need the salted-join shape instead
-    (operators/skew.py) — not this corpus's contract.
+    Bound (guarded since round 4): a case with S subjects and C clippings
+    holds S+C geometries in one aggregation row before exploding to S*C
+    pairs; for the web-page corpus (one subject + one clipping per case
+    URL) this is 2. A hot case key exceeding `max_side` on either side
+    raises an actionable error in-plan (before the S*C explode multiplies
+    the blow-up) instead of silently risking an executor OOM — such a
+    corpus should use `pair_candidates_salted`, which streams the cross
+    product through a salted equi-join and never materializes a case's
+    geometry list in one row.
     """
     s = F.when(
         F.col("role") == "subject", F.struct(F.col("url"), F.col("geom_json"))
@@ -67,8 +71,25 @@ def pair_candidates(geoms: DataFrame) -> DataFrame:
         # semantics preserved)
         .agg(F.collect_list("s").alias("subs"), F.collect_list("c").alias("clips"))
     )
+    # Skew valve: fail fast with a routing hint on a pathologically hot
+    # case key. assert_true is wrapped into the projected column (not a
+    # free-standing select item) so column pruning cannot drop it.
+    within = (F.size("subs") <= max_side) & (F.size("clips") <= max_side)
+    guard_msg = F.concat(
+        F.lit("pair_candidates: case_id "),
+        F.col("case_id").cast("string"),
+        F.lit(" has "),
+        F.size("subs").cast("string"),
+        F.lit(" subjects x "),
+        F.size("clips").cast("string"),
+        F.lit(
+            f" clippings (max_side={max_side}); hot case keys need the "
+            "salted streaming shape - use pair_candidates_salted()"
+        ),
+    )
+    guarded_subs = F.when(F.assert_true(within, guard_msg).isNull(), F.col("subs"))
     return (
-        grouped.select("case_id", F.explode("subs").alias("s"), "clips")
+        grouped.select("case_id", F.explode(guarded_subs).alias("s"), "clips")
         .select("case_id", "s", F.explode("clips").alias("c"))
         .select(
             "case_id",
@@ -77,6 +98,51 @@ def pair_candidates(geoms: DataFrame) -> DataFrame:
             F.col("c.url").alias("clipping_url"),
             F.col("c.geom_json").alias("clipping_json"),
         )
+    )
+
+
+def pair_candidates_salted(
+    geoms: DataFrame, threshold: int = 1_000, factor: int = 16
+) -> DataFrame:
+    """Hot-case-safe pair formation: salted equi-join instead of collect_list.
+
+    For corpora whose case keys can be pathologically hot (one case with
+    thousands of subjects/clippings), the collect_list shape of
+    `pair_candidates` would hold S+C geometries in ONE aggregation row.
+    This shape instead equi-joins a subject branch against a clipping
+    branch on (case_id, salt) (operators/skew.py): cases past `threshold`
+    subjects fan their subject rows across `factor` salts and replicate
+    clipping rows per salt, so a hot case's S*C pairs stream through
+    `factor` reducers with no single-row aggregation state at all.
+
+    Tradeoff vs `pair_candidates`: Catalyst plans the extraction lineage
+    twice (both branches) — at 100 TB materialize the extraction output
+    first (checkpointed parquet; sources/checkpoint.py) so both branches
+    re-read columnar geometry rows rather than re-parsing pages. Pair set
+    is identical (tests/test_spark_pipeline.py pins equality).
+    """
+    from .skew import salted_join
+
+    subjects = geoms.filter(F.col("role") == "subject").select(
+        "case_id",
+        F.col("url").alias("subject_url"),
+        F.col("geom_json").alias("subject_json"),
+    )
+    clippings = geoms.filter(F.col("role") == "clipping").select(
+        "case_id",
+        F.col("url").alias("clipping_url"),
+        F.col("geom_json").alias("clipping_json"),
+    )
+    joined = salted_join(
+        subjects,
+        clippings,
+        key="case_id",
+        threshold=threshold,
+        factor=factor,
+        hash_col="subject_url",
+    )
+    return joined.select(
+        "case_id", "subject_url", "subject_json", "clipping_url", "clipping_json"
     )
 
 

@@ -270,9 +270,17 @@ def kmeans_pivots(
         .limit(k)
         .select(F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec"))
     )
-    # stable 0..k-1 pivot ids so lists keep identity across iterations
+    # stable 0..k-1 pivot ids so lists keep identity across iterations;
+    # partitionBy(lit(0)) pins the k-row frame to one (tiny) partition
+    # explicitly instead of tripping the unpartitioned-Window warning on
+    # every iteration's re-evaluation of this lineage prefix.
     pivots = pivots.select(
-        (F.row_number().over(Window.orderBy(F.asc("pivot_id"))) - 1).alias("pivot_id"),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.lit(0)).orderBy(F.asc("pivot_id"))
+            )
+            - 1
+        ).alias("pivot_id"),
         "pivot_vec",
     )
 

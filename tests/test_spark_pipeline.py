@@ -106,3 +106,31 @@ def test_pair_join_cardinality(spark):
     n_cases = geoms.filter(F.col("role") == "subject").count()
     pairs = pair_candidates(geoms)
     assert pairs.count() == n_cases
+
+
+def test_pair_candidates_skew_valve(spark):
+    """Hot case keys must not silently OOM the collect_list row: the
+    default shape fails fast with a routing hint, and the salted shape
+    streams the identical pair set through the equi-join."""
+    from rust_geo_booleanop_spark.operators.boolean_join import (
+        pair_candidates_salted,
+    )
+
+    rows = [(1, "subject", f"hot/s{i}", "{}") for i in range(60)]
+    rows += [(1, "clipping", "hot/c0", "{}")]
+    rows += [(2, "subject", "ok/s", "{}"), (2, "clipping", "ok/c", "{}")]
+    geoms = spark.createDataFrame(
+        rows, "case_id long, role string, url string, geom_json string"
+    )
+
+    with pytest.raises(Exception, match="pair_candidates_salted"):
+        pair_candidates(geoms, max_side=50).count()
+
+    # The salted streaming shape handles the hot case: 60x1 + 1x1 pairs.
+    salted = pair_candidates_salted(geoms, threshold=10, factor=4)
+    assert salted.count() == 61
+
+    # Identical pair sets whenever the default shape is within bounds.
+    a = {tuple(r) for r in pair_candidates(geoms, max_side=100).collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
