@@ -1,17 +1,25 @@
-"""Pure-stdlib media codecs: 8-bit grayscale PNG and PCM16 WAV.
+"""Pure-stdlib media codecs: 8-bit grayscale PNG, PCM16 WAV, MPNG video.
 
 This container has no Pillow/soundfile/ffmpeg, but PNG and WAV are
-stdlib-decodable (zlib + struct, `wave`), so the image and audio seams of
-operators/multimodal.py run REAL decodes over real containers: the media
-column holds genuine PNG/WAV bytes and the feature extractors parse them
-— only the video seam remains a documented stub (no stdlib H.264).
+stdlib-decodable (zlib + struct, `wave`), so the image, audio, AND video
+seams of operators/multimodal.py run REAL decodes over real containers:
+the media column holds genuine PNG/WAV/MPNG bytes and the feature
+extractors parse them.
+
+Video (round 4): there is no stdlib H.264, so the synthetic clips use an
+MJPEG-style intra-only stream with PNG in place of JPEG — "MPNG":
+length-prefixed PNG keyframes at a fixed frame interval. The decoder
+seeks by skipping length prefixes (no decode of skipped frames) and
+parses only the requested keyframe, the exact access pattern a PyAV
+keyframe extractor uses (`container.seek(ts)` + decode one frame).
 
 Scope (exactly what the synthetic corpus needs, kept small on purpose):
 PNG: 8-bit grayscale, non-interlaced; decoder handles all five scanline
 filters (None/Sub/Up/Average/Paeth) so a foreign encoder's output parses
 too; encoder emits filter 0 rows. WAV: mono PCM16 via the stdlib `wave`
-module. A Pillow/soundfile drop-in only has to reproduce
-`decode_png_gray8` / `decode_wav_pcm16` semantics (pinned by
+module. A Pillow/soundfile/PyAV drop-in only has to reproduce
+`decode_png_gray8` / `decode_wav_pcm16` / `decode_mpng_frame` semantics
+(pinned by
 tests/test_multimodal.py seam tests).
 """
 
@@ -131,3 +139,47 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("only mono PCM16 WAV supported")
         frames = wf.readframes(wf.getnframes())
         return np.frombuffer(frames, dtype=np.int16), wf.getframerate()
+
+
+_MPNG_MAGIC = b"MPNG"
+
+
+def encode_mpng(frames: list, frame_interval_ms: int) -> bytes:
+    """Intra-only video container: length-prefixed PNG keyframes.
+
+    Layout: b'MPNG' | u32 n_frames | u32 interval_ms | (u32 len | PNG)*.
+    Every frame is an independent keyframe (like MJPEG), so decode of any
+    frame needs no other frame — the property that makes distributed
+    frame sampling embarrassingly parallel."""
+    if not frames:
+        raise ValueError("encode_mpng requires at least one frame")
+    if frame_interval_ms <= 0:
+        raise ValueError("frame_interval_ms must be positive")
+    parts = [_MPNG_MAGIC + struct.pack("<II", len(frames), frame_interval_ms)]
+    for img in frames:
+        png = encode_png_gray8(img)
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def mpng_info(data: bytes) -> tuple[int, int]:
+    """(n_frames, frame_interval_ms) from the MPNG header — O(1)."""
+    if data[:4] != _MPNG_MAGIC:
+        raise ValueError("not an MPNG payload")
+    n_frames, interval_ms = struct.unpack("<II", data[4:12])
+    return n_frames, interval_ms
+
+
+def decode_mpng_frame(data: bytes, frame_no: int) -> np.ndarray:
+    """Seek + decode ONE keyframe: earlier frames are skipped by their
+    length prefix (never decompressed); only the requested PNG is parsed."""
+    n_frames, _ = mpng_info(data)
+    if not 0 <= frame_no < n_frames:
+        raise IndexError(f"frame {frame_no} out of range (n_frames={n_frames})")
+    pos = 12
+    for _ in range(frame_no):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        pos += 4 + ln
+    (ln,) = struct.unpack("<I", data[pos : pos + 4])
+    return decode_png_gray8(data[pos + 4 : pos + 4 + ln])

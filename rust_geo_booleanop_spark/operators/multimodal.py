@@ -1,16 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-Round 3: image and audio decode are REAL — the media column carries
-genuine PNG (8-bit grayscale) and WAV (mono PCM16) containers, and
-`_decode_image` / `_decode_audio` parse them with the pure-stdlib codecs
-in functions/codecs.py (zlib/struct/wave; no Pillow/soundfile needed).
-The pixel/sample CONTENT is still synthesized deterministically from the
-url hash (there is no real media corpus in the sandbox), so tests assert
-exact values, but the decode path exercised at scale is a real
-parse-container -> unfilter -> ndarray pipeline. Only the VIDEO frame
-decode remains a documented deterministic fake (no stdlib H.264); its
-seam is one function (`_decode_video_frame` — a PyAV drop-in changes
-nothing else).
+All three decode seams are REAL as of round 4 — the media column carries
+genuine PNG (8-bit grayscale), WAV (mono PCM16), and MPNG (intra-only
+PNG-keyframe video) containers, and `_decode_image` / `_decode_audio` /
+`_decode_video_frame` parse them with the pure-stdlib codecs in
+functions/codecs.py (zlib/struct/wave; no Pillow/soundfile/ffmpeg
+needed). The pixel/sample CONTENT is still synthesized deterministically
+from the url hash (there is no real media corpus in the sandbox), so
+tests assert exact values, but the decode path exercised at scale is a
+real parse-container -> seek -> unfilter -> ndarray pipeline. A PyAV
+drop-in for real H.264 changes only `_decode_video_frame`.
 """
 
 from __future__ import annotations
@@ -25,10 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codecs import (
+    decode_mpng_frame,
     decode_png_gray8,
     decode_wav_pcm16,
+    encode_mpng,
     encode_png_gray8,
     encode_wav_pcm16,
+    mpng_info,
 )
 
 MEDIA_SCHEMA = (
@@ -41,8 +43,12 @@ MEDIA_SCHEMA = (
 # without shuffling minute-long PCM per row through synth_media.
 AUDIO_EXCERPT_MS = 2000
 
-# Video decode is still a fake (see module docstring); image/audio are real.
-_FAKE_VIDEO_DECODE = True
+# Video payloads store one keyframe per interval, capped (excerpt shape,
+# like audio): up to 8 keyframes at 1000 ms covers the default sampler
+# (every_ms=1000, max_frames=8); timestamps past the excerpt clamp to the
+# last keyframe.
+VIDEO_FRAME_INTERVAL_MS = 1000
+VIDEO_MAX_STORED_FRAMES = 8
 
 
 def _tile_content(content: bytes, n: int) -> np.ndarray:
@@ -53,15 +59,27 @@ def _tile_content(content: bytes, n: int) -> np.ndarray:
     return np.tile(raw, reps)[:n]
 
 
+def _video_frame_content(content: bytes, frame_no: int) -> bytes:
+    """Per-keyframe content stream: (clip content, frame_no)-salted hash,
+    tiled — successive keyframes of a clip differ, and the formula matches
+    the round-3 pseudo-pixels exactly, so features are continuous across
+    the fake->real-container migration."""
+    salt = hashlib.blake2b(
+        content + struct.pack("<i", frame_no), digest_size=32
+    ).digest()
+    return salt * 8
+
+
 def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFrame:
     """Deterministic media table derived from document urls.
 
-    Payloads are REAL containers (PNG for images, WAV for audio — parsed
-    back by real decoders downstream); their pixel/sample content is the
-    url-keyed hash stream, so every derived feature is deterministic.
-    Video payloads stay raw hash bytes (decode is the documented fake).
-    Audio stores the first AUDIO_EXCERPT_MS of content (preview-clip
-    shape); duration_ms still records the full source duration."""
+    Payloads are REAL containers (PNG for images, WAV for audio, MPNG
+    keyframe streams for video — parsed back by real decoders
+    downstream); their pixel/sample content is the url-keyed hash stream,
+    so every derived feature is deterministic. Audio stores the first
+    AUDIO_EXCERPT_MS of content and video the first
+    VIDEO_MAX_STORED_FRAMES keyframes (preview-clip shape); duration_ms
+    still records the full source duration."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -90,12 +108,26 @@ def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFr
                     out["duration_ms"].append(None)
                     out["codec"].append("png")
                 elif kind == "video":
-                    out["media"].append(content)
-                    out["width"].append(64 + seed % 256)
-                    out["height"].append(64 + (seed >> 9) % 256)
+                    w = 64 + seed % 256
+                    h = 64 + (seed >> 9) % 256
+                    dur_ms = 2000 + seed % 30000
+                    n_stored = min(
+                        VIDEO_MAX_STORED_FRAMES,
+                        max(1, dur_ms // VIDEO_FRAME_INTERVAL_MS),
+                    )
+                    frames = [
+                        _tile_content(_video_frame_content(content, fi), w * h)
+                        .reshape(h, w)
+                        for fi in range(n_stored)
+                    ]
+                    out["media"].append(
+                        encode_mpng(frames, VIDEO_FRAME_INTERVAL_MS)
+                    )
+                    out["width"].append(w)
+                    out["height"].append(h)
                     out["sample_rate"].append(None)
-                    out["duration_ms"].append(2000 + seed % 30000)
-                    out["codec"].append("h264")
+                    out["duration_ms"].append(dur_ms)
+                    out["codec"].append("mpng")
                 else:
                     sr = 16000
                     dur_ms = 1000 + seed % 60000
@@ -186,17 +218,16 @@ def resize_images(media: DataFrame, out_width: int = 32, out_height: int = 32) -
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
-def _decode_video_frame(payload: bytes, width: int, height: int, frame_no: int) -> np.ndarray:
-    """FAKE decode of one video frame: deterministic pseudo-pixels from
-    (payload, frame_no). A real implementation would seek+decode via
-    PyAV/ffmpeg; only this function changes (image/audio decode are real
-    as of round 3 — video is the one remaining stub: no stdlib H.264)."""
-    if not _FAKE_VIDEO_DECODE:  # pragma: no cover
-        raise NotImplementedError("real video decode requires PyAV/ffmpeg")
-    salt = hashlib.blake2b(
-        payload + struct.pack("<i", frame_no), digest_size=32
-    ).digest()
-    return _tile_content(salt * 8, width * height).reshape(height, width)
+def _decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
+    """REAL decode: seek to the keyframe covering ts_ms in the MPNG
+    container (length-prefix skip, no decode of earlier frames) and parse
+    only that PNG (functions/codecs.py). Timestamps past the stored
+    excerpt clamp to the last keyframe (excerpt semantics, like audio's
+    AUDIO_EXCERPT_MS). A PyAV drop-in is `container.seek(ts_ms)` + decode
+    of the next frame — same contract, pinned by the seam tests."""
+    n_frames, interval_ms = mpng_info(bytes(payload))
+    idx = min(n_frames - 1, ts_ms // interval_ms)
+    return decode_mpng_frame(bytes(payload), idx)
 
 
 VIDEO_FRAMES_SCHEMA = (
@@ -207,20 +238,21 @@ VIDEO_FRAMES_SCHEMA = (
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
-    """Frame-sample video: decode (stub) one frame per `every_ms`, emit
-    per-frame features — one output row per (clip, sampled frame). The
-    explode happens Python-side inside the Arrow batch (no per-row UDF),
-    exactly the shape a real keyframe extractor would use."""
+    """Frame-sample video: REAL seek+decode of one keyframe per
+    `every_ms`, emit per-frame features — one output row per (clip,
+    sampled frame). The explode happens Python-side inside the Arrow
+    batch (no per-row UDF), exactly the shape a real keyframe extractor
+    would use."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"url": [], "frame_no": [], "ts_ms": [], "mean_pixel": [], "phash": []}
-            for url, payload, w, h, dur in zip(
-                pdf["url"], pdf["media"], pdf["width"], pdf["height"], pdf["duration_ms"]
+            for url, payload, dur in zip(
+                pdf["url"], pdf["media"], pdf["duration_ms"]
             ):
                 n_frames = min(max_frames, max(1, int(dur) // every_ms))
                 for fi in range(n_frames):
-                    img = _decode_video_frame(bytes(payload), int(w), int(h), fi)
+                    img = _decode_video_frame(bytes(payload), fi * every_ms)
                     hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
                     bits = (hh > hh.mean()).flatten()
                     phash = 0

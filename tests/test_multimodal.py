@@ -178,6 +178,103 @@ class TestCodecSeam:
         assert sr == 16000
         assert (got == samples).all()
 
+    def test_mpng_roundtrip_exact(self):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import (
+            decode_mpng_frame,
+            encode_mpng,
+            mpng_info,
+        )
+
+        rng = np.random.RandomState(23)
+        frames = [
+            rng.randint(0, 256, size=(17, 29), dtype=np.uint8) for _ in range(4)
+        ]
+        payload = encode_mpng(frames, 500)
+        assert mpng_info(payload) == (4, 500)
+        for i, f in enumerate(frames):
+            assert (decode_mpng_frame(payload, i) == f).all(), f"frame {i}"
+        import pytest as _pytest
+
+        with _pytest.raises(IndexError):
+            decode_mpng_frame(payload, 4)
+
+    def test_video_decode_seam_and_excerpt_clamp(self):
+        """_decode_video_frame seeks by timestamp and clamps timestamps
+        past the stored excerpt to the last keyframe."""
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import encode_mpng
+        from rust_geo_booleanop_spark.operators.multimodal import (
+            _decode_video_frame,
+        )
+
+        rng = np.random.RandomState(3)
+        frames = [
+            rng.randint(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(3)
+        ]
+        payload = encode_mpng(frames, 1000)
+        assert (_decode_video_frame(payload, 0) == frames[0]).all()
+        assert (_decode_video_frame(payload, 999) == frames[0]).all()
+        assert (_decode_video_frame(payload, 1000) == frames[1]).all()
+        assert (_decode_video_frame(payload, 2500) == frames[2]).all()
+        # past the excerpt: clamp to last keyframe, never IndexError
+        assert (_decode_video_frame(payload, 60_000) == frames[2]).all()
+
+    def test_video_payload_frames_golden(self, spark):
+        """Per-frame golden mirroring the m01 PNG tests: the MPNG payload
+        decodes to EXACTLY the (content, frame_no)-derived keyframes, and
+        sample_video_frames' features equal a local decode of the same
+        container."""
+        import hashlib
+
+        import numpy as np
+
+        from rust_geo_booleanop_spark.functions.codecs import (
+            decode_mpng_frame,
+            mpng_info,
+        )
+        from rust_geo_booleanop_spark.operators import synth_media
+        from rust_geo_booleanop_spark.operators.multimodal import (
+            _tile_content,
+            _video_frame_content,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"https://vid.example/{i}",) for i in range(30)], "url string"
+        )
+        media = synth_media(spark, docs, kinds=("image", "audio", "video"))
+        vids = media.filter(F.col("kind") == "video").collect()
+        assert len(vids) > 0
+        for r in vids:
+            assert r.codec == "mpng"
+            payload = bytes(r.media)
+            n_frames, interval = mpng_info(payload)
+            assert interval == 1000 and 1 <= n_frames <= 8
+            content = hashlib.blake2b(
+                r.url.encode(), digest_size=32, person=b"media"
+            ).digest() * 8
+            for fi in range(n_frames):
+                expect = _tile_content(
+                    _video_frame_content(content, fi), r.width * r.height
+                ).reshape(r.height, r.width)
+                assert (decode_mpng_frame(payload, fi) == expect).all(), (
+                    f"{r.url} frame {fi}"
+                )
+        # operator features == local decode of the same containers
+        got = {
+            (r.url, r.frame_no): (r.ts_ms, r.mean_pixel)
+            for r in sample_video_frames(media, every_ms=1000, max_frames=8).collect()
+        }
+        for r in vids:
+            payload = bytes(r.media)
+            n_frames, _ = mpng_info(payload)
+            n_sampled = min(8, max(1, r.duration_ms // 1000))
+            for fi in range(n_sampled):
+                img = decode_mpng_frame(payload, min(n_frames - 1, fi))
+                assert got[(r.url, fi)] == (fi * 1000, float(img.mean()))
+
     def test_media_payloads_are_real_containers(self, spark):
         """synth_media emits parseable PNG/WAV payloads whose decoded
         shape matches the metadata columns."""
