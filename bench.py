@@ -143,37 +143,84 @@ def main():
     # iterations bounds the noise exposure of the reported number.
     bench_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
 
-    def timed(name, fn, iters=1):
-        fn()  # untimed warm-up: steady-state worker pool + JIT'd codegen
-        best, out = None, None
-        for _ in range(max(1, iters)):
-            t0 = time.time()
-            out = fn()
-            dt = time.time() - t0
+    # Per-op calm bands (upper bound of the observed calm-box wall, sec;
+    # BENCH.md "Headline operator timings", calibrated at the default
+    # replicate=8 corpus). An op whose best-of-N lands above 2x its band
+    # triggers extra re-runs and attaches a sentinel probe to its entry,
+    # so every recorded number carries its own noise evidence — rounds 2
+    # and 3 each put a phantom hot-box regression on record because only
+    # the flagship was defended.
+    op_calm_max = {
+        "pip_join": 2.4,
+        "knn_join": 1.1,
+        "zonal_stats": 2.7,
+        "asof_join": 4.8,
+        "sessionize": 1.3,
+        "exact_dedup": 1.2,
+        "minhash_dedup": 3.1,
+        "ngram_jaccard": 9.0,
+        "cosine_topk": 1.5,
+        "ivf_topk": 1.9,
+    }
+    if replicate == 8:
+        op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
+
+    op_evidence: dict[str, dict] = {}
+
+    def _sentinel_reading() -> float:
+        """One asia/union pure-Python-kernel timing (calm 0.42-0.60 s) —
+        the cheap single-threaded co-tenant-noise sentinel."""
+        from rust_geo_booleanop_spark.kernel import boolean_op as _bo
+        from rust_geo_booleanop_spark.kernel.bench_cases import CRITERION_CASES
+
+        make, op = next((m, o) for n, m, o in CRITERION_CASES if n == "asia/union")
+        subject, clipping = make()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _bo(subject, clipping, op)
+            dt = time.perf_counter() - t0
             if best is None or dt < best:
                 best = dt
-        timings[name] = round(best, 3)
-        return out
+        return round(best, 4)
 
-    def timed_defended(name, fn, base_iters, max_iters=6, samples_out=None):
-        """Noise-defended timing for the headline metric: keep sampling
-        until the floor is corroborated (two samples within 10 % of the
-        best) or max_iters is spent. On a calm box this costs exactly
-        base_iters runs; in a noise phase the extra attempts either find
-        the floor or go on record as evidence the box was hot for every
-        attempt (all samples + before/after probes land in the JSON)."""
-        fn()  # untimed warm-up
-        samples = []
+    def timed(name, fn, base_iters=None, max_iters=6, samples_out=None):
+        """Noise-defended timing for EVERY recorded op. Sample until the
+        floor is corroborated (two samples within 10 % of the best) AND
+        the best sits inside 2x the op's calm band, or max_iters is
+        spent. On a calm box this costs exactly base_iters runs; a best
+        that still lands outside its band goes on record with its own
+        sentinel probe, so the artifact proves whether it was the box or
+        the code."""
+        fn()  # untimed warm-up: steady-state worker pool + JIT'd codegen
+        base = max(2, base_iters if base_iters is not None else bench_iters)
+        calm_max = op_calm_max.get(name)
+        samples: list[float] = []
         out = None
         while len(samples) < max_iters:
             t0 = time.time()
             out = fn()
             samples.append(round(time.time() - t0, 3))
-            if len(samples) >= max(2, base_iters):
+            if len(samples) >= base:
                 s = sorted(samples)
-                if s[1] <= s[0] * 1.10:
+                corroborated = s[1] <= s[0] * 1.10
+                in_band = calm_max is None or s[0] <= 2.0 * calm_max
+                if corroborated and in_band:
                     break
-        timings[name] = min(samples)
+                # Hot box: once the floor is corroborated with two extra
+                # attempts spent, more re-runs can't prove anything the
+                # attached sentinel probe doesn't — stop burning time.
+                if corroborated and len(samples) >= base + 2:
+                    break
+        best = min(samples)
+        timings[name] = best
+        evidence: dict = {"samples": samples}
+        if calm_max is not None:
+            evidence["calm_max_s"] = calm_max
+            if best > 2.0 * calm_max:
+                evidence["sentinel_after"] = _sentinel_reading()
+                evidence["probe"] = box_noise_probe()
+        op_evidence[name] = evidence
         if samples_out is not None:
             samples_out.extend(samples)
         return out
@@ -217,15 +264,18 @@ def main():
     # cluster the pool persists across jobs anyway.
     probe_before = box_noise_probe()
     flagship_samples: list[float] = []
-    n_tiled = timed_defended(
+    n_tiled = timed(
         "flagship_boolean_tiling", flagship, base_iters=bench_iters,
         samples_out=flagship_samples,
     )
     probe_after = box_noise_probe()
+    section_sentinels: dict[str, float] = {}
     noise = {
         "flagship_samples": flagship_samples,
         "probe_before": probe_before,
         "probe_after": probe_after,
+        "ops": op_evidence,
+        "section_sentinels": section_sentinels,
         "calm_bands": {"asia_union_s": [0.42, 0.60], "stream8_mbps_min": 40000},
     }
 
@@ -242,6 +292,7 @@ def main():
         return
 
     # --- spatial joins ---
+    section_sentinels["spatial"] = _sentinel_reading()
     points = entrymod._points(spark, sf_dir)
     zones = entrymod._zones(spark)
     timed("pip_join", lambda: point_in_polygon_join(points, zones).count())
@@ -252,6 +303,7 @@ def main():
     timed("zonal_stats", lambda: zonal_stats_join(points, zones).count())
 
     # --- temporal ops over the events stream ---
+    section_sentinels["temporal"] = _sentinel_reading()
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", "ts"
@@ -274,6 +326,7 @@ def main():
     )
 
     # --- training-data pipeline ops ---
+    section_sentinels["dedup"] = _sentinel_reading()
     documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed("exact_dedup", lambda: exact_dedup(documents).count())
     timed("minhash_dedup", lambda: minhash_dedup(documents, threshold=0.7).count())
@@ -286,6 +339,7 @@ def main():
     # ops see a cluster-shaped source instead of a single-task scan (the
     # ops themselves deliberately do NOT repartition the corpus — at scale
     # that shuffle would carry every embedding).
+    section_sentinels["similarity"] = _sentinel_reading()
     embeddings = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
         n_workers
     )
