@@ -47,6 +47,15 @@ def run_leg(cpus: int, replicate: int) -> dict:
         SPARK_GRAFT_BENCH_ITERS="2",
         SPARK_GRAFT_BENCH_ONLY="flagship",
         SPARK_GRAFT_BENCH_REPLICATE=str(replicate),
+        # Heap scales with the leg's core count (2 GB/core), because the
+        # north rule compares N vs 4N EXECUTORS and executors bring their
+        # own memory: a fixed single-JVM heap gives the 4N leg 4x less
+        # execution memory per task than the N leg — a shared-driver
+        # artifact (spill/GC asymmetry that grows with corpus size), not
+        # an engine property. 2 GB/core keeps the lo leg at its
+        # historical 8 GB (round-3 runs comparable) and the 4N leg at
+        # what four times the executors would actually provide.
+        SPARK_DRIVER_MEMORY=f"{2 * cpus}g",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
