@@ -25,6 +25,7 @@ from .geojson import (
 )
 from .predicates import signed_area, segment_intersection
 from .f32 import boolean_op_f32, quantize_multipolygon_f32
+from .pairs import pair_boolean_ops_python, resolve_pair_runner, resolve_bbox_fn
 
 import os as _os
 
@@ -67,6 +68,9 @@ def resolve_boolean_op(engine: str | None = None):
 __all__ = [
     "boolean_op",
     "resolve_boolean_op",
+    "pair_boolean_ops_python",
+    "resolve_pair_runner",
+    "resolve_bbox_fn",
     "intersection",
     "union",
     "difference",

@@ -221,6 +221,19 @@ def _build(so_path: str, f32: bool = False) -> bool:
             fcntl.flock(lock, fcntl.LOCK_UN)
 
 
+class _MzOpOut(ctypes.Structure):
+    _fields_ = [
+        ("status", c_int32),
+        ("n_polys", c_int32),
+        ("xmin", c_double),
+        ("ymin", c_double),
+        ("xmax", c_double),
+        ("ymax", c_double),
+        ("json", c_void_p),
+        ("json_len", c_int64),
+    ]
+
+
 def _load_one(f32: bool, coord_ctype, result_struct):
     so = _so_path(f32)
     if not os.path.exists(so) and not _build(so, f32):
@@ -237,6 +250,19 @@ def _load_one(f32: bool, coord_ctype, result_struct):
     lib.martinez_set_exact_sign.restype = None
     lib.martinez_set_exact_sign.argtypes = [_EXACT_SIGN_CFUNC]
     lib.martinez_set_exact_sign(_EXACT_SIGN_KEEPALIVE)
+    if not f32:
+        # JSON pair runner (f64 build only)
+        lib.mz_pair_run.restype = c_int32
+        lib.mz_pair_run.argtypes = [
+            ctypes.c_char_p, c_int64, ctypes.c_char_p, c_int64,
+            POINTER(c_int32), c_int32, POINTER(_MzOpOut),
+        ]
+        lib.mz_pair_free.restype = None
+        lib.mz_pair_free.argtypes = [POINTER(_MzOpOut), c_int32]
+        lib.mz_parse_bbox.restype = c_int32
+        lib.mz_parse_bbox.argtypes = [ctypes.c_char_p, c_int64, POINTER(c_double)]
+        lib.mz_repr_double.restype = c_int32
+        lib.mz_repr_double.argtypes = [c_double, ctypes.c_char_p, c_int32]
     return lib
 
 
@@ -409,9 +435,107 @@ def boolean_op_f32_native(subject, clipping, operation):
     return _run_native(_LIB32, "f", ctypes.c_float, subject, clipping, operation)
 
 
+# ---------------------------------------------------------------------------
+# JSON pair runner: the whole (parse once, sweep per op, serialize) pair
+# lifecycle in C. Byte-identical to the Python marshalling by construction
+# (the C side calls CPython's own PyOS_string_to_double /
+# PyOS_double_to_string — the same functions json.loads / json.dumps use
+# on number tokens and floats); pinned by tests/test_native_pairs.py.
+# ---------------------------------------------------------------------------
+
+PAIR_OP_CODES = {
+    "intersection": 0,
+    "union": 1,
+    "diff": 2,
+    "xor": 3,
+    "diff_ba": 4,
+}
+
+_MZ_LIMIT = 2
+_MZ_OOM = 3
+_MZ_UNSUPPORTED = 4
+
+
+def pair_boolean_ops_native(s_json: str, c_json: str, ops):
+    """All `ops` of one (subject, clipping) pair through the C fast path.
+
+    Returns a list of (op, result_json, n_polys, xmin, ymin, xmax, ymax,
+    status) tuples — the per-row payload operators/boolean_join.py emits —
+    or None when the C parser declines the input (strict-GeoJSON-subset
+    miss), in which case the caller must run the Python marshalling path
+    (identical bytes, plus the original exception behavior on bad input).
+    """
+    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
+        raise RuntimeError("native kernel not available")
+    for op in ops:
+        if op not in PAIR_OP_CODES:
+            raise ValueError(f"unknown operation: {op!r}")
+    n = len(ops)
+    codes = (c_int32 * n)(*(PAIR_OP_CODES[op] for op in ops))
+    outs = (_MzOpOut * n)()
+    sb = s_json.encode("utf-8")
+    cb = c_json.encode("utf-8")
+    st = _LIB.mz_pair_run(sb, len(sb), cb, len(cb), codes, n, outs)
+    if st == _MZ_UNSUPPORTED:
+        return None
+    if st != 0:
+        raise MemoryError("mz_pair_run allocation failure")
+    try:
+        rows = []
+        for op, o in zip(ops, outs):
+            rows.append(
+                (
+                    op,
+                    ctypes.string_at(o.json, o.json_len).decode("ascii"),
+                    o.n_polys,
+                    o.xmin,
+                    o.ymin,
+                    o.xmax,
+                    o.ymax,
+                    "limit_exceeded" if o.status == _MZ_LIMIT else "ok",
+                )
+            )
+    finally:
+        _LIB.mz_pair_free(outs, n)
+    return rows
+
+
+def parse_bbox_native(geom_json: str):
+    """(xmin, ymin, xmax, ymax) of a GeoJSON geometry string, or None when
+    the C parser declines (caller falls back to parse_multipolygon +
+    multipolygon_bbox). Empty geometry gives (inf, inf, -inf, -inf) like
+    multipolygon_bbox."""
+    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
+        raise RuntimeError("native kernel not available")
+    gb = geom_json.encode("utf-8")
+    out = (c_double * 4)()
+    st = _LIB.mz_parse_bbox(gb, len(gb), out)
+    if st == _MZ_UNSUPPORTED:
+        return None
+    if st != 0:
+        raise MemoryError("mz_parse_bbox allocation failure")
+    return out[0], out[1], out[2], out[3]
+
+
+def repr_double_native(v: float) -> str:
+    """Diagnostic: the C side's byte rendering of one double (must equal
+    repr(v) — it IS PyOS_double_to_string). Test hook only."""
+    if _LIB is None:  # pragma: no cover - guarded by NATIVE_AVAILABLE
+        raise RuntimeError("native kernel not available")
+    buf = ctypes.create_string_buffer(64)
+    n = _LIB.mz_repr_double(v, buf, 64)
+    if n < 0:
+        raise RuntimeError("mz_repr_double failed")
+    return buf.raw[:n].decode("ascii")
+
+
 __all__ = [
     "NATIVE_AVAILABLE",
     "F32_NATIVE_AVAILABLE",
     "boolean_op_native",
     "boolean_op_f32_native",
+    "pair_boolean_ops_native",
+    "parse_bbox_native",
+    "repr_double_native",
+    "PAIR_OP_CODES",
 ]

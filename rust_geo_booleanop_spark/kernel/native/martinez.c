@@ -1204,3 +1204,733 @@ MartinezResult *martinez_boolean_op(
     if (!out) return result_with_status(STATUS_OOM);
     return out;
 }
+
+#ifndef MARTINEZ_F32
+/* ==================================================================== */
+/* JSON pair runner: parse-once, N sweeps, serialize-in-C.              */
+/*                                                                      */
+/* The Spark kernel stage's Python marshalling (json.loads -> nested    */
+/* tuples -> per-op flatten -> sweep -> tuple rebuild -> json.dumps)    */
+/* profiled at ~43% of stage CPU after the native sweep landed. This    */
+/* section moves the whole pair lifecycle into C while keeping BYTE     */
+/* identity with the Python path by construction:                       */
+/*  - numbers are parsed with CPython's own PyOS_string_to_double (the  */
+/*    exact function json.loads uses on number tokens) and formatted    */
+/*    with PyOS_double_to_string('r', ADD_DOT_0) (the exact repr the    */
+/*    json C encoder emits for floats) — both resolved from the host    */
+/*    process at runtime via dlsym, never reimplemented;                */
+/*  - ring closing / trivial-result / contour-assembly serialization    */
+/*    replicate kernel/geojson.py and operators/boolean_join.py;        */
+/*  - anything outside the strict GeoJSON subset our pipelines emit     */
+/*    (key reorderings, non-finite numbers, huge int literals, non-     */
+/*    number position members) returns MZ_UNSUPPORTED and the Python    */
+/*    wrapper falls back to the reference marshalling, so behavior on   */
+/*    odd inputs — including which exception is raised — is unchanged.  */
+/*                                                                      */
+/* GIL: ctypes releases the GIL around the foreign call; the Python     */
+/* C-API calls here require it, so the entry points re-acquire it with  */
+/* PyGILState_Ensure for their whole body. Spark Python workers are     */
+/* single-threaded, so this costs ~100ns and blocks nothing.           */
+/* ==================================================================== */
+
+#include <dlfcn.h>
+#ifndef RTLD_DEFAULT
+#define RTLD_DEFAULT ((void *)0)
+#endif
+
+#define MZ_OK 0
+#define MZ_LIMIT 2
+#define MZ_OOM 3
+#define MZ_UNSUPPORTED 4
+
+#define MZ_DTSF_ADD_DOT_0 2 /* Py_DTSF_ADD_DOT_0 */
+
+typedef char *(*mz_d2s_fn)(double, char, int, int, int *);
+typedef double (*mz_s2d_fn)(const char *, char **, void *);
+typedef void (*mz_pymem_free_fn)(void *);
+typedef int (*mz_gil_ensure_fn)(void);
+typedef void (*mz_gil_release_fn)(int);
+typedef void *(*mz_err_occurred_fn)(void);
+typedef void (*mz_err_clear_fn)(void);
+
+static struct {
+    int ready; /* 0 unresolved, 1 ok, -1 failed (stay on Python path) */
+    mz_d2s_fn d2s;
+    mz_s2d_fn s2d;
+    mz_pymem_free_fn pymem_free;
+    mz_gil_ensure_fn gil_ensure;
+    mz_gil_release_fn gil_release;
+    mz_err_occurred_fn err_occurred;
+    mz_err_clear_fn err_clear;
+} g_py;
+
+static int mz_pyapi_init(void) {
+    if (g_py.ready) return g_py.ready == 1;
+    g_py.d2s = (mz_d2s_fn)dlsym(RTLD_DEFAULT, "PyOS_double_to_string");
+    g_py.s2d = (mz_s2d_fn)dlsym(RTLD_DEFAULT, "PyOS_string_to_double");
+    g_py.pymem_free = (mz_pymem_free_fn)dlsym(RTLD_DEFAULT, "PyMem_Free");
+    g_py.gil_ensure = (mz_gil_ensure_fn)dlsym(RTLD_DEFAULT, "PyGILState_Ensure");
+    g_py.gil_release =
+        (mz_gil_release_fn)dlsym(RTLD_DEFAULT, "PyGILState_Release");
+    g_py.err_occurred =
+        (mz_err_occurred_fn)dlsym(RTLD_DEFAULT, "PyErr_Occurred");
+    g_py.err_clear = (mz_err_clear_fn)dlsym(RTLD_DEFAULT, "PyErr_Clear");
+    g_py.ready = (g_py.d2s && g_py.s2d && g_py.pymem_free && g_py.gil_ensure &&
+                  g_py.gil_release && g_py.err_occurred && g_py.err_clear)
+                     ? 1
+                     : -1;
+    return g_py.ready == 1;
+}
+
+/* ---------------- growable output buffer ---------------- */
+
+typedef struct {
+    char *p;
+    int64_t n, cap;
+} StrBuf;
+
+static int sb_need(StrBuf *b, int64_t extra) {
+    if (b->n + extra <= b->cap) return 1;
+    int64_t ncap = b->cap ? b->cap : 256;
+    while (ncap < b->n + extra) {
+        if (ncap > INT64_MAX / 2) return 0;
+        ncap *= 2;
+    }
+    char *np = (char *)realloc(b->p, (size_t)ncap);
+    if (!np) return 0;
+    b->p = np;
+    b->cap = ncap;
+    return 1;
+}
+
+static int sb_putsn(StrBuf *b, const char *s, int64_t n) {
+    if (!sb_need(b, n)) return 0;
+    memcpy(b->p + b->n, s, (size_t)n);
+    b->n += n;
+    return 1;
+}
+
+#define SB_LIT(b, s) sb_putsn((b), (s), (int64_t)(sizeof(s) - 1))
+
+static int sb_putc(StrBuf *b, char ch) {
+    if (!sb_need(b, 1)) return 0;
+    b->p[b->n++] = ch;
+    return 1;
+}
+
+/* Python repr bytes for a double — json.dumps' float path by
+ * construction (float_repr: PyOS_double_to_string 'r' + ADD_DOT_0). */
+static int sb_putd(StrBuf *b, double v) {
+    char *s = g_py.d2s(v, 'r', 0, MZ_DTSF_ADD_DOT_0, 0);
+    if (!s) return 0;
+    int ok = sb_putsn(b, s, (int64_t)strlen(s));
+    g_py.pymem_free(s);
+    return ok;
+}
+
+/* ---------------- parsed geometry (flat, closed rings) ---------------- */
+
+typedef struct {
+    double *coords; /* x,y pairs, all rings concatenated */
+    int64_t npts, cap_pts;
+    int32_t *ring_np; /* points per ring */
+    int64_t nrings, cap_rings;
+    int32_t *poly_nr; /* rings per polygon */
+    int64_t npolys, cap_polys;
+} MzGeom;
+
+static void mz_geom_free(MzGeom *g) {
+    free(g->coords);
+    free(g->ring_np);
+    free(g->poly_nr);
+    memset(g, 0, sizeof(*g));
+}
+
+static int mz_geom_init(MzGeom *g) {
+    memset(g, 0, sizeof(*g));
+    /* non-NULL buffers even for empty geometries (mirrors the Python
+     * wrapper's padding; martinez_boolean_op never reads past counts) */
+    g->coords = (double *)malloc(16 * sizeof(double));
+    g->ring_np = (int32_t *)malloc(8 * sizeof(int32_t));
+    g->poly_nr = (int32_t *)malloc(8 * sizeof(int32_t));
+    if (!g->coords || !g->ring_np || !g->poly_nr) return 0;
+    g->cap_pts = 8;
+    g->cap_rings = 8;
+    g->cap_polys = 8;
+    return 1;
+}
+
+static int mz_geom_push_pt(MzGeom *g, double x, double y) {
+    if (g->npts + 1 > g->cap_pts) {
+        int64_t ncap = g->cap_pts * 2;
+        double *np = (double *)realloc(g->coords, (size_t)ncap * 2 * sizeof(double));
+        if (!np) return 0;
+        g->coords = np;
+        g->cap_pts = ncap;
+    }
+    g->coords[2 * g->npts] = x;
+    g->coords[2 * g->npts + 1] = y;
+    g->npts++;
+    return 1;
+}
+
+static int mz_push_i32(int32_t **arr, int64_t *n, int64_t *cap, int32_t v) {
+    if (*n + 1 > *cap) {
+        int64_t ncap = *cap * 2;
+        int32_t *np = (int32_t *)realloc(*arr, (size_t)ncap * sizeof(int32_t));
+        if (!np) return 0;
+        *arr = np;
+        *cap = ncap;
+    }
+    (*arr)[(*n)++] = v;
+    return 1;
+}
+
+/* ---------------- strict-subset GeoJSON parser ---------------- */
+
+typedef struct {
+    const char *p, *end;
+} MzCur;
+
+static void mz_ws(MzCur *c) {
+    while (c->p < c->end && (*c->p == ' ' || *c->p == '\t' || *c->p == '\n' ||
+                             *c->p == '\r'))
+        c->p++;
+}
+
+static int mz_ch(MzCur *c, char ch) {
+    mz_ws(c);
+    if (c->p < c->end && *c->p == ch) {
+        c->p++;
+        return 1;
+    }
+    return 0;
+}
+
+static int mz_lit(MzCur *c, const char *s) {
+    mz_ws(c);
+    size_t n = strlen(s);
+    if ((size_t)(c->end - c->p) >= n && memcmp(c->p, s, n) == 0) {
+        c->p += n;
+        return 1;
+    }
+    return 0;
+}
+
+/* One JSON number. Token syntax per RFC 8259; value semantics per
+ * json.loads followed by geojson._close's float(): int tokens go
+ * through Python int->float (so "-0" is +0.0 and >305-digit ints, where
+ * float(int) would raise OverflowError unlike strtod's inf, fall back);
+ * float tokens through PyOS_string_to_double — the identical code path
+ * json.loads itself uses. Non-finite results (1e999) fall back. */
+static int mz_parse_number(MzCur *c, double *out) {
+    mz_ws(c);
+    const char *s = c->p, *e = c->end;
+    const char *p = s;
+    if (p < e && *p == '-') p++;
+    const char *int_start = p;
+    if (p >= e) return MZ_UNSUPPORTED;
+    if (*p == '0') {
+        p++;
+    } else if (*p >= '1' && *p <= '9') {
+        while (p < e && *p >= '0' && *p <= '9') p++;
+    } else {
+        return MZ_UNSUPPORTED;
+    }
+    const char *int_end = p;
+    int has_frac = 0, has_exp = 0;
+    if (p < e && *p == '.') {
+        p++;
+        if (!(p < e && *p >= '0' && *p <= '9')) return MZ_UNSUPPORTED;
+        while (p < e && *p >= '0' && *p <= '9') p++;
+        has_frac = 1;
+    }
+    if (p < e && (*p == 'e' || *p == 'E')) {
+        p++;
+        if (p < e && (*p == '+' || *p == '-')) p++;
+        if (!(p < e && *p >= '0' && *p <= '9')) return MZ_UNSUPPORTED;
+        while (p < e && *p >= '0' && *p <= '9') p++;
+        has_exp = 1;
+    }
+    if (!has_frac && !has_exp) {
+        if (int_end - int_start > 305) return MZ_UNSUPPORTED;
+        if (*s == '-') {
+            int all_zero = 1;
+            for (const char *q = int_start; q < int_end; q++)
+                if (*q != '0') {
+                    all_zero = 0;
+                    break;
+                }
+            if (all_zero) { /* json: int(-0) == 0 -> float +0.0 */
+                *out = 0.0;
+                c->p = p;
+                return MZ_OK;
+            }
+        }
+    }
+    char *endp = 0;
+    double v = g_py.s2d(s, &endp, 0);
+    if (endp != p) return MZ_UNSUPPORTED;
+    if (!isfinite(v)) return MZ_UNSUPPORTED;
+    *out = v;
+    c->p = p;
+    return MZ_OK;
+}
+
+/* [x,y] or [x,y,alt,...] — extra numeric members ignored like
+ * geojson._close taking p[0:2]; non-number members fall back. */
+static int mz_parse_position(MzCur *c, double *x, double *y) {
+    if (!mz_ch(c, '[')) return MZ_UNSUPPORTED;
+    int st = mz_parse_number(c, x);
+    if (st != MZ_OK) return st;
+    if (!mz_ch(c, ',')) return MZ_UNSUPPORTED;
+    st = mz_parse_number(c, y);
+    if (st != MZ_OK) return st;
+    while (mz_ch(c, ',')) {
+        double z;
+        st = mz_parse_number(c, &z);
+        if (st != MZ_OK) return st;
+    }
+    if (!mz_ch(c, ']')) return MZ_UNSUPPORTED;
+    return MZ_OK;
+}
+
+/* One ring; closes it exactly like geojson._close (append first point
+ * iff tuple-!= the last: same C semantics for -0.0 == 0.0). */
+static int mz_parse_ring(MzCur *c, MzGeom *g) {
+    if (!mz_ch(c, '[')) return MZ_UNSUPPORTED;
+    int64_t start = g->npts;
+    mz_ws(c);
+    if (c->p < c->end && *c->p == ']') {
+        c->p++;
+    } else {
+        for (;;) {
+            double x, y;
+            int st = mz_parse_position(c, &x, &y);
+            if (st != MZ_OK) return st;
+            if (!mz_geom_push_pt(g, x, y)) return MZ_OOM;
+            if (mz_ch(c, ',')) continue;
+            if (mz_ch(c, ']')) break;
+            return MZ_UNSUPPORTED;
+        }
+    }
+    int64_t np = g->npts - start;
+    if (np > 0) {
+        double x0 = g->coords[2 * start], y0 = g->coords[2 * start + 1];
+        double xn = g->coords[2 * (g->npts - 1)];
+        double yn = g->coords[2 * (g->npts - 1) + 1];
+        if (x0 != xn || y0 != yn) {
+            if (!mz_geom_push_pt(g, x0, y0)) return MZ_OOM;
+            np++;
+        }
+    }
+    if (np > INT32_MAX) return MZ_UNSUPPORTED;
+    if (!mz_push_i32(&g->ring_np, &g->nrings, &g->cap_rings, (int32_t)np))
+        return MZ_OOM;
+    return MZ_OK;
+}
+
+static int mz_parse_polygon(MzCur *c, MzGeom *g) {
+    if (!mz_ch(c, '[')) return MZ_UNSUPPORTED;
+    int64_t nrings = 0;
+    mz_ws(c);
+    if (c->p < c->end && *c->p == ']') {
+        c->p++;
+    } else {
+        for (;;) {
+            int st = mz_parse_ring(c, g);
+            if (st != MZ_OK) return st;
+            nrings++;
+            if (mz_ch(c, ',')) continue;
+            if (mz_ch(c, ']')) break;
+            return MZ_UNSUPPORTED;
+        }
+    }
+    if (nrings > INT32_MAX) return MZ_UNSUPPORTED;
+    if (!mz_push_i32(&g->poly_nr, &g->npolys, &g->cap_polys, (int32_t)nrings))
+        return MZ_OOM;
+    return MZ_OK;
+}
+
+/* Skip one balanced coordinates array (brackets, numbers, commas and
+ * whitespace only — anything else declines). Cursor must sit on '['. */
+static int mz_skip_coords_value(MzCur *c) {
+    mz_ws(c);
+    if (!(c->p < c->end && *c->p == '[')) return MZ_UNSUPPORTED;
+    int64_t depth = 0;
+    while (c->p < c->end) {
+        char ch = *c->p;
+        if (ch == '[') {
+            depth++;
+        } else if (ch == ']') {
+            depth--;
+            if (depth < 0) return MZ_UNSUPPORTED;
+            if (depth == 0) {
+                c->p++;
+                return MZ_OK;
+            }
+        } else if (!((ch >= '0' && ch <= '9') || ch == '-' || ch == '+' ||
+                     ch == '.' || ch == 'e' || ch == 'E' || ch == ',' ||
+                     ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r')) {
+            return MZ_UNSUPPORTED;
+        }
+        c->p++;
+    }
+    return MZ_UNSUPPORTED;
+}
+
+static int mz_parse_coordinates(MzCur *c, int multi, MzGeom *g) {
+    int st;
+    if (multi) {
+        if (!mz_ch(c, '[')) return MZ_UNSUPPORTED;
+        mz_ws(c);
+        if (c->p < c->end && *c->p == ']') {
+            c->p++;
+        } else {
+            for (;;) {
+                st = mz_parse_polygon(c, g);
+                if (st != MZ_OK) return st;
+                if (mz_ch(c, ',')) continue;
+                if (mz_ch(c, ']')) break;
+                return MZ_UNSUPPORTED;
+            }
+        }
+    } else {
+        st = mz_parse_polygon(c, g);
+        if (st != MZ_OK) return st;
+    }
+    return MZ_OK;
+}
+
+/* {"type":"Polygon"|"MultiPolygon","coordinates":...} — exactly those
+ * two keys, either order (our pipelines emit type-first; reference-style
+ * fixtures put coordinates first). Coordinate nesting depth depends on
+ * the type, so when coordinates precede type the value span is skipped
+ * with a balanced-bracket scan and re-parsed once the type is known.
+ * Anything else falls back to the Python parser. */
+static int mz_parse_geometry(const char *s, int64_t len, MzGeom *g) {
+    MzCur c = {s, s + len};
+    if (!mz_geom_init(g)) return MZ_OOM;
+    if (!mz_ch(&c, '{')) return MZ_UNSUPPORTED;
+    int multi = -1;
+    const char *coords_start = 0, *coords_end = 0;
+    for (int key = 0; key < 2; key++) {
+        if (mz_lit(&c, "\"type\"")) {
+            if (multi != -1 || !mz_ch(&c, ':')) return MZ_UNSUPPORTED;
+            if (mz_lit(&c, "\"MultiPolygon\"")) {
+                multi = 1;
+            } else if (mz_lit(&c, "\"Polygon\"")) {
+                multi = 0;
+            } else {
+                return MZ_UNSUPPORTED;
+            }
+        } else if (mz_lit(&c, "\"coordinates\"")) {
+            if (coords_start || !mz_ch(&c, ':')) return MZ_UNSUPPORTED;
+            mz_ws(&c);
+            coords_start = c.p;
+            int st = mz_skip_coords_value(&c);
+            if (st != MZ_OK) return st;
+            coords_end = c.p;
+        } else {
+            return MZ_UNSUPPORTED;
+        }
+        if (key == 0 && !mz_ch(&c, ',')) return MZ_UNSUPPORTED;
+    }
+    if (!mz_ch(&c, '}')) return MZ_UNSUPPORTED;
+    mz_ws(&c);
+    if (c.p != c.end) return MZ_UNSUPPORTED;
+    if (multi == -1 || !coords_start) return MZ_UNSUPPORTED;
+    MzCur cc = {coords_start, coords_end};
+    int st = mz_parse_coordinates(&cc, multi, g);
+    if (st != MZ_OK) return st;
+    mz_ws(&cc);
+    if (cc.p != cc.end) return MZ_UNSUPPORTED;
+    return MZ_OK;
+}
+
+/* ---------------- serializer (byte-identical to json.dumps) ---------------- */
+
+typedef struct {
+    double xmin, ymin, xmax, ymax;
+} MzBb;
+
+static void mz_bb_init(MzBb *b) {
+    b->xmin = INFINITY;
+    b->ymin = INFINITY;
+    b->xmax = -INFINITY;
+    b->ymax = -INFINITY;
+}
+
+static void mz_bb_add(MzBb *b, double x, double y) {
+    if (x < b->xmin) b->xmin = x;
+    if (y < b->ymin) b->ymin = y;
+    if (x > b->xmax) b->xmax = x;
+    if (y > b->ymax) b->ymax = y;
+}
+
+/* [[x,y],...] closing the ring iff open — the exact _close_ring /
+ * close_ring rule the Python paths apply before json.dumps. */
+static int mz_sb_ring(StrBuf *b, const double *pts, int64_t np, MzBb *bb) {
+    if (!sb_putc(b, '[')) return 0;
+    for (int64_t i = 0; i < np; i++) {
+        if (i && !sb_putc(b, ',')) return 0;
+        if (!sb_putc(b, '[')) return 0;
+        if (!sb_putd(b, pts[2 * i])) return 0;
+        if (!sb_putc(b, ',')) return 0;
+        if (!sb_putd(b, pts[2 * i + 1])) return 0;
+        if (!sb_putc(b, ']')) return 0;
+        mz_bb_add(bb, pts[2 * i], pts[2 * i + 1]);
+    }
+    if (np > 0 && (pts[0] != pts[2 * (np - 1)] || pts[1] != pts[2 * np - 1])) {
+        if (!SB_LIT(b, ",[")) return 0;
+        if (!sb_putd(b, pts[0])) return 0;
+        if (!sb_putc(b, ',')) return 0;
+        if (!sb_putd(b, pts[1])) return 0;
+        if (!sb_putc(b, ']')) return 0;
+        mz_bb_add(bb, pts[0], pts[1]);
+    }
+    return sb_putc(b, ']');
+}
+
+/* Emit every polygon of a parsed geometry (trivial-result path:
+ * _trivial_result serializes the normalized operands verbatim). */
+static int mz_sb_geom_polys(StrBuf *b, const MzGeom *g, int *first, MzBb *bb) {
+    const double *p = g->coords;
+    int64_t ring = 0;
+    for (int64_t poly = 0; poly < g->npolys; poly++) {
+        if (!*first && !sb_putc(b, ',')) return 0;
+        *first = 0;
+        if (!sb_putc(b, '[')) return 0;
+        int32_t nr = g->poly_nr[poly];
+        for (int32_t k = 0; k < nr; k++) {
+            if (k && !sb_putc(b, ',')) return 0;
+            int32_t np = g->ring_np[ring++];
+            if (!mz_sb_ring(b, p, np, bb)) return 0;
+            p += (size_t)2 * np;
+        }
+        if (!sb_putc(b, ']')) return 0;
+    }
+    return 1;
+}
+
+/* Emit the sweep result: exterior contours with their holes, in contour
+ * order — the polygon-assembly tail of kernel/booleanop.py:595-601. */
+static int mz_sb_result(StrBuf *b, const MartinezResult *r, MzBb *bb,
+                        int32_t *n_polys) {
+    int32_t n = r->n_contours;
+    int64_t *off = 0;
+    if (n > 0) {
+        off = (int64_t *)malloc((size_t)n * sizeof(int64_t));
+        if (!off) return 0;
+        int64_t acc = 0;
+        for (int32_t i = 0; i < n; i++) {
+            off[i] = acc;
+            acc += r->contour_np[i];
+        }
+    }
+    int64_t hoff_acc = 0;
+    int64_t *hoff = 0;
+    if (n > 0) {
+        hoff = (int64_t *)malloc((size_t)n * sizeof(int64_t));
+        if (!hoff) {
+            free(off);
+            return 0;
+        }
+        for (int32_t i = 0; i < n; i++) {
+            hoff[i] = hoff_acc;
+            hoff_acc += r->contour_nh[i];
+        }
+    }
+    int first = 1;
+    int32_t npoly = 0;
+    int ok = 1;
+    for (int32_t i = 0; i < n && ok; i++) {
+        if (r->hole_of[i] != -1) continue;
+        if (!first) ok = sb_putc(b, ',');
+        first = 0;
+        if (ok) ok = sb_putc(b, '[');
+        if (ok)
+            ok = mz_sb_ring(b, r->pts + 2 * off[i], r->contour_np[i], bb);
+        for (int32_t h = 0; h < r->contour_nh[i] && ok; h++) {
+            int32_t hid = r->holes[hoff[i] + h];
+            ok = sb_putc(b, ',') &&
+                 mz_sb_ring(b, r->pts + 2 * off[hid], r->contour_np[hid], bb);
+        }
+        if (ok) ok = sb_putc(b, ']');
+        npoly++;
+    }
+    free(off);
+    free(hoff);
+    *n_polys = npoly;
+    return ok;
+}
+
+/* ---------------- public entry points ---------------- */
+
+typedef struct {
+    int32_t status; /* MZ_OK | MZ_LIMIT */
+    int32_t n_polys;
+    double xmin, ymin, xmax, ymax; /* NaN when the result is empty */
+    char *json;
+    int64_t json_len;
+} MzOpOut;
+
+void mz_pair_free(MzOpOut *outs, int32_t n_ops) {
+    if (!outs) return;
+    for (int32_t i = 0; i < n_ops; i++) {
+        free(outs[i].json);
+        outs[i].json = 0;
+    }
+}
+
+#define MZ_OPC_DIFF_BA 4
+
+/* Run every op of a (subject, clipping) pair: parse both geometries
+ * once, sweep per op, serialize per op. Returns MZ_OK (per-op statuses
+ * in outs), MZ_UNSUPPORTED (caller must use the Python path; outs
+ * untouched beyond zeroing), or MZ_OOM. */
+int32_t mz_pair_run(const char *s_json, int64_t s_len, const char *c_json,
+                    int64_t c_len, const int32_t *ops, int32_t n_ops,
+                    MzOpOut *outs) {
+    memset(outs, 0, (size_t)n_ops * sizeof(MzOpOut));
+    if (!mz_pyapi_init()) return MZ_UNSUPPORTED;
+    int gil = g_py.gil_ensure();
+    MzGeom S, C;
+    memset(&S, 0, sizeof(S));
+    memset(&C, 0, sizeof(C));
+    int st = mz_parse_geometry(s_json, s_len, &S);
+    if (st == MZ_OK) st = mz_parse_geometry(c_json, c_len, &C);
+    if (g_py.err_occurred()) {
+        /* a PyOS_string_to_double error on a token our scanner admitted:
+         * clear it and let the Python parser produce the real exception */
+        g_py.err_clear();
+        if (st == MZ_OK) st = MZ_UNSUPPORTED;
+    }
+    if (st != MZ_OK) {
+        mz_geom_free(&S);
+        mz_geom_free(&C);
+        g_py.gil_release(gil);
+        return st == MZ_OOM ? MZ_OOM : MZ_UNSUPPORTED;
+    }
+
+    int32_t ret = MZ_OK;
+    for (int32_t i = 0; i < n_ops && ret == MZ_OK; i++) {
+        const MzGeom *a = &S, *bg = &C;
+        int32_t mop = ops[i];
+        if (mop == MZ_OPC_DIFF_BA) { /* diff with swapped operands */
+            a = &C;
+            bg = &S;
+            mop = OP_DIFFERENCE;
+        } else if (mop < 0 || mop > 3) {
+            ret = MZ_UNSUPPORTED;
+            break;
+        }
+        MartinezResult *r = martinez_boolean_op(
+            a->coords, a->ring_np, (int32_t)a->nrings, a->poly_nr,
+            (int32_t)a->npolys, bg->coords, bg->ring_np, (int32_t)bg->nrings,
+            bg->poly_nr, (int32_t)bg->npolys, mop);
+        if (!r) {
+            ret = MZ_OOM;
+            break;
+        }
+        StrBuf sb;
+        memset(&sb, 0, sizeof(sb));
+        MzBb bb;
+        mz_bb_init(&bb);
+        int32_t npolys = 0;
+        int ok = SB_LIT(&sb, "{\"type\":\"MultiPolygon\",\"coordinates\":[");
+        if (ok) {
+            if (r->status == STATUS_OK) {
+                ok = mz_sb_result(&sb, r, &bb, &npolys);
+            } else if (r->status == STATUS_TRIVIAL) {
+                int first = 1;
+                if (mop == OP_DIFFERENCE) {
+                    ok = mz_sb_geom_polys(&sb, a, &first, &bb);
+                    npolys = (int32_t)a->npolys;
+                } else if (mop != OP_INTERSECTION) { /* union / xor */
+                    ok = mz_sb_geom_polys(&sb, a, &first, &bb) &&
+                         mz_sb_geom_polys(&sb, bg, &first, &bb);
+                    npolys = (int32_t)(a->npolys + bg->npolys);
+                } /* intersection: empty */
+            } else if (r->status == STATUS_LIMIT) {
+                outs[i].status = MZ_LIMIT; /* empty result, row survives */
+            } else {
+                ok = 0;
+            }
+        }
+        if (ok) ok = SB_LIT(&sb, "]}");
+        martinez_free(r);
+        if (!ok) {
+            free(sb.p);
+            ret = MZ_OOM;
+            break;
+        }
+        outs[i].n_polys = npolys;
+        if (npolys > 0) {
+            outs[i].xmin = bb.xmin;
+            outs[i].ymin = bb.ymin;
+            outs[i].xmax = bb.xmax;
+            outs[i].ymax = bb.ymax;
+        } else {
+            outs[i].xmin = outs[i].ymin = outs[i].xmax = outs[i].ymax = NAN;
+        }
+        outs[i].json = sb.p;
+        outs[i].json_len = sb.n;
+    }
+
+    mz_geom_free(&S);
+    mz_geom_free(&C);
+    g_py.gil_release(gil);
+    if (ret != MZ_OK) mz_pair_free(outs, n_ops);
+    return ret;
+}
+
+/* Parse + bbox only (extraction stage fast path: geojson.parse_multipolygon
+ * + multipolygon_bbox without building Python objects). out4 gets
+ * (inf, inf, -inf, -inf) for a geometry with no points — exactly
+ * multipolygon_bbox's empty answer. */
+int32_t mz_parse_bbox(const char *s_json, int64_t s_len, double *out4) {
+    if (!mz_pyapi_init()) return MZ_UNSUPPORTED;
+    int gil = g_py.gil_ensure();
+    MzGeom g;
+    memset(&g, 0, sizeof(g));
+    int st = mz_parse_geometry(s_json, s_len, &g);
+    if (g_py.err_occurred()) {
+        g_py.err_clear();
+        if (st == MZ_OK) st = MZ_UNSUPPORTED;
+    }
+    if (st == MZ_OK) {
+        MzBb bb;
+        mz_bb_init(&bb);
+        for (int64_t i = 0; i < g.npts; i++)
+            mz_bb_add(&bb, g.coords[2 * i], g.coords[2 * i + 1]);
+        out4[0] = bb.xmin;
+        out4[1] = bb.ymin;
+        out4[2] = bb.xmax;
+        out4[3] = bb.ymax;
+    }
+    mz_geom_free(&g);
+    g_py.gil_release(gil);
+    return st == MZ_OK ? MZ_OK : (st == MZ_OOM ? MZ_OOM : MZ_UNSUPPORTED);
+}
+
+/* Repr/parse probes for the differential tests (format one double /
+ * parse one number token) — not used by the pipelines. */
+int32_t mz_repr_double(double v, char *out, int32_t cap) {
+    if (!mz_pyapi_init()) return -1;
+    int gil = g_py.gil_ensure();
+    char *s = g_py.d2s(v, 'r', 0, MZ_DTSF_ADD_DOT_0, 0);
+    int32_t n = -1;
+    if (s) {
+        size_t ln = strlen(s);
+        if ((int64_t)ln < cap) {
+            memcpy(out, s, ln + 1);
+            n = (int32_t)ln;
+        }
+        g_py.pymem_free(s);
+    }
+    g_py.gil_release(gil);
+    return n;
+}
+
+#endif /* !MARTINEZ_F32 */

@@ -17,13 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernel import resolve_boolean_op
-from ..kernel.booleanop import KernelLimitExceeded
-from ..kernel.geojson import (
-    multipolygon_bbox,
-    parse_multipolygon,
-    serialize_multipolygon,
-)
+from ..kernel.pairs import resolve_pair_runner
 
 DEFAULT_OPS = ("intersection", "union", "diff", "xor")
 
@@ -148,9 +142,11 @@ def pair_candidates_salted(
 
 def _make_kernel_batches(ops: Sequence[str]):
     def kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Resolved inside the Spark Python worker (after fork): native C
-        # sweep when available, bit-identical pure-Python fallback.
-        boolean_op = resolve_boolean_op()
+        # Resolved inside the Spark Python worker (after fork): the full-C
+        # pair runner (parse once, sweep per op, serialize in C — byte-
+        # identical, see kernel/pairs.py) when available, bit-identical
+        # pure-Python composition otherwise.
+        pair_run = resolve_pair_runner()
         for pdf in batches:
             rows = {k: [] for k in (
                 "case_id", "subject_url", "clipping_url", "op",
@@ -160,26 +156,15 @@ def _make_kernel_batches(ops: Sequence[str]):
                 pdf["case_id"], pdf["subject_url"], pdf["clipping_url"],
                 pdf["subject_json"], pdf["clipping_json"],
             ):
-                subject = parse_multipolygon(s_json)
-                clipping = parse_multipolygon(c_json)
-                for op in ops:
-                    try:
-                        result = boolean_op(subject, clipping, op)
-                        status = "ok"
-                    except KernelLimitExceeded:
-                        # degenerate input: mark the row, don't kill the job
-                        result = []
-                        status = "limit_exceeded"
-                    if result:
-                        xmin, ymin, xmax, ymax = multipolygon_bbox(result)
-                    else:
-                        xmin = ymin = xmax = ymax = float("nan")
+                for op, result_json, n_polys, xmin, ymin, xmax, ymax, status in (
+                    pair_run(s_json, c_json, ops)
+                ):
                     rows["case_id"].append(case_id)
                     rows["subject_url"].append(s_url)
                     rows["clipping_url"].append(c_url)
                     rows["op"].append(op)
-                    rows["result_json"].append(serialize_multipolygon(result))
-                    rows["n_polys"].append(len(result))
+                    rows["result_json"].append(result_json)
+                    rows["n_polys"].append(n_polys)
                     rows["xmin"].append(xmin)
                     rows["ymin"].append(ymin)
                     rows["xmax"].append(xmax)

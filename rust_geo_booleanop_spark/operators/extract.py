@@ -19,7 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from ..kernel.geojson import multipolygon_bbox, parse_multipolygon
+from ..kernel.pairs import resolve_bbox_fn
 
 GEO_SCRIPT_RE = re.compile(rb'<script type="application/geo\+json">(.*?)</script>', re.S)
 CASE_URL_RE = re.compile(r"/case/(\d+)/(subject|clipping)$")
@@ -31,6 +31,10 @@ GEOMETRIES_SCHEMA = (
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Resolved inside the Spark Python worker: C parse+bbox when the
+    # native kernel is available (no Python geometry objects built),
+    # parse_multipolygon + multipolygon_bbox otherwise — same values.
+    bbox_fn = resolve_bbox_fn()
     for pdf in batches:
         out = {
             "url": [],
@@ -53,8 +57,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if not m:
                 continue  # page without geometry: filtered out here
             geom_json = m.group(1).decode("utf-8")
-            mp = parse_multipolygon(geom_json)
-            xmin, ymin, xmax, ymax = multipolygon_bbox(mp)
+            xmin, ymin, xmax, ymax = bbox_fn(geom_json)
             um = CASE_URL_RE.search(url)
             case_id = int(um.group(1)) if um else -1
             role = um.group(2) if um else "unknown"
