@@ -21,9 +21,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.cells import bbox_cover_cells, cell_bounds
-from ..kernel import resolve_boolean_op
-from ..kernel.booleanop import KernelLimitExceeded
-from ..kernel.geojson import parse_multipolygon, serialize_multipolygon
+from ..kernel.geojson import serialize_multipolygon
+from ..kernel.pairs import resolve_pair_runner
 
 DEFAULT_TILE_LEVEL = 4
 
@@ -56,7 +55,24 @@ _CLIP_SCHEMA = (
 
 
 def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    boolean_op = resolve_boolean_op()  # native C sweep when available
+    # Full-C pair lifecycle when available (kernel/pairs.py), Python
+    # composition otherwise — byte-identical clip results either way.
+    # Tile squares repeat heavily across rows: serialize each once
+    # (repr round-trips exactly, so parsing the serialized square yields
+    # the same doubles cell_bounds produced).
+    pair_run = resolve_pair_runner()
+    tile_json_cache: dict = {}
+
+    def tile_square_json(tid: int) -> str:
+        tj = tile_json_cache.get(tid)
+        if tj is None:
+            x0, y0, x1, y1 = cell_bounds(tid)
+            tj = serialize_multipolygon(
+                [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
+            )
+            tile_json_cache[tid] = tj
+        return tj
+
     for pdf in batches:
         out = {
             "tile_id": [], "url": [], "op": [],
@@ -74,17 +90,14 @@ def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["n_polys"].append(0)
                 out["status"].append("untiled")
                 continue
-            x0, y0, x1, y1 = cell_bounds(int(tile_id))
-            tile_sq = [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
-            try:
-                clipped = boolean_op(
-                    parse_multipolygon(geom_json), tile_sq, "intersection"
-                )
-                gj, n, status = serialize_multipolygon(clipped), len(clipped), "ok"
-            except KernelLimitExceeded:
+            (_, gj, n, _, _, _, _, status), = pair_run(
+                geom_json, tile_square_json(int(tile_id)), ("intersection",)
+            )
+            if status != "ok":
                 # degenerate re-ingested geometry: degrade the row, never
-                # the stage (same contract as the boolean-op stage)
-                gj, n, status = "", 0, "limit_exceeded"
+                # the stage (same contract as the boolean-op stage) —
+                # clipped_json stays "" for limit rows, as before
+                gj, n = "", 0
             out["tile_id"].append(int(tile_id))
             out["url"].append(url)
             out["op"].append(op)
