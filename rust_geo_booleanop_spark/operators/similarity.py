@@ -270,18 +270,18 @@ def kmeans_pivots(
         .limit(k)
         .select(F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec"))
     )
-    # stable 0..k-1 pivot ids so lists keep identity across iterations;
-    # partitionBy(lit(0)) pins the k-row frame to one (tiny) partition
-    # explicitly instead of tripping the unpartitioned-Window warning on
-    # every iteration's re-evaluation of this lineage prefix.
-    pivots = pivots.select(
-        (
-            F.row_number().over(
-                Window.partitionBy(F.lit(0)).orderBy(F.asc("pivot_id"))
-            )
-            - 1
-        ).alias("pivot_id"),
-        "pivot_vec",
+    # stable 0..k-1 pivot ids so lists keep identity across iterations.
+    # Renumber via one k-row aggregate (collect_list -> array_sort ->
+    # posexplode): ids are unique so the struct sort orders by pivot_id
+    # alone, and pos is the dense 0..k-1 rank. No WindowExec involved, so
+    # re-evaluating this lineage prefix each iteration stays warning-free
+    # and never funnels through a single-partition window.
+    pivots = (
+        pivots.agg(
+            F.array_sort(F.collect_list(F.struct("pivot_id", "pivot_vec"))).alias("_ps")
+        )
+        .select(F.posexplode("_ps").alias("pivot_id", "_s"))
+        .select("pivot_id", F.col("_s.pivot_vec").alias("pivot_vec"))
     )
 
     def mean_fn(key, pdf):
