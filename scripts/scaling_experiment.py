@@ -12,6 +12,18 @@ Prints one JSON line with the raw pairs + medians + efficiency.
 (lo/hi default 2/8; the rule fixes the 4x ratio, not N itself — on one
 box the smallest leg is turbo/bandwidth-flattered, so larger N pairs
 like 4/16 are a fairer executor-scaling proxy.)
+
+SPARK_GRAFT_PIN=1 pins each leg to exactly its core count
+(taskset -c 0..cpus-1). Rationale: the north rule compares N vs 4N
+EXECUTORS, and an executor has exactly its cores. Unpinned on a 32-core
+box, the local[4] leg's JVM GC/shuffle threads and its forked Python
+workers overflow onto the 28 idle cores — a subsidy only the SMALL leg
+enjoys, deflating the measured ratio below what 4x the executors would
+deliver. Pinning charges every leg its own auxiliary work, like real
+executors. Caveat recorded with the run: under a 4-core pin the
+in-bench stream8 probe timeshares 8 workers over 4 cores, so its MB/s
+reading is not comparable to unpinned calm bands (the single-threaded
+asia/union sentinel stays valid).
 """
 
 from __future__ import annotations
@@ -57,8 +69,11 @@ def run_leg(cpus: int, replicate: int) -> dict:
         # what four times the executors would actually provide.
         SPARK_DRIVER_MEMORY=f"{2 * cpus}g",
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.environ.get("SPARK_GRAFT_PIN") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -108,6 +123,7 @@ def main():
         "efficiency_medians": round(med8 / med2 / 4.0, 3),
         "efficiency_pair_median": round(med_ratio / 4.0, 3),
         "replicate": replicate,
+        "pinned": os.environ.get("SPARK_GRAFT_PIN") == "1",
     }))
 
 
