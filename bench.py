@@ -133,7 +133,33 @@ def main():
         kernel_cases = run_criterion_cases(iters=2, op_fn=resolve_boolean_op())
         kernel_cases_python = run_criterion_cases(iters=2)
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    # SPARK_GRAFT_EXECUTORS="N,CORES" switches the bench from local[cpus]
+    # threads to a true multi-executor topology: local-cluster[N,CORES,mem]
+    # forks N separate executor JVMs (own heap, own Python worker pools,
+    # netty shuffle between them) — the literal "N vs 4N executors" shape
+    # of the north rule, as close as a single box gets to a real cluster.
+    # Memory is per-executor (2 GB/core), exactly the proportional-heap
+    # protocol the thread-mode scaling legs use for the whole driver.
+    executors = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if executors:
+        n_exec, exec_cores = (int(x) for x in executors.split(","))
+        mem_mb = 2048 * exec_cores
+        cpus = str(n_exec * exec_cores)
+        spark = get_spark(
+            app_name="bench",
+            master=f"local-cluster[{n_exec},{exec_cores},{mem_mb}]",
+            shuffle_partitions=2 * n_exec * exec_cores,
+            extra_conf={
+                "spark.executor.memory": f"{mem_mb}m",
+                # executor JVMs spawn their Python workers outside the
+                # driver's sys.path bootstrap; point them at the repo.
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(
+                    os.path.abspath(__file__)
+                ),
+            },
+        )
+    else:
+        spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
     timings: dict[str, float] = {}
 
@@ -284,7 +310,7 @@ def main():
             "metric": "flagship_boolean_tiling_wall_sec",
             "value": timings["flagship_boolean_tiling"],
             "unit": "sec", "queries": timings, "sf": sf_dir, "cpus": n_workers,
-            "pages": pages, "tiled_rows": n_tiled,
+            "executors": executors, "pages": pages, "tiled_rows": n_tiled,
             "pages_per_sec": round(pages / timings["flagship_boolean_tiling"], 1),
             "noise": noise,
         }))
@@ -363,6 +389,7 @@ def main():
         "noise": noise,
         "sf": sf_dir,
         "cpus": n_workers,
+        "executors": executors,
         "pages": pages,
         "tiled_rows": n_tiled,
         "pages_per_sec": round(pages / flagship_sec, 1) if flagship_sec > 0 else None,

@@ -52,6 +52,7 @@ def _leg_sentinel(leg: dict):
 
 
 def run_leg(cpus: int, replicate: int) -> dict:
+    lc_cores = os.environ.get("SPARK_GRAFT_LC_CORES")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.1",
@@ -69,9 +70,24 @@ def run_leg(cpus: int, replicate: int) -> dict:
         # what four times the executors would actually provide.
         SPARK_DRIVER_MEMORY=f"{2 * cpus}g",
     )
+    total_cores = cpus
+    if lc_cores:
+        # SPARK_GRAFT_LC_CORES=C: true multi-executor legs. The leg's
+        # "cpus" argument is the EXECUTOR COUNT; bench.py builds
+        # local-cluster[cpus,C,2048*C] — N vs 4N actual executor JVMs
+        # (own heaps, own Python pools, netty shuffle), the literal
+        # north-rule shape. The driver JVM is identical in both legs
+        # (its own node in a real cluster): fixed 8g heap.
+        env["SPARK_GRAFT_EXECUTORS"] = f"{cpus},{lc_cores}"
+        env["SPARK_DRIVER_MEMORY"] = "8g"
+        total_cores = cpus * int(lc_cores)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if os.environ.get("SPARK_GRAFT_PIN") == "1":
-        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        # Executor-topology legs get 4 extra cores for the driver JVM +
+        # bench process (a separate node in a real cluster), so the pin
+        # charges executors their own work without starving the driver.
+        pin_hi = total_cores + 4 - 1 if lc_cores else total_cores - 1
+        cmd = ["taskset", "-c", f"0-{pin_hi}"] + cmd
     out = subprocess.run(
         cmd,
         env=env,
@@ -124,6 +140,7 @@ def main():
         "efficiency_pair_median": round(med_ratio / 4.0, 3),
         "replicate": replicate,
         "pinned": os.environ.get("SPARK_GRAFT_PIN") == "1",
+        "lc_cores_per_executor": os.environ.get("SPARK_GRAFT_LC_CORES"),
     }))
 
 
