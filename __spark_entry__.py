@@ -659,6 +659,37 @@ def _t09_stopword_ratio(spark, sf_dir):
     )
 
 
+def _t10_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (token counts + most-frequent word
+    2-gram occurrence count). Exact integers only — hash-stable."""
+    from rust_geo_booleanop_spark.operators import with_repetition_stats
+
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tokens", "n_distinct_tokens", "top2gram_n")
+
+
+def _d05_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup. The corpus has no url column, so (as
+    t08 does for PII) each doc gets a deterministic synthetic messy URL —
+    uppercase scheme/host, tracking params, trailing slash — exercising
+    every normalization rule; doc_id % 7 within a source makes real
+    duplicate groups."""
+    from rust_geo_booleanop_spark.operators import url_dedup
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return url_dedup(d).select("url_norm", "n_dups", "canonical_doc_id")
+
+
 def _d01_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, hash-graded since round 4.
 
@@ -935,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s07_lsh_topk": _s07_lsh_topk,
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
+        # round-4 additions sit after the budget cut like d02 (graded by
+        # scripts/check_oracles.py; the driver sees them rows-only)
+        "t10_repetition_stats": _t10_repetition_stats,
+        "d05_url_dedup": _d05_url_dedup,
         # --- rows-only tail (no SQL-expressible oracle: kernel-geometry
         #     outputs, iterative k-means) ---
         "g01_boolean_pipeline": _g01_boolean_pipeline,
@@ -1621,6 +1656,60 @@ def oracle_sql() -> dict[str, str]:
                                                  x -> x != '')) END) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        # t10: exact-integer repetition signals. DuckDB len() is BIGINT and
+        # list indexing is 1-based like element_at; range(1, len) is empty
+        # for <2 tokens, and unnest of an empty list drops the row, so the
+        # LEFT JOIN + COALESCE(0) mirrors Spark's left join + coalesce.
+        "t10_repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents
+            ), base AS (
+                SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                       CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+                FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+            ), gc AS (
+                SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+            ), topg AS (
+                SELECT doc_id, MAX(c) AS m FROM gc GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+                   CAST(COALESCE(t.m, 0) AS BIGINT) AS top2gram_n
+            FROM base b LEFT JOIN topg t USING (doc_id)
+        """,
+        # d05: same synthetic messy URL, same normalization steps in the
+        # same order as operators/text.py::normalize_url_col (patterns are
+        # Java-regex/RE2-identical; DuckDB regexp_replace needs 'g' for the
+        # global non-first-tracking-param pass)
+        "d05_url_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.COM/page/'
+                       || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&ref='
+                       || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*'))
+                                 || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', ''),
+                               '&(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
+                             '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*&', '?'),
+                           '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*$', ''),
+                         '/+$', '') AS url_norm
+                FROM u
+            )
+            SELECT url_norm, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+            FROM n GROUP BY 1
         """,
         # exact inverted-index n-gram Jaccard (d03): the one FP division is
         # identical single-op IEEE arithmetic in both engines. Mirrors the

@@ -193,3 +193,107 @@ def with_detected_language(docs: DataFrame, col: str = "text") -> DataFrame:
         return pd.Series([detect_language(t) for t in texts])
 
     return docs.withColumn("detected_lang", langid_udf(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signals; exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def with_repetition_stats(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: token counts, distinct
+    token counts, and the occurrence count of the most frequent word
+    2-gram. Repetitive machine-generated pages show a high
+    top2gram_n/n_tokens fraction; downstream filters threshold on it.
+
+    All outputs are exact integers (no FP), so the DuckDB oracle hashes
+    bit-for-bit. Requires a `doc_id` column (the per-doc group key).
+
+    Scale shape: the 2-gram mode is explode -> two hash aggregations
+    (map-side partials both times) -> broadcast-size join back; nothing
+    quadratic, no windows. At 100 TB the explode multiplies rows by
+    ~n_tokens but each gram row is a few bytes and the first groupBy
+    collapses them map-side.
+
+    NULL text counts as empty (zeros, not NULL stats) — a quality filter
+    must score every document.
+    """
+    trimmed = F.trim(F.coalesce(F.col(col), F.lit("")))
+    toks = F.filter(F.split(trimmed, r"\s+"), lambda x: x != "")
+    d = docs.withColumn("_toks", toks)
+    d = d.withColumn("n_tokens", F.size("_toks").cast("long")).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct("_toks")).cast("long")
+    )
+    # word 2-grams: SQL CASE (not F.when) so the empty array literal
+    # coerces to array<string> in one expression
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2gram_n"))
+    )
+    return (
+        d.drop("_toks")
+        .join(top, "doc_id", "left")
+        .withColumn("top2gram_n", F.coalesce(F.col("top2gram_n"), F.lit(0)).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (built-in regexp only; exact oracle)
+# ---------------------------------------------------------------------------
+
+# Tracking query parameters stripped by normalize_url_col. Alternation is
+# anchored to [?&] in the patterns below, so e.g. `href=` or `preference=`
+# never lose their `ref=` suffix.
+TRACKING_PARAMS = r"(utm_[a-z0-9]+|ref|fbclid|gclid)"
+
+
+def normalize_url_col(col="url"):
+    """Canonical URL: lowercase scheme+host, tracking params removed,
+    dangling `?`/`&` and trailing slashes stripped. Pure JVM regexp —
+    patterns use only constructs with identical Java-regex/RE2 semantics
+    (no backreferences), so the DuckDB oracle matches byte-for-byte.
+
+    Not a full RFC 3986 canonicalizer (no percent-encoding or dot-segment
+    normalization) — it is the crawl-dedup key normalization: the cheap
+    transforms that collapse the bulk of same-page URL variants."""
+    u = F.col(col)
+    scheme_host = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*"
+    u = F.concat(
+        F.lower(F.regexp_extract(u, scheme_host, 0)),
+        F.regexp_replace(u, scheme_host, ""),
+    )
+    # non-first tracking params (&p=v), then a tracking param in first
+    # position (?p=v&rest -> ?rest), then a tracking-only query (?p=v$)
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&]*", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&]*&", "?")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&]*$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """Group documents by canonical URL: one row per normalized URL with
+    the duplicate count and the canonical member (min doc_id — the
+    deterministic representative, as exact_dedup uses).
+
+    Scale shape: one hash aggregation on the normalized key (map-side
+    partials); the normalization itself is whole-stage-codegen regexp."""
+    return (
+        docs.withColumn("url_norm", normalize_url_col(url_col))
+        .groupBy("url_norm")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )

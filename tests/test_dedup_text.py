@@ -576,3 +576,72 @@ class TestMinhashGolden:
             assert list(_hash_shingles(text, 3, shared_cache)[:4]) == exp_h
             assert minhash_signature(text, 8, 3, a, b)[:4] == exp_sig
             assert minhash_signature(text, 8, 3, a, b, shared_cache)[:4] == exp_sig
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        from rust_geo_booleanop_spark.operators import with_repetition_stats
+
+        rows = [
+            (0, "a b a b a b c"),     # 7 toks, 3 distinct, top 2-gram "a b" x3
+            (1, ""),                  # blank: all zeros
+            (2, "only"),              # 1 tok: no 2-grams
+            (3, "  x   y  x y  "),    # ws-noise: 4 toks, 2 distinct, "x y" x2
+            (4, None),                # null text behaves like blank
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in with_repetition_stats(d).collect()}
+        assert (got[0].n_tokens, got[0].n_distinct_tokens, got[0].top2gram_n) == (7, 3, 3)
+        assert (got[1].n_tokens, got[1].n_distinct_tokens, got[1].top2gram_n) == (0, 0, 0)
+        assert (got[2].n_tokens, got[2].n_distinct_tokens, got[2].top2gram_n) == (1, 1, 0)
+        assert (got[3].n_tokens, got[3].n_distinct_tokens, got[3].top2gram_n) == (4, 2, 2)
+        assert got[4].n_tokens == 0 and got[4].top2gram_n == 0
+
+
+class TestUrlDedup:
+    def _norm(self, spark, urls):
+        from rust_geo_booleanop_spark.operators import normalize_url_col
+
+        d = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                  "doc_id long, url string")
+        rows = d.withColumn("n", normalize_url_col("url")).orderBy("doc_id").collect()
+        return [r.n for r in rows]
+
+    def test_normalization_rules(self, spark):
+        got = self._norm(spark, [
+            # scheme+host lowercased, path case preserved
+            "HTTPS://WWW.Site.COM/Path/A",
+            # tracking-only query dropped + trailing slash stripped
+            "https://site.com/page/4/?utm_source=feed&ref=99",
+            # leading tracking param dropped, real param kept
+            "https://site.com/p?utm_a=1&utm_b=2&q=1",
+            # mid/trailing tracking params dropped, real params kept
+            "https://site.com/p?q=1&fbclid=xyz&r=2&gclid=abc",
+            # href= / preference= are NOT tracking params (anchored at ?/&)
+            "https://site.com/p?href=x&preference=y",
+            # no query, no trailing slash: host casing only
+            "http://A.B.C/d/E",
+        ])
+        assert got == [
+            "https://www.site.com/Path/A",
+            "https://site.com/page/4",
+            "https://site.com/p?q=1",
+            "https://site.com/p?q=1&r=2",
+            "https://site.com/p?href=x&preference=y",
+            "http://a.b.c/d/E",
+        ]
+
+    def test_dedup_groups(self, spark):
+        from rust_geo_booleanop_spark.operators import url_dedup
+
+        rows = [
+            (0, "HTTPS://Site.COM/a/?utm_source=x"),
+            (1, "https://site.com/a"),
+            (2, "https://site.com/a/?ref=7"),
+            (3, "https://site.com/b"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r.url_norm: r for r in url_dedup(d).collect()}
+        assert got["https://site.com/a"].n_dups == 3
+        assert got["https://site.com/a"].canonical_doc_id == 0
+        assert got["https://site.com/b"].n_dups == 1
