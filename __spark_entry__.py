@@ -690,6 +690,54 @@ def _d05_url_dedup(spark, sf_dir):
     return url_dedup(d).select("url_norm", "n_dups", "canonical_doc_id")
 
 
+def _d06_boilerplate_lines(spark, sf_dir):
+    """Cross-document line-level boilerplate removal (CCNet/RefinedWeb
+    stage). The corpus texts are single-line, so the query synthesizes a
+    deterministic multi-line page per doc: a global cookie banner (df =
+    all docs), the unique content line, an empty line, a per-source
+    copyright footer (df = docs/source), a newsletter plug on every 4th
+    doc, and a pair-shared `ref` line (df = 2, below min_docs=3 — must
+    survive). concat_ws skips the NULL newsletter arg in BOTH engines."""
+    from rust_geo_booleanop_spark.operators import remove_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("please accept our cookie policy"),
+            F.col("text"),
+            F.lit(""),
+            F.concat(F.lit("(c) "), F.col("source"), F.lit(" media group")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("subscribe to our newsletter")
+            ),
+            F.concat(
+                F.lit("ref "),
+                (F.col("doc_id") - F.col("doc_id") % 2).cast("string"),
+            ),
+        ),
+    )
+    return remove_boilerplate_lines(d, min_docs=3)
+
+
+def _t11_quality_filter(spark, sf_dir):
+    """Gopher-rules composite keep/drop filter with per-rule fail reasons.
+    Thresholds tuned so the synthetic corpus splits into a real keep/drop
+    mix across several rules (min_tokens=40, min_stopwords=1 — the corpus
+    contains only 'the' from the Gopher list, distinct_frac median 0.46 so
+    min_distinct_frac=0.45); every ratio is one double division of exact
+    integers, so the boolean outcomes hash-match the oracle."""
+    from rust_geo_booleanop_spark.operators import gopher_quality_filter
+
+    d = gopher_quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=40,
+        min_stopwords=1,
+        min_distinct_frac=0.45,
+    )
+    return d.select("doc_id", "n_tokens", "n_stopwords", "keep", "fail_reason")
+
+
 def _d01_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs, hash-graded since round 4.
 
@@ -970,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scripts/check_oracles.py; the driver sees them rows-only)
         "t10_repetition_stats": _t10_repetition_stats,
         "d05_url_dedup": _d05_url_dedup,
+        "d06_boilerplate_lines": _d06_boilerplate_lines,
+        "t11_quality_filter": _t11_quality_filter,
         # --- rows-only tail (no SQL-expressible oracle: kernel-geometry
         #     outputs, iterative k-means) ---
         "g01_boolean_pipeline": _g01_boolean_pipeline,
@@ -1111,6 +1161,66 @@ def _stopword_ratio_sql() -> str:
         )
         SELECT lang, CAST(FLOOR(r * 20) AS BIGINT) AS bucket, COUNT(*) AS n_docs
         FROM ratios GROUP BY lang, bucket
+    """
+
+
+def _quality_filter_sql(
+    min_tokens: int = 40,
+    min_stopwords: int = 1,
+    min_distinct_frac: float = 0.45,
+) -> str:
+    """t11 oracle: the Gopher-rules CASE chain, generated from the same
+    GOPHER_STOPWORDS table as the operator (change the operator constant,
+    never this SQL). Rule order matches text.py::gopher_quality_filter
+    exactly; n_tokens=0 is caught by the first rule in both engines before
+    any division matters, and each ratio is the same single double
+    division of exact integers."""
+    from rust_geo_booleanop_spark.operators.text import GOPHER_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    case = f"""CASE
+                 WHEN n_tokens < {min_tokens} THEN 'too_few_tokens'
+                 WHEN n_tokens > 100000 THEN 'too_many_tokens'
+                 WHEN (CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 3.0)
+                   OR (CAST(char_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 10.0)
+                   THEN 'word_length'
+                 WHEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.8
+                   THEN 'non_alpha'
+                 WHEN n_stopwords < {min_stopwords} THEN 'stopwords'
+                 WHEN CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                      < {min_distinct_frac} THEN 'repetition_distinct'
+                 WHEN CAST(top2gram_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.18
+                   THEN 'repetition_2gram'
+               END"""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\\s+'),
+                               x -> x != '') AS tk
+            FROM documents
+        ), stats AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct_tokens,
+                   CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS char_sum,
+                   CAST(len(list_intersect(list_distinct(tk), [{words}])) AS BIGINT) AS n_stopwords,
+                   CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha
+            FROM toks
+        ), grams AS (
+            SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+            FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+        ), gc AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        ), topg AS (
+            SELECT doc_id, MAX(c) AS m FROM gc GROUP BY 1
+        ), j AS (
+            SELECT s.*, CAST(COALESCE(t.m, 0) AS BIGINT) AS top2gram_n
+            FROM stats s LEFT JOIN topg t USING (doc_id)
+        )
+        SELECT doc_id, n_tokens, n_stopwords,
+               ({case}) IS NULL AS keep,
+               {case} AS fail_reason
+        FROM j
     """
 
 
@@ -1711,6 +1821,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_norm, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
             FROM n GROUP BY 1
         """,
+        # d06: same synthetic multi-line page, same trim/drop-empty line
+        # model, df >= 3 boilerplate rule, order-preserving rebuild.
+        # concat_ws skips the NULL newsletter arg in both engines but keeps
+        # the '' empty-line arg; string_agg(... ORDER BY pos) mirrors
+        # Spark's array_sort(collect_list(struct(pos, line))).
+        "d06_boilerplate_lines": """
+            WITH t AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                         'please accept our cookie policy',
+                         text,
+                         '',
+                         '(c) ' || source || ' media group',
+                         CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter' END,
+                         'ref ' || CAST(doc_id - doc_id % 2 AS VARCHAR)
+                       ) AS txt
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t
+            ), ln AS (
+                SELECT doc_id, i AS pos, TRIM(ls[i]) AS line
+                FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM parts)
+            ), nz AS (
+                SELECT * FROM ln WHERE line != ''
+            ), boiler AS (
+                SELECT line FROM nz GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3
+            ), kept AS (
+                SELECT * FROM nz WHERE line NOT IN (SELECT line FROM boiler)
+            ), tot AS (
+                SELECT doc_id, COUNT(*) AS n_total FROM nz GROUP BY doc_id
+            ), reb AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   CAST(COALESCE(reb.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(COALESCE(tot.n_total, 0) - COALESCE(reb.n_kept, 0) AS BIGINT)
+                     AS n_lines_removed
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN reb ON d.doc_id = reb.doc_id
+        """,
+        "t11_quality_filter": _quality_filter_sql(),
         # exact inverted-index n-gram Jaccard (d03): the one FP division is
         # identical single-op IEEE arithmetic in both engines. Mirrors the
         # operator's scale-safe "auto" max_df default: shingles in more

@@ -297,3 +297,149 @@ def url_dedup(docs: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("doc_id").alias("canonical_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level boilerplate removal (built-in only; exact oracle)
+# ---------------------------------------------------------------------------
+
+def remove_boilerplate_lines(
+    docs: DataFrame, col: str = "text", min_docs: int = 3
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate stripping: a (trimmed, non-empty)
+    line appearing in >= min_docs DISTINCT documents is boilerplate (cookie
+    banners, copyright footers, nav chrome) and is removed from every
+    document; surviving lines are rejoined in original order.
+
+    Returns one row per input document: doc_id, clean_text (newline-joined
+    kept lines, '' if everything was boilerplate), n_lines_kept,
+    n_lines_removed. All outputs exact (strings + integers), so the DuckDB
+    oracle hashes bit-for-bit.
+
+    Scale shape: posexplode lines -> ONE hash aggregation for the
+    document-frequency count (map-side partials; the groupBy key is the
+    line text, so identical boilerplate collapses early) -> left_anti
+    equi-join of lines vs the boilerplate set (AQE broadcasts it when
+    small — at web scale the df>=N set is tiny relative to the corpus) ->
+    per-doc rebuild via array_sort(collect_list(struct(pos,line))), bounded
+    by single-document size. Nothing quadratic, no windows, no Python.
+    """
+    lines = (
+        docs.select(
+            "doc_id", F.posexplode(F.split(F.col(col), "\n")).alias("pos", "line")
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+            (
+                F.coalesce("n_lines_total", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filter (composite rules; exact oracle)
+# ---------------------------------------------------------------------------
+
+# The stopword presence rule's word list (Gopher rule: a good document
+# contains at least min_stopwords of these). The t11 oracle SQL embeds this
+# table literally — change it here only (tests pin the generated SQL).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    min_distinct_frac: float = 0.2,
+    max_top2gram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-rules composite keep/drop filter: token-count bounds, mean
+    word length window, alphabetic-word fraction, stopword presence,
+    distinct-token fraction, and top-2-gram repetition fraction. Emits
+    `keep` plus `fail_reason` = the FIRST failing rule in the fixed order
+    below (NULL when kept), so downstream attrition dashboards can break
+    drops down by rule.
+
+    Determinism: every ratio is ONE double division of exactly-computed
+    integers, and thresholds are literals — the comparison outcome is
+    bit-reproducible and matches the DuckDB oracle. NULL/blank text fails
+    `too_few_tokens` (a quality filter must score every document).
+
+    Scale shape: with_repetition_stats supplies the only shuffle; all
+    added metrics (char sums, stopword/alpha counts) are per-row JVM HOFs
+    inside whole-stage codegen.
+    """
+    d = with_repetition_stats(docs, col)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    stop_lit = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_lit))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    d = (
+        d.withColumn("_char_sum", char_sum)
+        .withColumn("n_stopwords", n_stop.cast("long"))
+        .withColumn("_n_alpha", n_alpha.cast("long"))
+    )
+    n = F.col("n_tokens").cast("double")
+    mean_wl = F.col("_char_sum").cast("double") / n
+    alpha_frac = F.col("_n_alpha").cast("double") / n
+    distinct_frac = F.col("n_distinct_tokens").cast("double") / n
+    top2_frac = F.col("top2gram_n").cast("double") / n
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_many_tokens"))
+        .when(
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+            F.lit("word_length"),
+        )
+        .when(alpha_frac < min_alpha_frac, F.lit("non_alpha"))
+        .when(F.col("n_stopwords") < min_stopwords, F.lit("stopwords"))
+        .when(distinct_frac < min_distinct_frac, F.lit("repetition_distinct"))
+        .when(top2_frac > max_top2gram_frac, F.lit("repetition_2gram"))
+    )
+    return (
+        d.withColumn("fail_reason", reason)
+        .withColumn("keep", F.col("fail_reason").isNull())
+        .drop("_char_sum", "_n_alpha")
+    )

