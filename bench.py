@@ -104,12 +104,15 @@ def main():
         cosine_topk,
         exact_dedup,
         extract_geometries,
+        gopher_quality_filter,
         ivf_cosine_topk,
         knn_join,
         minhash_dedup,
         ngram_jaccard_pairs,
         point_in_polygon_join,
+        remove_boilerplate_lines,
         sessionize,
+        url_dedup,
         zonal_stats_join,
     )
     from rust_geo_booleanop_spark.plans import get_spark
@@ -187,6 +190,9 @@ def main():
         "ngram_jaccard": 9.0,
         "cosine_topk": 1.5,
         "ivf_topk": 1.9,
+        "boilerplate_lines": 0.5,
+        "quality_filter": 0.8,
+        "url_dedup": 0.5,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -377,6 +383,47 @@ def main():
         "ivf_topk",
         lambda: ivf_cosine_topk(embeddings, emb_queries, k=10, nprobe=2, stride=37).count(),
     )
+
+    # --- text cleaning / filtering ops (round 4) ---
+    # Same deterministic synthetic structure as the d05/d06 contract
+    # queries: the single-line corpus gets a multi-line page shape and a
+    # messy URL so the ops exercise their real plans (DF agg + anti-join;
+    # regexp chain + hash agg) rather than degenerate 1-line inputs.
+    section_sentinels["text"] = _sentinel_reading()
+    multiline = documents.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("please accept our cookie policy"),
+            F.col("text"),
+            F.concat(F.lit("(c) "), F.col("source"), F.lit(" media group")),
+            F.concat(
+                F.lit("ref "), (F.col("doc_id") - F.col("doc_id") % 2).cast("string")
+            ),
+        ),
+    )
+    timed(
+        "boilerplate_lines",
+        lambda: remove_boilerplate_lines(multiline, min_docs=3).count(),
+    )
+    timed(
+        "quality_filter",
+        lambda: gopher_quality_filter(
+            documents, min_tokens=40, min_stopwords=1, min_distinct_frac=0.45
+        ).count(),
+    )
+    urls = documents.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    timed("url_dedup", lambda: url_dedup(urls).count())
 
     flagship_sec = timings["flagship_boolean_tiling"]
     result = {
