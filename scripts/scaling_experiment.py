@@ -83,10 +83,23 @@ def run_leg(cpus: int, replicate: int) -> dict:
         total_cores = cpus * int(lc_cores)
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if os.environ.get("SPARK_GRAFT_PIN") == "1":
-        # Executor-topology legs get 4 extra cores for the driver JVM +
+        # Executor-topology legs get extra cores for the driver JVM +
         # bench process (a separate node in a real cluster), so the pin
         # charges executors their own work without starving the driver.
-        pin_hi = total_cores + 4 - 1 if lc_cores else total_cores - 1
+        # Driver headroom must be PROPORTIONAL to the leg (default 1 core
+        # per 4 executor cores, min 1): a fixed +4 gives the 1x4 leg a
+        # 4-spare/4-worker subsidy while the 4x4 leg gets 4-spare/16 —
+        # on a calm box the lo leg's Python workers absorb the idle
+        # driver cores and the measured ratio collapses for topology
+        # reasons, not engine reasons (observed: fixed +4 lo leg 10.0k
+        # p/s vs 8.3k at an honest 4-core pin). SPARK_GRAFT_PIN_DRIVER
+        # overrides with a fixed core count for A/B against old runs.
+        if lc_cores:
+            fixed = os.environ.get("SPARK_GRAFT_PIN_DRIVER")
+            headroom = int(fixed) if fixed else max(1, total_cores // 4)
+            pin_hi = total_cores + headroom - 1
+        else:
+            pin_hi = total_cores - 1
         cmd = ["taskset", "-c", f"0-{pin_hi}"] + cmd
     out = subprocess.run(
         cmd,
