@@ -70,6 +70,71 @@ def _video_frame_content(content: bytes, frame_no: int) -> bytes:
     return salt * 8
 
 
+def synth_media_pdf(pdf: pd.DataFrame, kinds=("image", "audio")) -> pd.DataFrame:
+    """Pure pandas body of synth_media: one media row per url. Module-level
+    so the oracle-fixture generator (scripts/gen_media_oracle_fixtures.py)
+    can synthesize the identical table without Spark (d02 pattern)."""
+    out = {k: [] for k in (
+        "url", "kind", "media", "width", "height",
+        "sample_rate", "duration_ms", "codec",
+    )}
+    for url in pdf["url"]:
+        seed = int.from_bytes(
+            hashlib.blake2b(url.encode(), digest_size=8).digest(), "little"
+        )
+        kind = kinds[seed % len(kinds)]
+        content = hashlib.blake2b(
+            url.encode(), digest_size=32, person=b"media"
+        ).digest() * 8  # 256 bytes of deterministic "content"
+        out["url"].append(url)
+        out["kind"].append(kind)
+        if kind == "image":
+            w = 64 + seed % 512
+            h = 64 + (seed >> 9) % 512
+            img = _tile_content(content, w * h).reshape(h, w)
+            out["media"].append(encode_png_gray8(img))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sample_rate"].append(None)
+            out["duration_ms"].append(None)
+            out["codec"].append("png")
+        elif kind == "video":
+            w = 64 + seed % 256
+            h = 64 + (seed >> 9) % 256
+            dur_ms = 2000 + seed % 30000
+            n_stored = min(
+                VIDEO_MAX_STORED_FRAMES,
+                max(1, dur_ms // VIDEO_FRAME_INTERVAL_MS),
+            )
+            frames = [
+                _tile_content(_video_frame_content(content, fi), w * h)
+                .reshape(h, w)
+                for fi in range(n_stored)
+            ]
+            out["media"].append(
+                encode_mpng(frames, VIDEO_FRAME_INTERVAL_MS)
+            )
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sample_rate"].append(None)
+            out["duration_ms"].append(dur_ms)
+            out["codec"].append("mpng")
+        else:
+            sr = 16000
+            dur_ms = 1000 + seed % 60000
+            n = int(sr * min(dur_ms, AUDIO_EXCERPT_MS) / 1000)
+            samples = (
+                (_tile_content(content, n).astype(np.int16) - 128) * 256
+            )
+            out["media"].append(encode_wav_pcm16(samples, sr))
+            out["width"].append(None)
+            out["height"].append(None)
+            out["sample_rate"].append(sr)
+            out["duration_ms"].append(dur_ms)
+            out["codec"].append("pcm16")
+    return pd.DataFrame(out)
+
+
 def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFrame:
     """Deterministic media table derived from document urls.
 
@@ -83,65 +148,7 @@ def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFr
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "url", "kind", "media", "width", "height",
-                "sample_rate", "duration_ms", "codec",
-            )}
-            for url in pdf["url"]:
-                seed = int.from_bytes(
-                    hashlib.blake2b(url.encode(), digest_size=8).digest(), "little"
-                )
-                kind = kinds[seed % len(kinds)]
-                content = hashlib.blake2b(
-                    url.encode(), digest_size=32, person=b"media"
-                ).digest() * 8  # 256 bytes of deterministic "content"
-                out["url"].append(url)
-                out["kind"].append(kind)
-                if kind == "image":
-                    w = 64 + seed % 512
-                    h = 64 + (seed >> 9) % 512
-                    img = _tile_content(content, w * h).reshape(h, w)
-                    out["media"].append(encode_png_gray8(img))
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["sample_rate"].append(None)
-                    out["duration_ms"].append(None)
-                    out["codec"].append("png")
-                elif kind == "video":
-                    w = 64 + seed % 256
-                    h = 64 + (seed >> 9) % 256
-                    dur_ms = 2000 + seed % 30000
-                    n_stored = min(
-                        VIDEO_MAX_STORED_FRAMES,
-                        max(1, dur_ms // VIDEO_FRAME_INTERVAL_MS),
-                    )
-                    frames = [
-                        _tile_content(_video_frame_content(content, fi), w * h)
-                        .reshape(h, w)
-                        for fi in range(n_stored)
-                    ]
-                    out["media"].append(
-                        encode_mpng(frames, VIDEO_FRAME_INTERVAL_MS)
-                    )
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["sample_rate"].append(None)
-                    out["duration_ms"].append(dur_ms)
-                    out["codec"].append("mpng")
-                else:
-                    sr = 16000
-                    dur_ms = 1000 + seed % 60000
-                    n = int(sr * min(dur_ms, AUDIO_EXCERPT_MS) / 1000)
-                    samples = (
-                        (_tile_content(content, n).astype(np.int16) - 128) * 256
-                    )
-                    out["media"].append(encode_wav_pcm16(samples, sr))
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["sample_rate"].append(sr)
-                    out["duration_ms"].append(dur_ms)
-                    out["codec"].append("pcm16")
-            yield pd.DataFrame(out)
+            yield synth_media_pdf(pdf, kinds)
 
     return documents.select("url").mapInPandas(batches, schema=MEDIA_SCHEMA)
 
@@ -166,28 +173,34 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def image_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure pandas body of image_features (shared with the oracle-fixture
+    generator)."""
+    out = {k: [] for k in ("url", "width", "height", "mean_pixel", "std_pixel", "phash")}
+    for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
+        img = _decode_image(payload)
+        # 8x8 average-hash style fingerprint on a coarse grid
+        hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+        bits = (hh > hh.mean()).flatten()
+        phash = 0
+        for i, b in enumerate(bits):
+            if b:
+                phash |= 1 << i
+        out["url"].append(url)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["mean_pixel"].append(float(img.mean()))
+        out["std_pixel"].append(float(img.std()))
+        out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
+    return pd.DataFrame(out)
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Real PNG decode + feature-extract per image, Arrow-batched."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("url", "width", "height", "mean_pixel", "std_pixel", "phash")}
-            for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-                img = _decode_image(payload)
-                # 8x8 average-hash style fingerprint on a coarse grid
-                hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
-                bits = (hh > hh.mean()).flatten()
-                phash = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        phash |= 1 << i
-                out["url"].append(url)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_pixel"].append(float(img.mean()))
-                out["std_pixel"].append(float(img.std()))
-                out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
-            yield pd.DataFrame(out)
+            yield image_features_pdf(pdf)
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA
@@ -197,23 +210,29 @@ def image_features(media: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = "url string, out_width int, out_height int, thumb binary"
 
 
+def resize_images_pdf(pdf: pd.DataFrame, out_width: int, out_height: int) -> pd.DataFrame:
+    """Pure pandas body of resize_images (shared with the oracle-fixture
+    generator)."""
+    out = {"url": [], "out_width": [], "out_height": [], "thumb": []}
+    for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
+        img = _decode_image(payload)
+        ys = np.linspace(0, img.shape[0] - 1, out_height).astype(int)
+        xs = np.linspace(0, img.shape[1] - 1, out_width).astype(int)
+        thumb = img[np.ix_(ys, xs)]
+        out["url"].append(url)
+        out["out_width"].append(out_width)
+        out["out_height"].append(out_height)
+        out["thumb"].append(thumb.astype(np.uint8).tobytes())
+    return pd.DataFrame(out)
+
+
 def resize_images(media: DataFrame, out_width: int = 32, out_height: int = 32) -> DataFrame:
     """Real PNG decode + nearest-neighbor downsample; emits the raw
     thumbnail bytes (a real impl might re-encode — same seam)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"url": [], "out_width": [], "out_height": [], "thumb": []}
-            for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-                img = _decode_image(payload)
-                ys = np.linspace(0, img.shape[0] - 1, out_height).astype(int)
-                xs = np.linspace(0, img.shape[1] - 1, out_width).astype(int)
-                thumb = img[np.ix_(ys, xs)]
-                out["url"].append(url)
-                out["out_width"].append(out_width)
-                out["out_height"].append(out_height)
-                out["thumb"].append(thumb.astype(np.uint8).tobytes())
-            yield pd.DataFrame(out)
+            yield resize_images_pdf(pdf, out_width, out_height)
 
     return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=RESIZE_SCHEMA)
 
@@ -228,6 +247,30 @@ def _decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
     n_frames, interval_ms = mpng_info(bytes(payload))
     idx = min(n_frames - 1, ts_ms // interval_ms)
     return decode_mpng_frame(bytes(payload), idx)
+
+
+def sample_video_frames_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -> pd.DataFrame:
+    """Pure pandas body of sample_video_frames (shared with the
+    oracle-fixture generator)."""
+    out = {"url": [], "frame_no": [], "ts_ms": [], "mean_pixel": [], "phash": []}
+    for url, payload, dur in zip(
+        pdf["url"], pdf["media"], pdf["duration_ms"]
+    ):
+        n_frames = min(max_frames, max(1, int(dur) // every_ms))
+        for fi in range(n_frames):
+            img = _decode_video_frame(bytes(payload), fi * every_ms)
+            hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+            bits = (hh > hh.mean()).flatten()
+            phash = 0
+            for i, b in enumerate(bits):
+                if b:
+                    phash |= 1 << i
+            out["url"].append(url)
+            out["frame_no"].append(fi)
+            out["ts_ms"].append(fi * every_ms)
+            out["mean_pixel"].append(float(img.mean()))
+            out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
+    return pd.DataFrame(out)
 
 
 VIDEO_FRAMES_SCHEMA = (
@@ -246,29 +289,36 @@ def sample_video_frames(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"url": [], "frame_no": [], "ts_ms": [], "mean_pixel": [], "phash": []}
-            for url, payload, dur in zip(
-                pdf["url"], pdf["media"], pdf["duration_ms"]
-            ):
-                n_frames = min(max_frames, max(1, int(dur) // every_ms))
-                for fi in range(n_frames):
-                    img = _decode_video_frame(bytes(payload), fi * every_ms)
-                    hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
-                    bits = (hh > hh.mean()).flatten()
-                    phash = 0
-                    for i, b in enumerate(bits):
-                        if b:
-                            phash |= 1 << i
-                    out["url"].append(url)
-                    out["frame_no"].append(fi)
-                    out["ts_ms"].append(fi * every_ms)
-                    out["mean_pixel"].append(float(img.mean()))
-                    out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
-            yield pd.DataFrame(out)
+            yield sample_video_frames_pdf(pdf, every_ms, max_frames)
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         batches, schema=VIDEO_FRAMES_SCHEMA
     )
+
+
+def sample_audio_frames_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -> pd.DataFrame:
+    """Pure pandas body of sample_audio_frames (shared with the
+    oracle-fixture generator)."""
+    out = {"url": [], "frame_no": [], "rms": [], "peak": []}
+    for url, payload, sr, dur in zip(
+        pdf["url"], pdf["media"], pdf["sample_rate"], pdf["duration_ms"]
+    ):
+        # the decoded WAV is the ground truth for available
+        # samples (synth stores an AUDIO_EXCERPT_MS excerpt)
+        samples = _decode_audio(payload)
+        frame_len = int(int(sr) * frame_ms / 1000)
+        n_frames = min(max_frames, max(1, len(samples) // frame_len))
+        for fi in range(n_frames):
+            frame = samples[fi * frame_len : (fi + 1) * frame_len]
+            if len(frame) == 0:
+                continue
+            out["url"].append(url)
+            out["frame_no"].append(fi)
+            out["rms"].append(float(np.sqrt(np.mean(frame.astype(np.float64) ** 2))))
+            # abs in int64: np.abs(int16 -32768) overflows back to
+            # -32768 and the true peak sample would be dropped
+            out["peak"].append(int(np.abs(frame.astype(np.int64)).max()))
+    return pd.DataFrame(out)
 
 
 AUDIO_FRAMES_SCHEMA = "url string, frame_no int, rms double, peak int"
@@ -280,25 +330,6 @@ def sample_audio_frames(media: DataFrame, frame_ms: int = 100, max_frames: int =
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"url": [], "frame_no": [], "rms": [], "peak": []}
-            for url, payload, sr, dur in zip(
-                pdf["url"], pdf["media"], pdf["sample_rate"], pdf["duration_ms"]
-            ):
-                # the decoded WAV is the ground truth for available
-                # samples (synth stores an AUDIO_EXCERPT_MS excerpt)
-                samples = _decode_audio(payload)
-                frame_len = int(int(sr) * frame_ms / 1000)
-                n_frames = min(max_frames, max(1, len(samples) // frame_len))
-                for fi in range(n_frames):
-                    frame = samples[fi * frame_len : (fi + 1) * frame_len]
-                    if len(frame) == 0:
-                        continue
-                    out["url"].append(url)
-                    out["frame_no"].append(fi)
-                    out["rms"].append(float(np.sqrt(np.mean(frame.astype(np.float64) ** 2))))
-                    # abs in int64: np.abs(int16 -32768) overflows back to
-                    # -32768 and the true peak sample would be dropped
-                    out["peak"].append(int(np.abs(frame.astype(np.int64)).max()))
-            yield pd.DataFrame(out)
+            yield sample_audio_frames_pdf(pdf, frame_ms, max_frames)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)

@@ -54,23 +54,28 @@ _CLIP_SCHEMA = (
 )
 
 
+def tile_square_json(tid: int) -> str:
+    """Serialized 1-polygon multipolygon of a tile's square (repr
+    round-trips exactly, so parsing the serialized square yields the same
+    doubles cell_bounds produced). Shared with the g03 oracle-fixture
+    generator (scripts/gen_geo_oracle_fixtures.py)."""
+    x0, y0, x1, y1 = cell_bounds(tid)
+    return serialize_multipolygon(
+        [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
+    )
+
+
 def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # Full-C pair lifecycle when available (kernel/pairs.py), Python
     # composition otherwise — byte-identical clip results either way.
-    # Tile squares repeat heavily across rows: serialize each once
-    # (repr round-trips exactly, so parsing the serialized square yields
-    # the same doubles cell_bounds produced).
+    # Tile squares repeat heavily across rows: serialize each once.
     pair_run = resolve_pair_runner()
     tile_json_cache: dict = {}
 
-    def tile_square_json(tid: int) -> str:
+    def cached_tile_json(tid: int) -> str:
         tj = tile_json_cache.get(tid)
         if tj is None:
-            x0, y0, x1, y1 = cell_bounds(tid)
-            tj = serialize_multipolygon(
-                [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
-            )
-            tile_json_cache[tid] = tj
+            tj = tile_json_cache[tid] = tile_square_json(tid)
         return tj
 
     for pdf in batches:
@@ -91,7 +96,7 @@ def _clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["status"].append("untiled")
                 continue
             (_, gj, n, _, _, _, _, status), = pair_run(
-                geom_json, tile_square_json(int(tile_id)), ("intersection",)
+                geom_json, cached_tile_json(int(tile_id)), ("intersection",)
             )
             if status != "ok":
                 # degenerate re-ingested geometry: degrade the row, never

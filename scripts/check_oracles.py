@@ -64,6 +64,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if os.path.basename(sf_dir.rstrip("/")) != "sf0.01":
+        # whole-corpus snapshot fixtures only exist at the gate's sf
+        for name in getattr(entrymod, "SF001_ONLY_ORACLES", ()):  # downgrade
+            oracles.pop(name, None)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

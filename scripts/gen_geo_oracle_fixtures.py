@@ -1,0 +1,182 @@
+"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09).
+
+Two provenance classes, both committed under tests/oracle_fixtures/:
+
+- g01/g02/g03 (generated-oracle pattern, like d02): expected boolean-op
+  polygon counts, tile assignments, and per-tile clip counts for corpus
+  cases 0..2499 (covers sf0.1; the oracle SQL joins against the
+  `documents` view so smaller scale factors grade the subset of cases
+  they contain). Computed with the PURE-PYTHON kernel pair runner and
+  the operators' own tile math, WITHOUT Spark — the DuckDB comparison
+  then cross-checks the whole distributed path (extraction, pair
+  shuffle, the native C kernel stage, tile explode, clip) against a
+  locally-computed pure-Python result.
+
+- g09 (REFERENCE-DATA oracle — no kernel involved): for every expected
+  feature annotated in the reference's own GeoJSON fixture corpus
+  (/root/reference/tests/fixtures/generic_test_cases, read in place),
+  the expected polygon count and exact_match=true. The Spark query runs
+  each annotated op through the kernel and compares its serialized
+  result byte-for-byte against the fixture's expected geometry, so a
+  hash-green g09 is driver-gate-level proof of fixture exactness.
+
+Run after any change to the kernel, corpus templates, tiling math, or
+the GeoJSON fixture parser. Freshness is pinned by
+tests/test_oracle_fixtures.py (sampled for g01-g03, full for g09).
+
+Usage: python scripts/gen_geo_oracle_fixtures.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "oracle_fixtures"
+)
+REF_FIXTURES = "/root/reference/tests/fixtures/generic_test_cases"
+N_CASES = 2500  # sf0.1's documents table: doc_ids 0..4999 -> cases 0..2499
+OPS = ("intersection", "union", "diff", "xor")  # boolean_join.DEFAULT_OPS
+TILE_LEVEL = 4  # tiling.DEFAULT_TILE_LEVEL
+
+
+def geo_case_rows(case_ids):
+    """Pure-Python-kernel expected rows for g01/g02/g03 over `case_ids`.
+
+    Returns (g01_rows, g02_rows, g03_rows):
+      g01: (case_id, op, n_polys)
+      g02: (case_id, op, tile_id|None)          # one row per covering tile
+      g03: (case_id, tile_id|None, url, op, n_polys)
+    Mirrors boolean_pipeline -> assign_tiles -> clip_to_tiles exactly
+    (incl. explode_outer's untiled NULL-tile rows for empty/limit results
+    and clip's n_polys=0 degradation on non-ok clip status).
+    """
+    from rust_geo_booleanop_spark.functions.cells import bbox_cover_cells
+    from rust_geo_booleanop_spark.kernel.pairs import pair_boolean_ops_python
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.tiling import tile_square_json
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+    from rust_geo_booleanop_spark.sources.documents import synth_url
+
+    g01, g02, g03 = [], [], []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        s_json = serialize_multipolygon(subject)
+        c_json = serialize_multipolygon(clipping)
+        url = synth_url(2 * case_id)  # clip keys rows by subject_url
+        for op, result_json, n_polys, xmin, ymin, xmax, ymax, _status in (
+            pair_boolean_ops_python(s_json, c_json, OPS)
+        ):
+            g01.append((case_id, op, n_polys))
+            tiles = bbox_cover_cells(xmin, ymin, xmax, ymax, TILE_LEVEL)
+            if not tiles:
+                g02.append((case_id, op, None))
+                g03.append((case_id, None, url, op, 0))
+                continue
+            for tid in tiles:
+                g02.append((case_id, op, tid))
+                ((_, _, cn, _, _, _, _, cstatus),) = pair_boolean_ops_python(
+                    result_json, tile_square_json(int(tid)), ("intersection",)
+                )
+                if cstatus != "ok":
+                    cn = 0
+                g03.append((case_id, int(tid), url, op, cn))
+    return g01, g02, g03
+
+
+def g09_expected_rows():
+    """Reference-data expected rows: (case_key, op, n_polys, expected_json)
+    for every annotated expected feature in the reference fixture corpus.
+    n_polys counts the expected geometry's polygons; expected_json is the
+    compact serialization the Spark query byte-compares against. Parsed
+    straight from the reference files — the kernel is never run here."""
+    from rust_geo_booleanop_spark.kernel.geojson import (
+        geometry_to_multipolygon,
+        multipolygon_to_geometry,
+    )
+
+    rows = []
+    for path in sorted(glob.glob(os.path.join(REF_FIXTURES, "*.geojson"))):
+        case_key = os.path.basename(path)[: -len(".geojson")]
+        with open(path, "rb") as f:
+            fc = json.loads(f.read().decode("utf-8"))
+        for feat in fc["features"][2:]:
+            props = feat.get("properties") or {}
+            op = props.get("operation")
+            if not op:
+                continue
+            mp = geometry_to_multipolygon(feat["geometry"])
+            expected_json = json.dumps(
+                multipolygon_to_geometry(mp), separators=(",", ":")
+            )
+            rows.append((case_key, op, len(mp), expected_json))
+    return rows
+
+
+def main():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(FIXDIR, exist_ok=True)
+
+    g01, g02, g03 = geo_case_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g01], pa.int64()),
+                "op": pa.array([r[1] for r in g01], pa.string()),
+                "n_polys": pa.array([r[2] for r in g01], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "g01_npolys_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g02], pa.int64()),
+                "op": pa.array([r[1] for r in g02], pa.string()),
+                "tile_id": pa.array([r[2] for r in g02], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g02_tiles_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g03], pa.int64()),
+                "tile_id": pa.array([r[1] for r in g03], pa.int64()),
+                "url": pa.array([r[2] for r in g03], pa.string()),
+                "op": pa.array([r[3] for r in g03], pa.string()),
+                "n_polys": pa.array([r[4] for r in g03], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "g03_clip_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g01: {len(g01)} rows, g02: {len(g02)} rows, g03: {len(g03)} rows")
+
+    g09 = g09_expected_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "case_key": pa.array([r[0] for r in g09], pa.string()),
+                "op": pa.array([r[1] for r in g09], pa.string()),
+                "n_polys": pa.array([r[2] for r in g09], pa.int32()),
+                "expected_json": pa.array([r[3] for r in g09], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "g09_expected.parquet"),
+        compression="zstd",
+    )
+    print(f"g09: {len(g09)} expected features -> {FIXDIR}")
+
+
+if __name__ == "__main__":
+    main()

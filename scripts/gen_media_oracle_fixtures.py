@@ -1,0 +1,142 @@
+"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04).
+
+Generated-oracle pattern (like d02): the fixtures are computed WITHOUT
+Spark by the operators' own module-level pandas bodies
+(operators/multimodal.py::synth_media_pdf / image_features_pdf /
+sample_audio_frames_pdf / sample_video_frames_pdf / resize_images_pdf)
+over the urls of doc_ids 0..4999 (covers sf0.1; the oracle SQL derives
+the url set from the `documents` view, so smaller scale factors grade
+their subset). The DuckDB comparison then cross-checks the Spark
+plumbing — mapInPandas batching, Arrow binary transfer, filters, and
+the aggregations (computed in SQL over the per-frame fixture rows, not
+pre-aggregated) — against the local recompute.
+
+Run after any change to operators/multimodal.py or functions/codecs.py.
+Freshness pinned (sampled) by tests/test_oracle_fixtures.py.
+
+Usage: python scripts/gen_media_oracle_fixtures.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXDIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "oracle_fixtures"
+)
+N_DOCS = 5000  # sf0.1's documents table: doc_ids 0..4999
+
+
+def media_fixture_frames(doc_ids):
+    """Spark-free recompute of the four m-query inputs for `doc_ids`.
+
+    Returns (m01_rows, m02_rows, m03_rows, m04_rows):
+      m01: (url, width, height, phash)                # per image
+      m02: (url, frame_no, peak)                      # per audio frame
+      m03: (url, frame_no, ts_ms)                     # per video frame
+      m04: (url, out_width, out_height, thumb_md5)    # per image
+    """
+    import pandas as pd
+
+    from rust_geo_booleanop_spark.operators.multimodal import (
+        image_features_pdf,
+        resize_images_pdf,
+        sample_audio_frames_pdf,
+        sample_video_frames_pdf,
+        synth_media_pdf,
+    )
+    from rust_geo_booleanop_spark.sources.documents import synth_url
+
+    urls = pd.DataFrame({"url": [synth_url(d) for d in doc_ids]})
+    media2 = synth_media_pdf(urls, kinds=("image", "audio"))
+    media3 = synth_media_pdf(urls, kinds=("image", "audio", "video"))
+
+    img2 = media2[media2["kind"] == "image"]
+    feats = image_features_pdf(img2)
+    m01 = list(zip(feats["url"], feats["width"], feats["height"], feats["phash"]))
+
+    aud2 = media2[media2["kind"] == "audio"]
+    af = sample_audio_frames_pdf(aud2, frame_ms=100, max_frames=8)
+    m02 = list(zip(af["url"], af["frame_no"], af["peak"]))
+
+    vid3 = media3[media3["kind"] == "video"]
+    vf = sample_video_frames_pdf(vid3, every_ms=1000, max_frames=8)
+    m03 = list(zip(vf["url"], vf["frame_no"], vf["ts_ms"]))
+
+    th = resize_images_pdf(img2, 16, 16)
+    m04 = list(
+        zip(
+            th["url"],
+            th["out_width"],
+            th["out_height"],
+            (hashlib.md5(b).hexdigest() for b in th["thumb"]),
+        )
+    )
+    return m01, m02, m03, m04
+
+
+def main():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(FIXDIR, exist_ok=True)
+    m01, m02, m03, m04 = media_fixture_frames(range(N_DOCS))
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m01], pa.string()),
+                "width": pa.array([int(r[1]) for r in m01], pa.int32()),
+                "height": pa.array([int(r[2]) for r in m01], pa.int32()),
+                "phash": pa.array([int(r[3]) for r in m01], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "m01_image_features_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m02], pa.string()),
+                "frame_no": pa.array([int(r[1]) for r in m02], pa.int32()),
+                "peak": pa.array([int(r[2]) for r in m02], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "m02_audio_frames_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m03], pa.string()),
+                "frame_no": pa.array([int(r[1]) for r in m03], pa.int32()),
+                "ts_ms": pa.array([int(r[2]) for r in m03], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "m03_video_frames_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m04], pa.string()),
+                "out_width": pa.array([int(r[1]) for r in m04], pa.int32()),
+                "out_height": pa.array([int(r[2]) for r in m04], pa.int32()),
+                "thumb_md5": pa.array([r[3] for r in m04], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "m04_thumbs_sf01.parquet"),
+        compression="zstd",
+    )
+    print(
+        f"m01: {len(m01)} images, m02: {len(m02)} audio frames, "
+        f"m03: {len(m03)} video frames, m04: {len(m04)} thumbs -> {FIXDIR}"
+    )
+
+
+if __name__ == "__main__":
+    main()

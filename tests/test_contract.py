@@ -19,26 +19,25 @@ def test_query_names_and_callables():
         assert callable(fn), name
 
 
-def test_oracle_backed_queries_precede_rows_only():
-    """Driver-gate budget invariant (round-2 regression): the driver grades
-    only the first ~50 queries() entries, so every oracle-backed query must
-    come before every rows-only one — a budget cut may only ever drop
-    cells from the end, never a mid-list value-hash one."""
+def test_every_query_is_oracle_backed():
+    """Since round 4 EVERY queries() entry has a value-hash oracle (65
+    oracles, zero rows-only): the geo block leads with the flagship g01
+    first, and the driver's ~50-entry grading budget can only cut entries
+    that are either already driver-graded hash-green in
+    CORRECTNESS_r03.json or carry committed-fixture oracles graded by
+    scripts/check_oracles.py."""
     qs = list(entry.queries())
     oracles = set(entry.oracle_sql())
-    first_rows_only = next(i for i, n in enumerate(qs) if n not in oracles)
-    assert all(n not in oracles for n in qs[first_rows_only:]), [
-        n for n in qs[first_rows_only:] if n in oracles
-    ]
-    # Round 4 carries 55 oracle-backed queries against the observed
-    # 50-entry budget: positions 51-55 (d02, t10, d05, d06, t11) are the
-    # documented beyond-budget block (still graded by
-    # scripts/check_oracles.py, which runs every entry); the graded first
-    # 50 are unchanged from round 3's hash-green set plus d01.
-    assert len(oracles) <= 55
-    if len(oracles) >= 51:
-        assert qs[50] == "d02_simhash_pairs"
-    assert qs[first_rows_only] == "g01_boolean_pipeline"
+    assert set(qs) == oracles, sorted(set(qs) ^ oracles)
+    assert qs[0] == "g01_boolean_pipeline"
+    assert qs[1:4] == ["g02_tile_assignment", "g03_tile_clip", "g09_fixture_suite"]
+    # every driver-graded r3 hash-green query stays inside the 50 budget
+    # except the similarity tail (s04/s05/s07/d01), which moved past the
+    # cut to make room for the geo block — documented in queries().
+    graded = set(qs[:50])
+    assert {"g01_boolean_pipeline", "g09_fixture_suite", "h01_heavy_hitters",
+            "d03_ngram_jaccard", "s03_embedding_neardup"} <= graded
+    assert entry.SF001_ONLY_ORACLES <= set(qs)
 
 
 def test_oracle_sql_is_nonempty_select():

@@ -1,0 +1,136 @@
+"""Freshness pins for the committed oracle fixtures (round 4).
+
+Each test regenerates a slice of a fixture with the same Spark-free code
+the generator scripts use and compares it against the committed parquet
+— so an edit to the kernel, corpus templates, tile math, codecs, or
+multimodal operators goes red here until the matching
+scripts/gen_*_oracle_fixtures.py is re-run (the d02 freshness pattern).
+
+The g11/s06 SNAPSHOT fixtures have no Spark-free regeneration; their
+freshness check IS the oracle gate itself (scripts/check_oracles.py),
+which re-runs the operators in a fresh session and hash-compares.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+
+def _key(row):
+    """None-safe total order for row sorting."""
+    return [(v is None, repr(v)) for v in row]
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "oracle_fixtures")
+
+# a representative case slice: the first full template cycle + the two
+# heavy-template cases inside sf0.01's range (HEAVY_EVERY = 61)
+SAMPLE_CASES = list(range(64)) + [61, 122, 183, 244]
+SAMPLE_DOCS = list(range(100))
+
+
+def _fix(name):
+    return duckdb.sql(
+        f"SELECT * FROM read_parquet('{FIXDIR}/{name}.parquet')"
+    ).fetchall()
+
+
+class TestGeoFixturesFresh:
+    @pytest.fixture(scope="class")
+    def regenerated(self):
+        from scripts.gen_geo_oracle_fixtures import geo_case_rows
+
+        return geo_case_rows(sorted(set(SAMPLE_CASES)))
+
+    def test_g01_sample_fresh(self, regenerated):
+        g01, _, _ = regenerated
+        committed = {
+            (c, o): n
+            for c, o, n in _fix("g01_npolys_sf01")
+            if c in set(SAMPLE_CASES)
+        }
+        assert committed == {(c, o): n for c, o, n in g01}
+
+    def test_g02_sample_fresh(self, regenerated):
+        _, g02, _ = regenerated
+        committed = sorted(
+            (r for r in _fix("g02_tiles_sf01") if r[0] in set(SAMPLE_CASES)),
+            key=_key,
+        )
+        assert committed == sorted(g02, key=_key)
+
+    def test_g03_sample_fresh(self, regenerated):
+        _, _, g03 = regenerated
+        committed = sorted(
+            (r for r in _fix("g03_clip_sf01") if r[0] in set(SAMPLE_CASES)),
+            key=_key,
+        )
+        assert committed == sorted(g03, key=_key)
+
+    def test_g01_covers_sf01_case_space(self):
+        rows = _fix("g01_npolys_sf01")
+        cases = {r[0] for r in rows}
+        assert cases == set(range(2500))  # sf0.1's 5000 docs -> 2500 cases
+        assert len(rows) == 2500 * 4  # one row per (case, op)
+
+
+def test_g09_expected_fresh_and_reference_derived():
+    """g09's fixture regenerates byte-identically from the reference's
+    own fixture files — full regeneration (45 files, no kernel)."""
+    from scripts.gen_geo_oracle_fixtures import g09_expected_rows
+
+    regenerated = sorted(g09_expected_rows())
+    committed = sorted(_fix("g09_expected"))
+    assert committed == regenerated
+    assert len(committed) == 78
+    ops = {r[1] for r in committed}
+    assert ops == {"intersection", "union", "diff", "diff_ba", "xor"}
+
+
+class TestMediaFixturesFresh:
+    @pytest.fixture(scope="class")
+    def regenerated(self):
+        from scripts.gen_media_oracle_fixtures import media_fixture_frames
+
+        return media_fixture_frames(SAMPLE_DOCS)
+
+    def _sample_urls(self):
+        from rust_geo_booleanop_spark.sources.documents import synth_url
+
+        return {synth_url(d) for d in SAMPLE_DOCS}
+
+    def test_m01_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m01_image_features_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(w), int(h), int(p)) for u, w, h, p in regenerated[0]
+        )
+
+    def test_m02_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m02_audio_frames_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(f), int(p)) for u, f, p in regenerated[1]
+        )
+
+    def test_m03_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m03_video_frames_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(f), int(t)) for u, f, t in regenerated[2]
+        )
+
+    def test_m04_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(r for r in _fix("m04_thumbs_sf01") if r[0] in urls)
+        assert committed == sorted(
+            (u, int(w), int(h), md5) for u, w, h, md5 in regenerated[3]
+        )
