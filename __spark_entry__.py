@@ -590,6 +590,30 @@ def _h01_heavy_hitters(spark, sf_dir):
     )
 
 
+def _h02_exact_quantiles(spark, sf_dir):
+    """Exact distributed order statistics without a global sort: shared
+    histogram pass + recursive bucket narrowing + sort-limit of only the
+    final <= max_tail tail (operators/quantiles.py). Output is the exact
+    quantile_disc element, so the oracle is DuckDB's quantile_disc."""
+    from rust_geo_booleanop_spark.operators import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def _t12_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling / dataset mixing: keep-decision =
+    md5-prefix-of-key vs a per-stratum hex threshold, pure JVM codegen
+    filter (operators/sampling.py). The oracle recomputes the identical
+    member set from the same md5 rule in SQL."""
+    from rust_geo_booleanop_spark.operators import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, default_rate=0.05
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -1088,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d05_url_dedup": _d05_url_dedup,
         "d06_boilerplate_lines": _d06_boilerplate_lines,
         "t11_quality_filter": _t11_quality_filter,
+        "h02_exact_quantiles": _h02_exact_quantiles,
+        "t12_stratified_sample": _t12_stratified_sample,
         "g11_dissolve": _g11_dissolve,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
@@ -1232,6 +1258,27 @@ def _stopword_ratio_sql() -> str:
         )
         SELECT lang, CAST(FLOOR(r * 20) AS BIGINT) AS bucket, COUNT(*) AS n_docs
         FROM ratios GROUP BY lang, bucket
+    """
+
+
+def _stratified_sample_sql() -> str:
+    """t12 oracle: the deterministic md5-prefix sampling rule in SQL, with
+    per-stratum hex thresholds generated FROM the operator's
+    rate_to_hex_threshold (change the operator, never this SQL). String
+    comparison over fixed-width lowercase hex == unsigned integer
+    comparison in both engines."""
+    from rust_geo_booleanop_spark.operators.sampling import rate_to_hex_threshold
+
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.1}
+    default = rate_to_hex_threshold(0.05)
+    whens = "".join(
+        f" WHEN '{lang}' THEN '{rate_to_hex_threshold(rate)}'"
+        for lang, rate in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang{whens} ELSE '{default}' END
     """
 
 
@@ -2014,6 +2061,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN reb ON d.doc_id = reb.doc_id
         """,
         "t11_quality_filter": _quality_filter_sql(),
+        # h02: the operator returns the exact quantile_disc element, so
+        # the oracle is DuckDB's own quantile_disc per q
+        "h02_exact_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+            UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT CAST(0.75 AS DOUBLE), quantile_disc(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+        """,
+        # t12: identical md5-prefix rule in SQL; thresholds generated FROM
+        # the operator's rate_to_hex_threshold (t05/s02 pattern)
+        "t12_stratified_sample": _stratified_sample_sql(),
         # exact inverted-index n-gram Jaccard (d03): the one FP division is
         # identical single-op IEEE arithmetic in both engines. Mirrors the
         # operator's scale-safe "auto" max_df default: shingles in more

@@ -1,0 +1,64 @@
+"""Deterministic stratified sampling / dataset mixing.
+
+The training-data shape: "keep 50% of English, 25% of German, 10% of
+everything else" over 10^12 documents, reproducibly — the same row set
+on every run, every retry, every cluster size, with no RNG state and no
+coordination. The sampling decision is a pure function of the row's key:
+
+    keep  <=>  substr(md5(key), 1, 8) < hex_threshold(rate)
+
+i.e. the first 32 bits of the key's md5, compared as the LOWERCASE HEX
+STRING both engines print, against rate * 16^8 rendered as 8 hex
+digits. String comparison over fixed-width lowercase hex is exactly
+unsigned integer comparison, and md5 is uniform, so the kept fraction
+converges to `rate` while membership stays deterministic. Everything is
+JVM-side codegen (md5 + substring + CASE): a pure narrowing FILTER —
+no shuffle, no UDF, and Catalyst pushes surviving-column pruning into
+the scan. Nested sampling is monotone: rate 0.1 keeps a subset of rate
+0.5's rows (same hash, lower threshold), which is what dataset-mixing
+ablations want.
+
+No reference counterpart (engine requirement, like heavy hitters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold: floor(rate * 16^8), clamped to [0, 16^8]."""
+    n = int(rate * (16**8))
+    return format(max(0, min(n, 16**8)), "08x")
+
+
+def sample_predicate(key: Column, rate: float) -> Column:
+    """Deterministic keep-predicate at `rate` for a key column."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    digest = F.substring(F.md5(key.cast("string")), 1, 8)
+    return digest < F.lit(rate_to_hex_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, deterministically by key.
+
+    `rates` maps stratum values to [0, 1] keep-rates; strata not listed
+    use `default_rate`. The same (key, rates) always selects the same
+    rows — resumable jobs and reruns agree for free."""
+    pred = sample_predicate(F.col(key_col), default_rate)
+    for stratum, rate in sorted(rates.items()):
+        pred = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            sample_predicate(F.col(key_col), rate),
+        ).otherwise(pred)
+    return df.filter(pred)

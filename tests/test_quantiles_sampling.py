@@ -1,0 +1,144 @@
+"""Exact distributed quantiles + deterministic stratified sampling."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.operators import (
+    exact_quantiles,
+    sample_predicate,
+    stratified_sample,
+)
+
+QS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def brute_quantiles(values, qs):
+    """quantile_disc semantics: element at 1-based rank max(1, ceil(q*n))."""
+    s = sorted(values)
+    n = len(s)
+    return {q: s[min(n, max(1, math.ceil(q * n))) - 1] for q in qs}
+
+
+class TestExactQuantiles:
+    def test_matches_brute_force_uniformish(self, spark):
+        df = spark.range(977).select(
+            (((F.col("id") * 37) % 977) / F.lit(7.0)).alias("x")
+        )
+        vals = [r.x for r in df.collect()]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", QS, bins=16, max_tail=50).collect()}
+        assert got == brute_quantiles(vals, QS)
+
+    def test_small_bins_force_recursion(self, spark):
+        # bins=2 + max_tail=10 forces several narrowing rounds
+        df = spark.range(2000).select((F.col("id") % 503).cast("double").alias("x"))
+        vals = [r.x for r in df.collect()]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", [0.5, 0.9], bins=2, max_tail=10).collect()}
+        assert got == brute_quantiles(vals, [0.5, 0.9])
+
+    def test_massive_tie_base_case(self, spark):
+        # one value holds 90% of the mass: the tie bucket exceeds max_tail
+        # at every width, so the ULP-wide tie histogram must resolve it
+        df = spark.range(1000).select(
+            F.when(F.col("id") < 900, F.lit(5.0))
+            .otherwise(F.col("id").cast("double"))
+            .alias("x")
+        )
+        vals = [r.x for r in df.collect()]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", QS, bins=4, max_tail=20).collect()}
+        assert got == brute_quantiles(vals, QS)
+
+    def test_all_equal_column(self, spark):
+        df = spark.range(100).select(F.lit(3.25).alias("x"))
+        got = {r.q: r.value for r in exact_quantiles(df, "x", [0.1, 0.9], bins=8, max_tail=5).collect()}
+        assert got == {0.1: 3.25, 0.9: 3.25}
+
+    def test_nulls_excluded(self, spark):
+        df = spark.range(10).select(
+            F.when(F.col("id") % 2 == 0, F.col("id").cast("double")).alias("x")
+        )
+        vals = [r.x for r in df.collect() if r.x is not None]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", [0.5], bins=4, max_tail=3).collect()}
+        assert got == brute_quantiles(vals, [0.5])
+
+    def test_negative_and_mixed_range(self, spark):
+        df = spark.range(500).select(
+            ((F.col("id") % 101) - F.lit(50.0)).alias("x")
+        )
+        vals = [r.x for r in df.collect()]
+        got = {r.q: r.value for r in exact_quantiles(df, "x", QS, bins=7, max_tail=25).collect()}
+        assert got == brute_quantiles(vals, QS)
+
+    def test_empty_raises(self, spark):
+        df = spark.range(5).select(F.lit(None).cast("double").alias("x"))
+        with pytest.raises(ValueError):
+            exact_quantiles(df, "x", [0.5])
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        return spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, "en")
+            .when(F.col("id") % 3 == 1, "de")
+            .otherwise("fr")
+            .alias("lang"),
+        )
+
+    def test_deterministic_across_runs_and_partitioning(self, spark):
+        docs = self._docs(spark)
+        rates = {"en": 0.5, "de": 0.25}
+        a = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", rates).collect()}
+        b = {
+            r.doc_id
+            for r in stratified_sample(
+                docs.repartition(13), "doc_id", "lang", rates
+            ).collect()
+        }
+        assert a == b and a
+
+    def test_rates_converge(self, spark):
+        docs = self._docs(spark)
+        out = stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
+        )
+        counts = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        # ~667 per stratum; md5 uniformity keeps each within a loose band
+        assert 0.4 <= counts["en"] / 667 <= 0.6
+        assert 0.17 <= counts["de"] / 667 <= 0.33
+        assert 0.05 <= counts.get("fr", 0) / 666 <= 0.16
+
+    def test_nested_rates_are_monotone(self, spark):
+        """Lower rate selects a SUBSET of a higher rate's rows (same hash,
+        lower threshold) — the property mixing ablations rely on."""
+        docs = self._docs(spark)
+        small = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.1).collect()}
+        big = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.5).collect()}
+        assert small <= big
+
+    def test_edge_rates(self, spark):
+        docs = self._docs(spark)
+        assert stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.0).count() == 0
+        assert stratified_sample(docs, "doc_id", "lang", {}, default_rate=1.0).count() == 2000
+
+    def test_predicate_matches_duckdb_hash(self, spark):
+        """The md5-prefix rule is engine-portable: DuckDB computes the
+        identical member set (the t12 oracle's foundation)."""
+        import duckdb
+
+        docs = self._docs(spark)
+        kept = sorted(
+            r.doc_id
+            for r in docs.filter(sample_predicate(F.col("doc_id"), 0.3)).collect()
+        )
+        expected = sorted(
+            r[0]
+            for r in duckdb.sql(
+                "SELECT i FROM range(2000) t(i) "
+                "WHERE substr(md5(CAST(i AS VARCHAR)), 1, 8) < '4ccccccc'"
+            ).fetchall()
+        )
+        assert kept == expected
