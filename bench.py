@@ -103,6 +103,7 @@ def main():
         boolean_pipeline,
         cosine_topk,
         exact_dedup,
+        exact_quantiles,
         extract_geometries,
         gopher_quality_filter,
         ivf_cosine_topk,
@@ -112,6 +113,7 @@ def main():
         point_in_polygon_join,
         remove_boilerplate_lines,
         sessionize,
+        stratified_sample,
         url_dedup,
         zonal_stats_join,
     )
@@ -193,6 +195,8 @@ def main():
         "boilerplate_lines": 0.5,
         "quality_filter": 0.8,
         "url_dedup": 0.5,
+        "exact_quantiles": 2.5,
+        "stratified_sample": 0.5,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -424,6 +428,25 @@ def main():
         ),
     )
     timed("url_dedup", lambda: url_dedup(urls).count())
+
+    # --- sketch / sampling ops (round 4) ---
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "exact_quantiles",
+        lambda: exact_quantiles(
+            lineitem, "l_extendedprice", [0.25, 0.5, 0.75, 0.9, 0.99]
+        ).count(),
+    )
+    timed(
+        "stratified_sample",
+        lambda: stratified_sample(
+            documents.select("doc_id", "lang"),
+            "doc_id",
+            "lang",
+            {"en": 0.5, "de": 0.25, "fr": 0.1},
+            default_rate=0.05,
+        ).count(),
+    )
 
     flagship_sec = timings["flagship_boolean_tiling"]
     result = {
