@@ -958,12 +958,12 @@ def _g10_raster_zonal(spark, sf_dir):
 
 def _g11_dissolve(spark, sf_dir):
     """Distributed union-by-key (two-level salted fold over the kernel).
-    Hash-graded since round 4 with a SNAPSHOT oracle (like s06): dissolve
-    is partitioning-independent deterministic by design (content-hash
-    bucket salting + sorted folds), the committed fixture pins the exact
-    output, and the gate re-verifies reproduction under a different
-    session topology (scripts/gen_snapshot_oracle_fixtures.py;
-    sf0.01-specific)."""
+    Hash-graded since round 4: the oracle fixture is computed WITHOUT
+    Spark by the PURE-PYTHON kernel as a FLAT sorted union fold per key —
+    deliberately a different fold structure than the operator's salted
+    buckets, so the gate cross-checks the distributed path AND that the
+    dissolve result is independent of fold grouping
+    (scripts/gen_geo_oracle_fixtures.py; sf0.01-specific fixture)."""
     from rust_geo_booleanop_spark.operators import dissolve, extract_geometries
     from rust_geo_booleanop_spark.sources import build_documents
 

@@ -89,6 +89,40 @@ def geo_case_rows(case_ids):
     return g01, g02, g03
 
 
+def g11_dissolve_rows(n_docs: int = 500):
+    """Expected dissolve output for the g11 query at sf0.01, computed with
+    the PURE-PYTHON kernel and a FLAT sorted fold per key — deliberately a
+    different fold structure than the operator's two-level salted buckets
+    (operators/dissolve.py), so the gate comparison cross-checks both the
+    distributed path AND that the dissolve result is independent of fold
+    grouping, not just reproducible. Returns [(template_kind, n_polys,
+    status), ...]."""
+    from rust_geo_booleanop_spark.kernel import resolve_boolean_op
+    from rust_geo_booleanop_spark.kernel.booleanop import KernelLimitExceeded
+    from rust_geo_booleanop_spark.kernel.geojson import (
+        parse_multipolygon,
+        serialize_multipolygon,
+    )
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    boolean_op = resolve_boolean_op("python")
+    groups: dict[str, list[str]] = {}
+    for case in range(n_docs // 2):
+        subject, _ = case_geometry(case)
+        groups.setdefault(str(case % 8), []).append(serialize_multipolygon(subject))
+    rows = []
+    for key in sorted(groups):
+        acc = None
+        try:
+            for gj in sorted(groups[key]):
+                mp = parse_multipolygon(gj)
+                acc = mp if acc is None else boolean_op(acc, mp, "union")
+            rows.append((key, len(acc or []), "ok"))
+        except KernelLimitExceeded:
+            rows.append((key, 0, "limit_exceeded"))
+    return rows
+
+
 def g09_expected_rows():
     """Reference-data expected rows: (case_key, op, n_polys, expected_json)
     for every annotated expected feature in the reference fixture corpus.
@@ -161,6 +195,20 @@ def main():
         compression="zstd",
     )
     print(f"g01: {len(g01)} rows, g02: {len(g02)} rows, g03: {len(g03)} rows")
+
+    g11 = g11_dissolve_rows()
+    pq.write_table(
+        pa.table(
+            {
+                "template_kind": pa.array([r[0] for r in g11], pa.string()),
+                "n_polys": pa.array([r[1] for r in g11], pa.int32()),
+                "status": pa.array([r[2] for r in g11], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "g11_dissolve_sf001.parquet"),
+        compression="zstd",
+    )
+    print(f"g11: {len(g11)} keys (flat python-kernel fold)")
 
     g09 = g09_expected_rows()
     pq.write_table(

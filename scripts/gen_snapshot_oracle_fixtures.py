@@ -1,21 +1,23 @@
-"""Regenerate the snapshot oracle fixtures (g11 dissolve, s06 IVF-kmeans).
+"""Regenerate the s06 IVF-kmeans snapshot oracle fixture.
 
-Snapshot-oracle pattern (weakest of the three oracle classes, and
-labeled as such in the query docstrings): both operators are iterative /
-kernel-fold shapes with no SQL re-expression, but both are DESIGNED to
-be partitioning-independent deterministic (dissolve salts level-1
-buckets by content hash and folds in sorted order; kmeans_pivots is a
-deterministic Lloyd's fold with pinned tie-breaks — each has a pytest
-asserting determinism). The committed snapshot therefore pins the exact
-output, and the driver's DuckDB comparison re-verifies that a fresh
-session — different master, shuffle partitioning, and executor layout
-than this generator used — reproduces it value-for-value.
+Snapshot-oracle pattern (weakest oracle class, labeled as such in the
+query docstring): the k-means fold is iterative with no SQL
+re-expression, but it is DESIGNED to be partitioning-independent
+deterministic (pinned tie-breaks; a pytest asserts determinism). The
+committed snapshot pins the exact output, and the driver's DuckDB
+comparison re-verifies that a fresh session — different master, shuffle
+partitioning, and executor layout than this generator used — reproduces
+it value-for-value.
 
-Fixtures are sf0.01-specific (the correctness gate's scale factor),
-like d02's: the outputs are whole-corpus aggregates, not per-row.
+(g11 dissolve graduated to the python-kernel generated class in
+scripts/gen_geo_oracle_fixtures.py: its fixture is now a FLAT sorted
+union fold, an independent fold structure from the operator's salted
+buckets.)
 
-Run after any change to operators/dissolve.py, operators/similarity.py
-(kmeans/IVF), or the kernel. Usage:
+The fixture is sf0.01-specific (the correctness gate's scale factor),
+like d02's: the output is a whole-corpus aggregate, not per-row.
+
+Run after any change to operators/similarity.py (kmeans/IVF). Usage:
     python scripts/gen_snapshot_oracle_fixtures.py
 """
 
@@ -46,20 +48,6 @@ def main():
         app_name="snapshot-oracles", master="local[4]", shuffle_partitions=7
     )
     qs = entrymod.queries()
-
-    g11 = qs["g11_dissolve"](spark, SF_DIR).collect()
-    pq.write_table(
-        pa.table(
-            {
-                "template_kind": pa.array([r.template_kind for r in g11], pa.string()),
-                "n_polys": pa.array([r.n_polys for r in g11], pa.int32()),
-                "status": pa.array([r.status for r in g11], pa.string()),
-            }
-        ),
-        os.path.join(FIXDIR, "g11_dissolve_sf001.parquet"),
-        compression="zstd",
-    )
-    print(f"g11: {len(g11)} rows")
 
     s06 = qs["s06_ivf_kmeans"](spark, SF_DIR).collect()
     pq.write_table(

@@ -76,6 +76,14 @@ class TestGeoFixturesFresh:
         assert len(rows) == 2500 * 4  # one row per (case, op)
 
 
+def test_g11_fresh_flat_fold():
+    """g11's fixture regenerates from the pure-python FLAT sorted fold —
+    an independent fold structure from the operator's salted buckets."""
+    from scripts.gen_geo_oracle_fixtures import g11_dissolve_rows
+
+    assert sorted(_fix("g11_dissolve_sf001")) == sorted(g11_dissolve_rows())
+
+
 def test_g09_expected_fresh_and_reference_derived():
     """g09's fixture regenerates byte-identically from the reference's
     own fixture files — full regeneration (45 files, no kernel)."""
