@@ -22,9 +22,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.cells import bbox_cover_cells, cell_size, point_cells
+from ..functions.cells import cell_size
 from ..kernel.geojson import parse_multipolygon
 from ..kernel.pip import MultiPolygonEdges, points_in_multipolygon_batch
 
@@ -45,26 +44,35 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def with_cover_cells(df: DataFrame, level: int = DEFAULT_CELL_LEVEL, prefix: str = "") -> DataFrame:
-    """Explode bbox cover cells: one row per (row, covering cell)."""
+    """Explode bbox cover cells: one row per (row, covering cell).
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def cover_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        return pd.Series(
-            [bbox_cover_cells(a, b, c, d, level) for a, b, c, d in zip(xmin, ymin, xmax, ymax)]
-        )
+    Pure JVM since round 4 (operators/tiling.py::cover_cells_column —
+    values pinned equal to functions/cells.py::bbox_cover_cells): cell
+    assignment is arithmetic on four doubles, exactly the kind of
+    expression that belongs inside whole-stage codegen, not in an Arrow
+    round-trip to a Python worker."""
+    from .tiling import cover_cells_column
 
-    c = lambda name: f"{prefix}{name}"  # noqa: E731
+    c = lambda name: F.col(f"{prefix}{name}")  # noqa: E731
     return df.withColumn(
-        "cell_id", F.explode(cover_udf(c("xmin"), c("ymin"), c("xmax"), c("ymax")))
+        "cell_id",
+        F.explode(
+            cover_cells_column(c("xmin"), c("ymin"), c("xmax"), c("ymax"), level)
+        ),
     )
 
 
 def with_point_cells(points: DataFrame, level: int = DEFAULT_CELL_LEVEL, x="x", y="y") -> DataFrame:
-    @F.pandas_udf(LongType())
-    def cell_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        return pd.Series(point_cells(xs.to_numpy(np.float64), ys.to_numpy(np.float64), level))
-
-    return points.withColumn("cell_id", cell_udf(F.col(x), F.col(y)))
+    """Point -> cell id, pure JVM (same values as functions/cells.py::
+    point_cells, pinned by the parity battery)."""
+    size = float(cell_size(level))
+    offset = F.lit(1 << 28)
+    cell = (
+        F.lit(int(level) << 58)
+        .bitwiseOR(F.shiftleft(F.floor(F.col(x) / F.lit(size)).cast("long") + offset, 29))
+        .bitwiseOR(F.floor(F.col(y) / F.lit(size)).cast("long") + offset)
+    )
+    return points.withColumn("cell_id", cell)
 
 
 def candidate_pairs(

@@ -5,10 +5,11 @@ the grid cells ("tiles") its bbox covers; optionally each geometry is
 clipped to its tile square with the kernel's intersection op — the same
 code path the fixture suite verifies.
 
-Plan shape: a pandas UDF computes the covering cell array from the bbox
-columns (pure NumPy), then `explode` fans rows out per tile — Catalyst
-keeps the scan pruned and the explode JVM-side; only the cell math and the
-clip run in Python workers over Arrow batches.
+Plan shape (round 4): the covering-cell array is a pure JVM column
+expression (`cover_cells_column`: sequence/transform/flatten + bit-shift
+encode inside whole-stage codegen) followed by a JVM explode — tile
+assignment costs zero Python worker round-trips; only the kernel clip
+runs in Python workers over Arrow batches.
 """
 
 from __future__ import annotations
@@ -20,27 +21,65 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from ..functions.cells import bbox_cover_cells, cell_bounds
+from ..functions.cells import cell_bounds
 from ..kernel.geojson import serialize_multipolygon
 from ..kernel.pairs import resolve_pair_runner
 
 DEFAULT_TILE_LEVEL = 4
 
 
+def cover_cells_column(xmin, ymin, xmax, ymax, level: int):
+    """Covering-cell array as a pure JVM column expression.
+
+    Same values as functions/cells.py::bbox_cover_cells (pinned by
+    tests/test_plans_and_sources.py::TestTiling's parity battery): the
+    floor-divide, the +OFFSET bias, and the (level<<58)|(ix<<29)|iy
+    encode are each a single JVM op on longs, and the ix x iy product is
+    sequence+transform+flatten — so tile assignment costs no Python
+    worker round-trip at all (it was a per-row pandas UDF through round
+    3 and timed as much as the kernel stage at the default bench). A NaN
+    or inverted bbox yields an EMPTY array (the guard fails), matching
+    the python helper's [] for degraded rows."""
+    from ..functions.cells import cell_size
+
+    size = float(cell_size(level))
+    ix0 = F.floor(xmin / F.lit(size)).cast("long")
+    ix1 = F.floor(xmax / F.lit(size)).cast("long")
+    iy0 = F.floor(ymin / F.lit(size)).cast("long")
+    iy1 = F.floor(ymax / F.lit(size)).cast("long")
+    offset = F.lit(1 << 28)
+    base = F.lit(int(level) << 58)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(ix0, ix1),
+            lambda ix: F.transform(
+                F.sequence(iy0, iy1),
+                lambda iy: base
+                .bitwiseOR(F.shiftleft(ix + offset, 29))
+                .bitwiseOR(iy + offset),
+            ),
+        )
+    )
+    # NB: Spark SQL orders NaN (NaN <= NaN is TRUE there, unlike Python),
+    # so degraded NaN bboxes need explicit isnan guards to yield []
+    valid = (
+        (xmin <= xmax)
+        & (ymin <= ymax)
+        & ~F.isnan(xmin)
+        & ~F.isnan(ymin)
+        & ~F.isnan(xmax)
+        & ~F.isnan(ymax)
+    )
+    return F.when(valid, cells).otherwise(F.array().cast(ArrayType(LongType())))
+
+
 def assign_tiles(results: DataFrame, level: int = DEFAULT_TILE_LEVEL) -> DataFrame:
     """Add tile_id (exploded): one output row per (row, covering tile)."""
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def cover_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                bbox_cover_cells(a, b, c, d, level)
-                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
-            ]
-        )
-
     with_cells = results.withColumn(
-        "tile_ids", cover_udf("xmin", "ymin", "xmax", "ymax")
+        "tile_ids",
+        cover_cells_column(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), level
+        ),
     )
     # explode_outer, not explode: empty-result and status='limit_exceeded'
     # rows have a NaN bbox -> no covering tiles, and must survive (with

@@ -49,6 +49,51 @@ class TestCells:
         cid = int(encode_cells(np.array([10]), np.array([13]), 4)[0])
         assert decode_cell(parent_cell(cid, 3)) == (3, 5, 6)
 
+    def test_jvm_cover_cells_match_python(self, spark):
+        """cover_cells_column (pure JVM, round 4) == bbox_cover_cells on a
+        battery incl. NaN/inverted bboxes, negatives, cell-edge-exact
+        coordinates, multi-cell spans, and huge coordinates."""
+        from rust_geo_booleanop_spark.operators.tiling import cover_cells_column
+
+        size = cell_size(4)
+        nan = float("nan")
+        boxes = [
+            (0.0, 0.0, 1.0, 1.0),
+            (0.0, 0.0, size * 1.5, size * 0.5),
+            (-3.2 * size, -0.1, 2.7 * size, size),
+            (size, size, size, size),            # degenerate point ON an edge
+            (size * 0.999, 0.0, size * 1.001, 0.5),
+            (nan, nan, nan, nan),                 # degraded row
+            (5.0, 5.0, 4.0, 6.0),                 # inverted
+            (1e8, -1e8, 1.0000001e8, -0.9999999e8),
+            (102400.0, 0.0, 102913.0, 511.0),     # replica-translated frame
+        ]
+        for level in (2, 4, 6):
+            df = spark.createDataFrame(
+                boxes, "xmin double, ymin double, xmax double, ymax double"
+            ).withColumn(
+                "cells",
+                cover_cells_column(
+                    F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), level
+                ),
+            )
+            got = [r.cells for r in df.collect()]
+            for (a, b, c, d), jvm in zip(boxes, got):
+                assert jvm == bbox_cover_cells(a, b, c, d, level), (a, b, c, d, level)
+
+    def test_jvm_point_cells_match_python(self, spark):
+        from rust_geo_booleanop_spark.operators.spatial_join import with_point_cells
+
+        xs = [0.0, -0.0001, 255.9, 4096.0, -4096.0, 1e7, 102400.5]
+        ys = [0.0, 511.9, -255.9, 4095.999, 0.5, -1e7, 97.25]
+        df = spark.createDataFrame(
+            [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double"
+        )
+        for level in (0, 4, 7):
+            got = [r.cell_id for r in with_point_cells(df, level).collect()]
+            expected = point_cells(np.array(xs), np.array(ys), level).tolist()
+            assert got == expected, level
+
 
 def _rect_geom(x0, y0, w, h):
     ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
