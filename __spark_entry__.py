@@ -163,6 +163,24 @@ def _g03_tile_clip(spark, sf_dir):
     return clipped.select("tile_id", "url", "op", "n_polys")
 
 
+def _g15_tile_pyramid(spark, sf_dir):
+    """Tile-server rollup: kernel results -> tiles -> per-level counts up
+    the zoom pyramid (operators/tiling.py::tile_pyramid — pure JVM parent
+    chain, one shuffle). Oracle: the same parent bit-arithmetic in SQL
+    over the g01/g02 committed tile fixture."""
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        extract_geometries,
+        tile_pyramid,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    tiled = assign_tiles(boolean_pipeline(geoms))
+    return tile_pyramid(tiled, from_level=4, to_level=0)
+
+
 def _g04_pip_join(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import point_in_polygon_join
 
@@ -1057,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g02_tile_assignment": _g02_tile_assignment,
         "g03_tile_clip": _g03_tile_clip,
         "g09_fixture_suite": _g09_fixture_suite,
+        "g15_tile_pyramid": _g15_tile_pyramid,
         "g04_pip_join": _g04_pip_join,
         "g05_knn_join": _g05_knn_join,
         "g06_zonal_stats": _g06_zonal_stats,
@@ -1509,6 +1528,28 @@ def oracle_sql() -> dict[str, str]:
         "g11_dissolve": f"""
             SELECT template_kind, n_polys, status
             FROM read_parquet('{fixdir}/g11_dissolve_sf001.parquet')
+        """,
+        # g15: the parent chain re-expressed as SQL bit arithmetic over the
+        # g02 tile fixture (DuckDB's >> is arithmetic, matching the floor
+        # semantics of parent_cell on negative indices)
+        "g15_tile_pyramid": f"""
+            WITH {cases_cte},
+            t AS (
+                SELECT f.tile_id,
+                       ((f.tile_id >> 29) & 536870911) - 268435456 AS ix,
+                       (f.tile_id & 536870911) - 268435456 AS iy
+                FROM read_parquet('{fixdir}/g02_tiles_sf01.parquet') f
+                JOIN cases USING (case_id)
+                WHERE f.tile_id IS NOT NULL
+            ),
+            lv AS (SELECT CAST(level AS INTEGER) AS level FROM range(0, 5) r(level))
+            SELECT lv.level,
+                   (CAST(lv.level AS BIGINT) << 58)
+                   | (((t.ix >> (4 - lv.level)) + 268435456) << 29)
+                   | ((t.iy >> (4 - lv.level)) + 268435456) AS tile_id,
+                   COUNT(*) AS n_rows
+            FROM t CROSS JOIN lv
+            GROUP BY 1, 2
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

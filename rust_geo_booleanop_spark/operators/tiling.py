@@ -87,6 +87,50 @@ def assign_tiles(results: DataFrame, level: int = DEFAULT_TILE_LEVEL) -> DataFra
     return with_cells.withColumn("tile_id", F.explode_outer("tile_ids")).drop("tile_ids")
 
 
+def tile_pyramid(
+    tiled: DataFrame, from_level: int = DEFAULT_TILE_LEVEL, to_level: int = 0
+) -> DataFrame:
+    """Roll tile rows up the zoom pyramid: (level, tile_id, n_rows) for
+    every level in [to_level, from_level] — the tile-server aggregation
+    (how many clipped geometries land in each tile at each zoom).
+
+    Pure JVM and ONE shuffle: the per-level parent chain is an array
+    expression (decode ix/iy with shifts, re-encode at each coarser
+    level — parent = index >> (from_level - level), like S2 cell
+    parents), exploded and hash-aggregated with map-side partials.
+    Rows with NULL tile_id (degraded upstream) are excluded.
+    """
+    if to_level > from_level:
+        raise ValueError("to_level must be <= from_level")
+    offset = F.lit(1 << 28)
+    mask = F.lit((1 << 29) - 1)
+    ix = F.shiftrightunsigned(F.col("tile_id"), 29).bitwiseAND(mask) - offset
+    iy = F.col("tile_id").bitwiseAND(mask) - offset
+    # levels are plan-time constants: unroll the parent array in Python so
+    # each shift amount is a literal (arithmetic shiftright == the floor
+    # semantics of functions/cells.py::parent_cell, incl. negative indices)
+    parents = F.array(
+        *[
+            F.struct(
+                F.lit(lv).cast("int").alias("level"),
+                F.lit(lv << 58)
+                .bitwiseOR(
+                    F.shiftleft(F.shiftright(ix, from_level - lv) + offset, 29)
+                )
+                .bitwiseOR(F.shiftright(iy, from_level - lv) + offset)
+                .alias("tile_id"),
+            )
+            for lv in range(to_level, from_level + 1)
+        ]
+    )
+    return (
+        tiled.filter(F.col("tile_id").isNotNull())
+        .select(F.explode(parents).alias("p"))
+        .groupBy(F.col("p.level").alias("level"), F.col("p.tile_id").alias("tile_id"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
 _CLIP_SCHEMA = (
     "tile_id long, url string, op string, clipped_json string, n_polys int, "
     "status string"

@@ -81,6 +81,32 @@ class TestCells:
             for (a, b, c, d), jvm in zip(boxes, got):
                 assert jvm == bbox_cover_cells(a, b, c, d, level), (a, b, c, d, level)
 
+    def test_tile_pyramid_matches_parent_cell(self, spark):
+        """tile_pyramid's JVM parent chain == functions/cells.py::parent_cell
+        brute force, including negative cell indices."""
+        from rust_geo_booleanop_spark.operators import tile_pyramid
+
+        level = 4
+        ixs = [-5, -1, 0, 3, 120, 1000]
+        iys = [7, -2, 0, -300, 45, 9999]
+        ids = [
+            int(encode_cells(np.array([ix]), np.array([iy]), level)[0])
+            for ix, iy in zip(ixs, iys)
+        ]
+        # duplicate some rows so counts matter; add a NULL (degraded) row
+        rows = [(i,) for i in ids] + [(ids[0],), (ids[2],), (None,)]
+        df = spark.createDataFrame(rows, "tile_id long")
+        got = {
+            (r.level, r.tile_id): r.n_rows
+            for r in tile_pyramid(df, from_level=level, to_level=0).collect()
+        }
+        expected: dict = {}
+        for tid in [i for (i,) in rows if i is not None]:
+            for lv in range(0, level + 1):
+                key = (lv, parent_cell(tid, lv))
+                expected[key] = expected.get(key, 0) + 1
+        assert got == expected
+
     def test_jvm_point_cells_match_python(self, spark):
         from rust_geo_booleanop_spark.operators.spatial_join import with_point_cells
 
