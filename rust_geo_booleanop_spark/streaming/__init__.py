@@ -1,6 +1,11 @@
 """Structured Streaming extensions (engine additions; the reference kernel
 is batch-only — its resumability analogue is sources/checkpoint.py)."""
 
+from .boolean import (
+    run_boolean_tiling_stream,
+    stream_boolean_pairs,
+    stream_boolean_tiling,
+)
 from .extraction import (
     run_extraction_stream,
     run_windowed_counts_stream,
@@ -13,6 +18,9 @@ from .extraction import (
 from .sessions import run_session_stream, stream_sessionize
 
 __all__ = [
+    "run_boolean_tiling_stream",
+    "stream_boolean_pairs",
+    "stream_boolean_tiling",
     "run_session_stream",
     "stream_sessionize",
     "run_extraction_stream",

@@ -343,3 +343,58 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
     # append mode emits only watermark-finalized windows: emitted <= all
     assert n <= batch.count()
+
+
+def test_streaming_boolean_tiling_matches_batch(spark, tmp_path):
+    """Streaming flagship == batch flagship byte-for-byte, with subject and
+    clipping pages of some cases arriving in DIFFERENT drops and the state
+    store completing pairs across micro-batches AND across restarts."""
+    from rust_geo_booleanop_spark.operators import (
+        assign_tiles,
+        boolean_pipeline,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+    from rust_geo_booleanop_spark.streaming import run_boolean_tiling_stream
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+
+    base = spark.read.parquet(f"{TESTDATA}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    # drop 1: all subjects of cases 0-9 plus BOTH sides of cases 10-14;
+    # drop 2 (processed in a separate run): the matching clippings of
+    # cases 0-9 plus cases 15-19 complete
+    d1 = base.filter(
+        ((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+        | ((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    )
+    d2 = base.join(d1, "doc_id", "left_anti")
+    _drop_parquet(d1, drop_dir, "d1")
+    run_boolean_tiling_stream(spark, drop_dir, out_dir, ckpt_dir)
+    n1 = spark.read.parquet(out_dir).count()
+
+    _drop_parquet(d2, drop_dir, "d2")
+    run_boolean_tiling_stream(spark, drop_dir, out_dir, ckpt_dir)
+    got = spark.read.parquet(out_dir)
+
+    # cases 10-14 completed in run 1; 0-9 completed across RUNS via the
+    # state store; 15-19 within run 2
+    assert n1 > 0 and got.count() > n1
+
+    expected = assign_tiles(
+        boolean_pipeline(extract_geometries(build_documents(spark, TESTDATA)))
+    ).filter(F.col("case_id") < 20)
+    cols = [
+        "case_id", "subject_url", "clipping_url", "op",
+        "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax", "status",
+        "tile_id",
+    ]
+    def norm(df):
+        return sorted(
+            tuple(r) for r in df.select(*cols).fillna("", subset=["result_json"]).collect()
+        )
+    assert norm(got) == norm(expected)
