@@ -12,17 +12,23 @@ global sort:
            rows, not data rows — is the only thing collected).
   then     per quantile, the bucket containing its rank is narrowed
            recursively with the same histogram step over the FILTERED
-           frame (the range predicate is pushed into the scan: parquet
-           row-group min/max pruning skips whole byte ranges when the
-           column is clustered, and it is a cheap codegen filter
-           otherwise) until the candidate bucket holds <= `max_tail`
-           rows; the final exact selection is a TakeOrderedAndProject
-           of that tiny tail (sort-limit of <= max_tail rows, never of
-           the corpus).
+           frame until the candidate bucket holds <= `max_tail` rows;
+           the final exact selection is a TakeOrderedAndProject of that
+           tiny tail (sort-limit of <= max_tail rows, never the corpus).
   base     a bucket narrower than one ULP that still exceeds `max_tail`
            is a massive-tie bucket: its few distinct values are counted
-           exactly (groupBy(col) over the ULP-wide slice) and the rank
-           is resolved from the tie histogram — no collect of the tie.
+           exactly (groupBy(col) over the slice) and the rank is
+           resolved from the tie histogram — no collect of the tie.
+
+FP discipline: bucket MEMBERSHIP is always the exact same
+floor((x - lo)/width) expression the count pass grouped by — never the
+boundary values lo + k*width, which can disagree with the floor by an
+ULP near bucket edges (a count/filter mismatch there silently shifts
+the selected rank; a randomized search finds such floats easily). A
+redundant one-bucket-padded RANGE predicate is attached purely so
+parquet row-group min/max pruning can skip byte ranges when the column
+is clustered; it is provably a superset of the bucket (the floor's
+rounding error is far below one bucket width).
 
 Passes: 2 + O(log_bins(range/ulp)) worst case, each strictly smaller;
 ranks at 10^12 rows are exact because counts are exact (int64).
@@ -38,15 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_counts(df: DataFrame, col: str, lo: float, hi: float, bins: int):
-    """One histogram pass: [(bucket, count), ...] sorted by bucket."""
-    width = (hi - lo) / bins
-    b = F.least(
+def _bucket_expr(col: str, lo: float, width: float, bins: int):
+    return F.least(
         F.greatest(F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
         F.lit(bins - 1),
     ).cast("int")
-    rows = df.groupBy(b.alias("bucket")).count().collect()  # `bins` rows max
-    return sorted((r["bucket"], r["count"]) for r in rows)
 
 
 def _kth_smallest(df: DataFrame, col: str, k: int) -> float:
@@ -57,32 +59,43 @@ def _kth_smallest(df: DataFrame, col: str, k: int) -> float:
 
 def _resolve_rank(df: DataFrame, col: str, rank: int, lo: float, hi: float,
                   bins: int, max_tail: int) -> float:
-    """Value at 1-based `rank` among rows with lo <= col <= hi."""
+    """Value at 1-based `rank` within `df` (already non-null filtered).
+
+    `df` carries the exact membership predicate accumulated so far;
+    [lo, hi] are numeric HINTS for the next histogram's bucketing, never
+    a membership test."""
     while True:
-        bounded = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         if hi <= lo or (hi - lo) / bins <= 0 or math.nextafter(lo, hi) >= hi:
             # massive-tie base case: the interval is at most a few ULPs
             # wide; resolve the rank from the exact per-value tie counts
-            ties = sorted(
-                (r[0], r[1])
-                for r in bounded.groupBy(col).count().collect()
-            )
+            ties = sorted((r[0], r[1]) for r in df.groupBy(col).count().collect())
             seen = 0
             for value, cnt in ties:
                 seen += cnt
                 if seen >= rank:
                     return value
             raise AssertionError("rank exceeds tie histogram")
-        counts = _bucket_counts(bounded, col, lo, hi, bins)
         width = (hi - lo) / bins
+        bexpr = _bucket_expr(col, lo, width, bins)
+        counts = sorted(
+            (r["bucket"], r["count"])
+            for r in df.groupBy(bexpr.alias("bucket")).count().collect()
+        )
         seen = 0
         for bucket, cnt in counts:
             if seen + cnt >= rank:
                 rank -= seen
+                # membership: the SAME expression the count grouped by;
+                # the padded range is redundant (superset) and exists only
+                # for parquet min/max pruning
+                df = df.filter(
+                    (bexpr == F.lit(bucket))
+                    & (F.col(col) >= F.lit(lo + (bucket - 1) * width))
+                    & (F.col(col) <= F.lit(lo + (bucket + 2) * width))
+                )
                 lo, hi = lo + bucket * width, lo + (bucket + 1) * width
                 if cnt <= max_tail:
-                    tail = df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
-                    return _kth_smallest(tail, col, rank)
+                    return _kth_smallest(df, col, rank)
                 break
             seen += cnt
         else:

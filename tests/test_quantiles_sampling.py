@@ -72,6 +72,48 @@ class TestExactQuantiles:
         got = {r.q: r.value for r in exact_quantiles(df, "x", QS, bins=7, max_tail=25).collect()}
         assert got == brute_quantiles(vals, QS)
 
+    def test_bucket_boundary_ulp_consistency(self, spark):
+        """Adversarial FP boundary: x's count-pass bucket is k (the floor
+        expression rounds up across the boundary) while x < lo + k*width
+        as floats — membership by boundary VALUES would silently drop x
+        and shift the selected rank. Membership must use the exact bucket
+        expression (found by randomized search; failed before the fix)."""
+        lo = -352.3344703336753
+        hi = 401.9122484396603
+        x = 24.788889052992484  # floor((x-lo)/w)==1 but x < lo+1*w at bins=2
+        w = (hi - lo) / 2
+        assert math.floor((x - lo) / w) == 1 and x < lo + w  # the pathology
+        df = spark.createDataFrame([(lo,), (x,), (hi,)], "v double")
+        got = {r.q: r.value for r in exact_quantiles(df, "v", [0.5], bins=2, max_tail=10).collect()}
+        assert got == {0.5: x}
+
+    def test_property_random_floats_match_brute_force(self, spark):
+        """Seeded random corpora (clustered + uniform + duplicated values,
+        random bins/max_tail) vs brute force — a broad FP-pathology net on
+        top of the targeted boundary test."""
+        import random
+
+        rng = random.Random(20260819)
+        for trial in range(4):
+            n = rng.randrange(50, 400)
+            scale = 10 ** rng.randrange(-3, 6)
+            base = rng.uniform(-1000, 1000)
+            vals = []
+            for _ in range(n):
+                if rng.random() < 0.3:  # duplicates / ties
+                    vals.append(base)
+                else:
+                    vals.append(base + rng.uniform(0, 1) * scale)
+            bins = rng.choice([2, 3, 7, 16, 64])
+            max_tail = rng.choice([5, 25])
+            df = spark.createDataFrame([(v,) for v in vals], "v double")
+            qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+            got = {
+                r.q: r.value
+                for r in exact_quantiles(df, "v", qs, bins=bins, max_tail=max_tail).collect()
+            }
+            assert got == brute_quantiles(vals, qs), (trial, bins, max_tail)
+
     def test_empty_raises(self, spark):
         df = spark.range(5).select(F.lit(None).cast("double").alias("x"))
         with pytest.raises(ValueError):
