@@ -632,6 +632,25 @@ def _t12_stratified_sample(spark, sf_dir):
     )
 
 
+def _d07_incremental_dedup(spark, sf_dir):
+    """Cross-snapshot incremental dedup: current docs whose normalized
+    text key an earlier crawl (simulated: doc_id % 3 == 0) already has.
+    A bloom bitmap of the prior key set (one aggregate pass, fixed 128
+    KiB regardless of corpus size) pre-filters the probe side; only the
+    possibly-seen sliver reaches the exact anti-join, so the output is
+    EXACT and the oracle is a plain SQL anti-join on the same key
+    (operators/bloom.py)."""
+    from rust_geo_booleanop_spark.operators import incremental_new_keys
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    docs = _t(spark, sf_dir, "documents").withColumn("key", normalized_text_key())
+    prior = docs.filter(F.col("doc_id") % 3 == 0).select("key")
+    new = incremental_new_keys(
+        docs.select("doc_id", "lang", "key"), prior, "key"
+    )
+    return new.select("doc_id", "lang")
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -1133,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_quality_filter": _t11_quality_filter,
         "h02_exact_quantiles": _h02_exact_quantiles,
         "t12_stratified_sample": _t12_stratified_sample,
+        "d07_incremental_dedup": _d07_incremental_dedup,
         "g11_dissolve": _g11_dissolve,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
@@ -2114,6 +2134,17 @@ def oracle_sql() -> dict[str, str]:
         # t12: identical md5-prefix rule in SQL; thresholds generated FROM
         # the operator's rate_to_hex_threshold (t05/s02 pattern)
         "t12_stratified_sample": _stratified_sample_sql(),
+        # d07: the bloom pre-filter is exactness-transparent, so the oracle
+        # is the plain anti-join on the identical normalized md5 key
+        "d07_incremental_dedup": """
+            SELECT d.doc_id, d.lang
+            FROM documents d
+            ANTI JOIN (
+                SELECT md5(lower(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS key
+                FROM documents WHERE doc_id % 3 = 0
+            ) p
+            ON md5(lower(TRIM(regexp_replace(d.text, '\\s+', ' ', 'g')))) = p.key
+        """,
         # exact inverted-index n-gram Jaccard (d03): the one FP division is
         # identical single-op IEEE arithmetic in both engines. Mirrors the
         # operator's scale-safe "auto" max_df default: shingles in more

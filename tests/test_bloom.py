@@ -1,0 +1,76 @@
+"""Bloom-filter incremental dedup (operators/bloom.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.operators import bloom_bitmap, incremental_new_keys
+from rust_geo_booleanop_spark.operators.bloom import _positions
+
+
+def _snapshots(spark, n=3000, prior_mod=3):
+    cur = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    )
+    prior = cur.filter(F.col("doc_id") % prior_mod == 0).select("key")
+    return cur, prior
+
+
+class TestBloomIncremental:
+    def test_exact_vs_plain_anti_join(self, spark):
+        cur, prior = _snapshots(spark)
+        got = sorted(r.doc_id for r in incremental_new_keys(cur, prior, "key").collect())
+        exp = sorted(r.doc_id for r in cur.join(prior, "key", "left_anti").collect())
+        assert got == exp and got
+
+    def test_exact_with_duplicate_keys_in_current(self, spark):
+        # several current rows share one key; prior holds some of those keys
+        cur = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.md5((F.col("id") % 50).cast("string")).alias("key"),
+        )
+        prior = spark.range(25).select(F.md5(F.col("id").cast("string")).alias("key"))
+        got = sorted(r.doc_id for r in incremental_new_keys(cur, prior, "key").collect())
+        exp = sorted(r.doc_id for r in cur.join(prior, "key", "left_anti").collect())
+        assert got == exp
+
+    def test_no_false_negatives(self, spark):
+        """Every prior key must probe as set in the bitmap (the exactness
+        of the whole operator rests on this)."""
+        _, prior = _snapshots(spark, n=2000)
+        m_bits, k = 1 << 16, 4
+        bitmap = np.frombuffer(bloom_bitmap(prior, "key", m_bits, k), dtype=np.uint8)
+        probed = prior.select(
+            *[p.alias(f"p{i}") for i, p in enumerate(_positions(F.col("key"), m_bits, k))]
+        ).collect()
+        for r in probed:
+            for i in range(k):
+                idx = r[f"p{i}"]
+                assert bitmap[idx // 8] & (1 << (idx % 8)), "false negative"
+
+    def test_prefilter_actually_prunes(self, spark):
+        """On a mostly-new delta the definitely-new path must carry most
+        rows (the 100 TB point of the operator): the sliver that reaches
+        the anti-join is bounded by dups + the bloom fp rate."""
+        cur, prior = _snapshots(spark, n=5000, prior_mod=10)  # 90% new
+        m_bits, k = 1 << 20, 4
+        bitmap_bytes = bloom_bitmap(prior, "key", m_bits, k)
+        bitmap = np.frombuffer(bitmap_bytes, dtype=np.uint8)
+        pos = cur.select(
+            "doc_id",
+            *[p.alias(f"p{i}") for i, p in enumerate(_positions(F.col("key"), m_bits, k))],
+        ).toPandas()
+        maybe = np.ones(len(pos), dtype=bool)
+        for i in range(k):
+            idx = pos[f"p{i}"].to_numpy(np.int64)
+            maybe &= (bitmap[idx // 8] & (1 << (idx % 8)).astype(np.uint8)) != 0
+        sliver_frac = maybe.mean()
+        # true dup rate is 10%; at 500 keys in 2^20 bits fp ~ 0, so the
+        # anti-join sees ~10% of the probe side, not 100%
+        assert sliver_frac < 0.12
+
+    def test_bitmap_deterministic(self, spark):
+        _, prior = _snapshots(spark, n=1000)
+        assert bloom_bitmap(prior, "key") == bloom_bitmap(prior.repartition(7), "key")
