@@ -50,20 +50,37 @@ def _positions(key: F.Column, m_bits: int, k: int) -> list:
 def bloom_bitmap(
     keys: DataFrame, key_col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
 ) -> bytes:
-    """Build the bitmap: one pass over `keys`, exploding each key's k
-    positions and collecting the DISTINCT set positions (bounded by
-    m_bits — the bit-space — never by corpus size)."""
-    pos = (
-        keys.select(
-            F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
-        )
-        .distinct()
-        .collect()
+    """Build the bitmap SHUFFLE-FREE: each partition ORs its keys' k
+    positions into a local m_bits/8-byte bitmap (positions computed
+    JVM-side, NumPy scatter per Arrow batch), emits that one binary row,
+    and the driver ORs the per-partition bitmaps — the classic
+    treeAggregate shape. Cost is partitions x bitmap-size over the wire
+    and zero exchanges, independent of corpus size."""
+    pos_cols = [f"p{i}" for i in range(k)]
+    projected = keys.select(
+        *[
+            p.alias(c)
+            for p, c in zip(_positions(F.col(key_col), m_bits, k), pos_cols)
+        ]
     )
+
+    def partial_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        part = np.zeros(m_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            for c in pos_cols:
+                idx = pdf[c].to_numpy(np.int64)
+                np.bitwise_or.at(part, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [part.tobytes()]})
+
+    partials = projected.mapInPandas(partial_bitmaps, schema="bitmap binary").collect()
     bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-    idx = np.array([r["p"] for r in pos], dtype=np.int64)
-    if len(idx):
-        np.bitwise_or.at(bitmap, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+    for r in partials:
+        bitmap |= np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
     return bitmap.tobytes()
 
 
