@@ -104,6 +104,7 @@ def main():
         cosine_topk,
         exact_dedup,
         exact_quantiles,
+        incremental_new_keys,
         extract_geometries,
         gopher_quality_filter,
         ivf_cosine_topk,
@@ -114,6 +115,7 @@ def main():
         remove_boilerplate_lines,
         sessionize,
         stratified_sample,
+        tile_pyramid,
         url_dedup,
         zonal_stats_join,
     )
@@ -197,6 +199,8 @@ def main():
         "url_dedup": 0.5,
         "exact_quantiles": 2.5,
         "stratified_sample": 0.5,
+        "incremental_dedup": 2.0,
+        "tile_pyramid": 1.0,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -446,6 +450,30 @@ def main():
             {"en": 0.5, "de": 0.25, "fr": 0.1},
             default_rate=0.05,
         ).count(),
+    )
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    keyed_docs = documents.select(
+        "doc_id", normalized_text_key("text").alias("key")
+    )
+    prior_keys = keyed_docs.filter(F.col("doc_id") % 3 == 0).select("key")
+    timed(
+        "incremental_dedup",
+        lambda: incremental_new_keys(keyed_docs, prior_keys, "key").count(),
+    )
+    # pyramid over a synthetic tiled frame (pure JVM input) so the number
+    # isolates the rollup operator, not a re-run of the kernel pipeline
+    offset = 1 << 28
+    pyramid_input = spark.range(max(200_000, pages * 2)).select(
+        (
+            F.lit(4 << 58)
+            .bitwiseOR(F.shiftleft((F.col("id") % 1000) + F.lit(offset), 29))
+            .bitwiseOR((F.col("id") % 97) + F.lit(offset))
+        ).alias("tile_id")
+    )
+    timed(
+        "tile_pyramid",
+        lambda: tile_pyramid(pyramid_input, from_level=4, to_level=0).count(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]
