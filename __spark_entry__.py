@@ -181,6 +181,28 @@ def _g15_tile_pyramid(spark, sf_dir):
     return tile_pyramid(tiled, from_level=4, to_level=0)
 
 
+def _g16_geometry_measures(spark, sf_dir):
+    """Pure-JVM geometry measures (polygon/ring/vertex counts, signed
+    shoelace area, bbox) over the extracted corpus geometries — nested
+    higher-order-function folds, zero Python stages past extraction
+    (operators/measures.py). Oracle: committed fixture
+    tests/oracle_fixtures/g16_measures_sf01.parquet computed by the
+    CPython twin `measures_python` with the IDENTICAL left-fold FP
+    operation order (generated-oracle pattern like g01; freshness pinned
+    by tests/test_oracle_fixtures.py), joined against the live documents
+    view to restrict to the current scale factor."""
+    from rust_geo_booleanop_spark.operators import (
+        extract_geometries,
+        geometry_measures,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).select(
+        "case_id", "role", "geom_json"
+    )
+    return geometry_measures(geoms).drop("geom_json")
+
+
 def _g04_pip_join(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import point_in_polygon_join
 
@@ -632,6 +654,18 @@ def _t12_stratified_sample(spark, sf_dir):
     )
 
 
+def _t13_tfidf_topterms(spark, sf_dir):
+    """Top-3 distinctive terms per document by a TF-IDF-style score with a
+    RATIONAL idf (N / (1 + df) — monotone equivalent of log-idf whose
+    +,*,/ arithmetic is bit-reproducible across engines, unlike ln), pure
+    built-in functions (operators/text.py::tfidf_top_terms). The oracle
+    recomputes the identical tokenize -> tf -> df -> score -> windowed
+    top-k chain in SQL with the same FP expression tree."""
+    from rust_geo_booleanop_spark.operators import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _d07_incremental_dedup(spark, sf_dir):
     """Cross-snapshot incremental dedup: current docs whose normalized
     text key an earlier crawl (simulated: doc_id % 3 == 0) already has.
@@ -1079,7 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (round-3 fix for the round-2 driver truncation):
     # the driver grades only the first ~50 entries, so the most valuable
     # oracle-backed queries come first. Since round 4 EVERY query is
-    # oracle-backed (65 value-hash oracles; zero rows-only): the geo
+    # oracle-backed (71 value-hash oracles; zero rows-only): the geo
     # pipeline block leads — flagship g01 first (it was the gate's only
     # non-green row through round 3), then the tile/clip/fixture-suite
     # queries — followed by the relational/text/dedup/similarity blocks.
@@ -1159,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_audio_frames": _m02_audio_frames,
         "m03_video_frames": _m03_video_frames,
         "m04_image_resize": _m04_image_resize,
+        "g16_geometry_measures": _g16_geometry_measures,
+        "t13_tfidf_topterms": _t13_tfidf_topterms,
     }
 
 
@@ -1603,6 +1639,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.url, f.out_width, f.out_height, f.thumb_md5
             FROM read_parquet('{fixdir}/m04_thumbs_sf01.parquet') f
             JOIN urls USING (url)
+        """,
+        # g16: generated-fixture oracle (CPython twin of the JVM shoelace
+        # folds, identical FP operation order) restricted to the current
+        # corpus's (case, role) pairs
+        "g16_geometry_measures": f"""
+            WITH docroles AS (
+                SELECT doc_id // 2 AS case_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'subject' ELSE 'clipping' END AS role
+                FROM documents
+            )
+            SELECT f.case_id, f.role, f.n_polys, f.n_rings, f.n_vertices,
+                   f.area, f.xmin, f.ymin, f.xmax, f.ymax
+            FROM read_parquet('{fixdir}/g16_measures_sf01.parquet') f
+            JOIN docroles USING (case_id, role)
+        """,
+        # t13: same tokenize -> tf -> df -> rational-idf score -> windowed
+        # top-3 chain; the score expression tree is written identically on
+        # both sides (CAST(tf) * (CAST(N) / (1.0 + CAST(df)))) so the
+        # doubles are bit-equal — no ln anywhere (libm ulp divergence)
+        "t13_tfidf_topterms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                                          x -> x != '')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ), withdf AS (
+                SELECT doc_id, term, tf,
+                       COUNT(*) OVER (PARTITION BY term) AS df
+                FROM tf
+            ), scored AS (
+                SELECT doc_id, term, tf, df,
+                       CAST(tf AS DOUBLE)
+                         * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                            / (1.0 + CAST(df AS DOUBLE))) AS score
+                FROM withdf
+            )
+            SELECT doc_id, term, tf, df, score, rank FROM (
+                SELECT scored.*,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         # --- spatial (rectangle zones are SQL-expressible; the Spark side
         #     still runs the real kernel PIP / window / cell code paths) ---

@@ -1,0 +1,137 @@
+"""Pure-JVM geometry measures over GeoJSON MultiPolygon columns.
+
+`geometry_measures` computes per-geometry summary statistics — polygon /
+ring / vertex counts, signed shoelace area, and the bounding box —
+entirely with built-in higher-order functions inside whole-stage codegen:
+`from_json` parses the nested coordinate arrays, nested `aggregate` folds
+compute the counts and the area, `flatten` + `array_min/max` the bbox.
+No Python stage anywhere (reference analogue: the per-polygon bbox/ring
+walks inside `lib/src/boolean/fill_queue.rs`; here it is a declarative
+Spark expression instead of an imperative pass).
+
+Determinism contract (the g16 oracle depends on it):
+
+- the shoelace fold is a LEFT fold with zero 0.0 at every level
+  (edge terms within a ring, rings within a polygon, polygons within the
+  geometry), each edge term computed as ``x_i*y_{i+1} - x_{i+1}*y_i`` —
+  `measures_python` below replicates the exact same FP operation order,
+  so JVM and CPython produce bit-identical doubles;
+- bbox mins/maxes are order-independent; ``+ 0.0`` canonicalizes a
+  potential ``-0.0`` so both engines agree on the zero sign;
+- `from_json` (Jackson) and `json.loads` (CPython strtod) are both
+  correctly-rounded double parsers, so the parsed coordinates match.
+
+At 100 TB scale this is a pure map stage: no shuffle, no UDF, prunes to
+the single geometry column.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# GeoJSON MultiPolygon: polygons -> rings -> points -> [x, y]
+MULTIPOLYGON_SCHEMA = (
+    "struct<type:string,coordinates:array<array<array<array<double>>>>>"
+)
+
+MEASURE_COLUMNS = (
+    "n_polys",
+    "n_rings",
+    "n_vertices",
+    "area",
+    "xmin",
+    "ymin",
+    "xmax",
+    "ymax",
+)
+
+
+def _ring_shoelace(ring):
+    """Left-fold sum of x_i*y_{i+1} - x_{i+1}*y_i over a closed ring."""
+    edges = F.transform(
+        F.slice(ring, 1, F.size(ring) - 1),
+        # slice index i is 0-based; original-ring successor is 1-based i+2
+        lambda p, i: p.getItem(0) * F.element_at(ring, i + F.lit(2)).getItem(1)
+        - F.element_at(ring, i + F.lit(2)).getItem(0) * p.getItem(1),
+    )
+    return F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def geometry_measures(geoms: DataFrame, geom_col: str = "geom_json") -> DataFrame:
+    """Append n_polys/n_rings/n_vertices/area/bbox columns (all JVM-side).
+
+    `area` is the signed shoelace area (CCW exteriors positive, CW holes
+    negative), i.e. the net enclosed area for kernel-oriented rings.
+    """
+    c = F.from_json(F.col(geom_col), MULTIPOLYGON_SCHEMA)["coordinates"]
+    n_polys = F.size(c)
+    n_rings = F.aggregate(c, F.lit(0), lambda acc, poly: acc + F.size(poly))
+    n_vertices = F.aggregate(
+        c,
+        F.lit(0),
+        lambda acc, poly: acc
+        + F.aggregate(poly, F.lit(0), lambda a, ring: a + F.size(ring)),
+    )
+    area2 = F.aggregate(
+        c,
+        F.lit(0.0),
+        lambda acc, poly: acc
+        + F.aggregate(poly, F.lit(0.0), lambda a, ring: a + _ring_shoelace(ring)),
+    )
+    pts = F.flatten(F.flatten(c))
+    xs = F.transform(pts, lambda p: p.getItem(0))
+    ys = F.transform(pts, lambda p: p.getItem(1))
+    return geoms.select(
+        *geoms.columns,
+        n_polys.alias("n_polys"),
+        n_rings.alias("n_rings"),
+        n_vertices.alias("n_vertices"),
+        (area2 * F.lit(0.5)).alias("area"),
+        (F.array_min(xs) + F.lit(0.0)).alias("xmin"),
+        (F.array_min(ys) + F.lit(0.0)).alias("ymin"),
+        (F.array_max(xs) + F.lit(0.0)).alias("xmax"),
+        (F.array_max(ys) + F.lit(0.0)).alias("ymax"),
+    )
+
+
+def measures_python(geom_json: str):
+    """CPython twin of `geometry_measures` with IDENTICAL FP operation
+    order (left folds, zero 0.0, same edge-term expression). Used by the
+    g16 fixture generator (scripts/gen_geo_oracle_fixtures.py) and the
+    bit-identity tests; must be edited in lockstep with the Spark
+    expressions above."""
+    coords = json.loads(geom_json)["coordinates"]
+    n_polys = len(coords)
+    n_rings = 0
+    n_vertices = 0
+    area2 = 0.0
+    xs: list[float] = []
+    ys: list[float] = []
+    for poly in coords:
+        n_rings += len(poly)
+        poly_acc = 0.0
+        for ring in poly:
+            n_vertices += len(ring)
+            ring_acc = 0.0
+            for i in range(len(ring) - 1):
+                ring_acc = ring_acc + (
+                    ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                )
+            poly_acc = poly_acc + ring_acc
+            for p in ring:
+                xs.append(p[0])
+                ys.append(p[1])
+        area2 = area2 + poly_acc
+    return {
+        "n_polys": n_polys,
+        "n_rings": n_rings,
+        "n_vertices": n_vertices,
+        "area": area2 * 0.5,
+        "xmin": min(xs) + 0.0,
+        "ymin": min(ys) + 0.0,
+        "xmax": max(xs) + 0.0,
+        "ymax": max(ys) + 0.0,
+    }

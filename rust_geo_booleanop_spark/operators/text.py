@@ -443,3 +443,63 @@ def gopher_quality_filter(
         .withColumn("keep", F.col("fail_reason").isNull())
         .drop("_char_sum", "_n_alpha")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF distinctive terms (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k most distinctive terms per document by a TF-IDF-style score.
+
+    Tokenization: lowercase, whitespace split, empty fields dropped (the
+    same divergence-proof filter as `token_count_col`). The idf factor is
+    the RATIONAL form ``N / (1 + df)`` rather than ``ln(N / (1 + df))`` —
+    log changes no per-document ranking (it is monotone), and +,-,*,/ are
+    IEEE-correctly-rounded in every engine while ln is not, so the score
+    doubles are bit-reproducible in the DuckDB oracle (t13).
+
+    Output: (doc_id, term, tf, df, score, rank), rank 1..k per document,
+    ordered by (score DESC, term ASC) — a total order, so ties are stable
+    across engines.
+
+    100 TB shape: ONE scan -> explode -> per-(doc,term) tf hash
+    aggregation with map-side partials, then df as a COUNT window over
+    the term partition of the already-aggregated tf relation (no second
+    scan, no self-join — a groupBy-df + join variant re-tokenized the
+    whole corpus in the static plan), a broadcast of the 1-row corpus
+    count, and a per-document window for the top-k. No UDFs anywhere.
+    Hot terms are already collapsed to one row per (doc, term) before
+    the term-partitioned window, so term skew is bounded by document
+    count, not token count.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / (F.lit(1.0) + F.col("df").cast("double"))),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

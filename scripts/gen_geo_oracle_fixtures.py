@@ -1,4 +1,4 @@
-"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09).
+"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16).
 
 Two provenance classes, both committed under tests/oracle_fixtures/:
 
@@ -123,6 +123,24 @@ def g11_dissolve_rows(n_docs: int = 500):
     return rows
 
 
+def g16_measure_rows(case_ids):
+    """Expected geometry measures per (case_id, role), computed by the
+    CPython twin `measures_python` (identical FP fold order to the JVM
+    expressions in operators/measures.py) over the same serialized
+    geometry bytes the extraction stage sees in the html payload."""
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.measures import measures_python
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    rows = []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        for role, mp in (("subject", subject), ("clipping", clipping)):
+            m = measures_python(serialize_multipolygon(mp))
+            rows.append((case_id, role, m))
+    return rows
+
+
 def g09_expected_rows():
     """Reference-data expected rows: (case_key, op, n_polys, expected_json)
     for every annotated expected feature in the reference fixture corpus.
@@ -224,6 +242,27 @@ def main():
         compression="zstd",
     )
     print(f"g09: {len(g09)} expected features -> {FIXDIR}")
+
+    g16 = g16_measure_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g16], pa.int64()),
+                "role": pa.array([r[1] for r in g16], pa.string()),
+                "n_polys": pa.array([r[2]["n_polys"] for r in g16], pa.int32()),
+                "n_rings": pa.array([r[2]["n_rings"] for r in g16], pa.int32()),
+                "n_vertices": pa.array([r[2]["n_vertices"] for r in g16], pa.int32()),
+                "area": pa.array([r[2]["area"] for r in g16], pa.float64()),
+                "xmin": pa.array([r[2]["xmin"] for r in g16], pa.float64()),
+                "ymin": pa.array([r[2]["ymin"] for r in g16], pa.float64()),
+                "xmax": pa.array([r[2]["xmax"] for r in g16], pa.float64()),
+                "ymax": pa.array([r[2]["ymax"] for r in g16], pa.float64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g16_measures_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g16: {len(g16)} measure rows")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,116 @@
+"""geometry_measures (g16) and tfidf_top_terms (t13) unit tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_geo_booleanop_spark.operators import (
+    geometry_measures,
+    measures_python,
+    tfidf_top_terms,
+)
+
+UNIT_SQUARE = {
+    "type": "MultiPolygon",
+    "coordinates": [[[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]]]],
+}
+# CCW exterior + CW hole: signed shoelace nets exterior - hole
+SQUARE_WITH_HOLE = {
+    "type": "MultiPolygon",
+    "coordinates": [
+        [
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+            [[1.0, 1.0], [1.0, 3.0], [3.0, 3.0], [3.0, 1.0], [1.0, 1.0]],
+        ]
+    ],
+}
+
+
+class TestGeometryMeasures:
+    def _measure_one(self, spark, geom):
+        gj = json.dumps(geom, separators=(",", ":"))
+        df = spark.createDataFrame([(gj,)], "geom_json string")
+        return geometry_measures(df).drop("geom_json").collect()[0]
+
+    def test_unit_square(self, spark):
+        r = self._measure_one(spark, UNIT_SQUARE)
+        assert (r.n_polys, r.n_rings, r.n_vertices) == (1, 1, 5)
+        assert r.area == 16.0
+        assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, 0.0, 4.0, 4.0)
+
+    def test_hole_subtracts(self, spark):
+        r = self._measure_one(spark, SQUARE_WITH_HOLE)
+        assert (r.n_polys, r.n_rings, r.n_vertices) == (1, 2, 10)
+        assert r.area == 12.0  # 16 - 4
+
+    def test_bit_identical_to_python_twin_on_corpus(self, spark):
+        """JVM fold vs CPython twin, every geometry at sf0.001, exact ==
+        plus repr equality (catches a -0.0/0.0 zero-sign divergence that
+        == alone would pass)."""
+        from rust_geo_booleanop_spark.operators import extract_geometries
+        from rust_geo_booleanop_spark.sources import build_documents
+
+        geoms = extract_geometries(
+            build_documents(spark, "/root/testdata/sf0.001")
+        ).select("case_id", "role", "geom_json")
+        rows = geometry_measures(geoms).collect()
+        assert len(rows) == 500
+        for r in rows:
+            exp = measures_python(r.geom_json)
+            for k, v in exp.items():
+                got = getattr(r, k)
+                assert got == v and repr(got) == repr(v), (r.case_id, r.role, k)
+
+    def test_fixture_matches_corpus_serialization(self):
+        """The fixture generator's geometry bytes equal what the html
+        extraction path yields (serialize == the embedded script block),
+        so the fixture grades the same strings the Spark query parses."""
+        from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+        from rust_geo_booleanop_spark.sources.corpus import case_geometry
+        from rust_geo_booleanop_spark.sources.documents import synth_html
+
+        subject, _ = case_geometry(7)
+        html = synth_html(14, "x")  # doc 14 = case 7 subject
+        embedded = html.split(b'geo+json">')[1].split(b"</script>")[0].decode()
+        assert embedded == serialize_multipolygon(subject)
+
+
+class TestTfidfTopTerms:
+    def test_small_frame_ranks(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "apple banana apple"),
+                (1, "banana cherry"),
+                (2, "cherry cherry durian"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+            for r in tfidf_top_terms(docs, k=2).collect()
+        }
+        # doc 0: apple tf=2 df=1 -> 2*(3/2)=3.0 beats banana tf=1 df=2 -> 1.0
+        assert out[(0, 1)] == ("apple", 2, 1, 3.0)
+        assert out[(0, 2)] == ("banana", 1, 2, 1.0)
+        # doc 2: cherry tf=2 df=2 -> 2.0 beats durian tf=1 df=1 -> 1.5
+        assert out[(2, 1)] == ("cherry", 2, 2, 2.0)
+        assert out[(2, 2)] == ("durian", 1, 1, 1.5)
+
+    def test_tie_breaks_by_term(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "b a"), (1, "a b")], "doc_id long, text string"
+        )
+        rows = tfidf_top_terms(docs, k=2).collect()
+        for r in rows:
+            # identical scores -> term ASC decides: 'a' is always rank 1
+            assert (r.rank == 1) == (r.term == "a")
+
+    def test_blank_and_empty_dropped(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "  "), (1, ""), (2, "word")], "doc_id long, text string"
+        )
+        rows = tfidf_top_terms(docs, k=3).collect()
+        assert [(r.doc_id, r.term) for r in rows] == [(2, "word")]

@@ -75,6 +75,31 @@ class TestGeoFixturesFresh:
         assert cases == set(range(2500))  # sf0.1's 5000 docs -> 2500 cases
         assert len(rows) == 2500 * 4  # one row per (case, op)
 
+    def test_g16_sample_fresh(self):
+        from scripts.gen_geo_oracle_fixtures import g16_measure_rows
+
+        sample = sorted(set(SAMPLE_CASES))
+        expected = {
+            (c, role): tuple(m[k] for k in (
+                "n_polys", "n_rings", "n_vertices", "area",
+                "xmin", "ymin", "xmax", "ymax",
+            ))
+            for c, role, m in g16_measure_rows(sample)
+        }
+        committed = {
+            (r[0], r[1]): tuple(r[2:])
+            for r in _fix("g16_measures_sf01")
+            if r[0] in set(SAMPLE_CASES)
+        }
+        # exact == on floats (bit-level up to zero-sign, which the +0.0
+        # canonicalization in measures_python pins)
+        assert committed == expected
+
+    def test_g16_covers_sf01_case_space(self):
+        rows = _fix("g16_measures_sf01")
+        assert {r[0] for r in rows} == set(range(2500))
+        assert len(rows) == 2500 * 2  # one row per (case, role)
+
 
 def test_g11_fresh_flat_fold():
     """g11's fixture regenerates from the pure-python FLAT sorted fold —
