@@ -503,3 +503,60 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    packing step that turns a cleaned corpus into training examples.
+
+    Window i covers tokens [i*s, i*s + chunk_tokens) with stride
+    s = chunk_tokens - overlap; a window is emitted iff its start is 0 or
+    start < n_tokens - overlap (the remaining tail windows would be strict
+    suffixes of the previous window). Tokenization is the divergence-proof
+    whitespace split of `token_count_col`; chunk text is the tokens
+    re-joined with single spaces (whitespace-normalized by construction).
+
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens), chunk_idx
+    0-based and dense per document.
+
+    100 TB shape: a pure per-row codegen expression (split -> sequence of
+    starts -> posexplode -> slice + array_join) — NO shuffle of the corpus
+    at all; chunking parallelism equals scan parallelism. Oracle: t14
+    recomputes the identical windows with DuckDB list slicing.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(tk)
+    starts = F.when(n <= 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda st: (st == 0) | (st < n - F.lit(overlap)),
+        )
+    )
+    exploded = docs.select(
+        F.col(id_col), tk.alias("_tk"), F.posexplode(starts).alias("chunk_idx", "_start")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("_tk"), F.col("_start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size("_tk") - F.col("_start")).alias(
+            "n_chunk_tokens"
+        ),
+    )

@@ -1,4 +1,4 @@
-"""geometry_measures (g16) and tfidf_top_terms (t13) unit tests."""
+"""Round-4 tail operators: geometry_measures (g16), tfidf_top_terms (t13), chunk_documents (t14)."""
 
 from __future__ import annotations
 
@@ -114,3 +114,52 @@ class TestTfidfTopTerms:
         )
         rows = tfidf_top_terms(docs, k=3).collect()
         assert [(r.doc_id, r.term) for r in rows] == [(2, "word")]
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, text, chunk_tokens=8, overlap=2):
+        from rust_geo_booleanop_spark.operators import chunk_documents
+
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        rows = chunk_documents(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+        return [(r.chunk_idx, r.chunk_text, r.n_chunk_tokens) for r in rows]
+
+    def test_short_doc_single_chunk(self, spark):
+        assert self._chunks(spark, "a b c") == [(0, "a b c", 3)]
+
+    def test_exact_multiple_windows(self, spark):
+        toks = " ".join(f"t{i}" for i in range(14))
+        out = self._chunks(spark, toks, chunk_tokens=8, overlap=2)
+        # stride 6: starts 0, 6 (12 >= 14-2 dropped as suffix of window 1)
+        assert [c[0] for c in out] == [0, 1]
+        assert out[0][1].split() == [f"t{i}" for i in range(8)]
+        assert out[1][1].split() == [f"t{i}" for i in range(6, 14)]
+        assert [c[2] for c in out] == [8, 8]
+
+    def test_tail_window_not_suffix(self, spark):
+        toks = " ".join(f"t{i}" for i in range(15))
+        out = self._chunks(spark, toks, chunk_tokens=8, overlap=2)
+        # start 12 < 15-2 -> kept, truncated to 3 tokens
+        assert [c[0] for c in out] == [0, 1, 2]
+        assert out[2] == (2, "t12 t13 t14", 3)
+
+    def test_overlap_reconstructs_document(self, spark):
+        toks = [f"t{i}" for i in range(40)]
+        out = self._chunks(spark, " ".join(toks), chunk_tokens=8, overlap=2)
+        rebuilt = out[0][1].split()
+        for _, text, _ in out[1:]:
+            rebuilt.extend(text.split()[2:])  # drop the 2-token overlap
+        assert rebuilt == toks
+
+    def test_blank_and_empty_no_chunks(self, spark):
+        assert self._chunks(spark, "") == []
+        assert self._chunks(spark, "   ") == []
+
+    def test_invalid_overlap_raises(self, spark):
+        from rust_geo_booleanop_spark.operators import chunk_documents
+
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=8)
