@@ -463,13 +463,10 @@ def main():
     )
     # pyramid over a synthetic tiled frame (pure JVM input) so the number
     # isolates the rollup operator, not a re-run of the kernel pipeline
-    offset = 1 << 28
+    from rust_geo_booleanop_spark.functions.cells import cell_id_expr
+
     pyramid_input = spark.range(max(200_000, pages * 2)).select(
-        (
-            F.lit(4 << 58)
-            .bitwiseOR(F.shiftleft((F.col("id") % 1000) + F.lit(offset), 29))
-            .bitwiseOR((F.col("id") % 97) + F.lit(offset))
-        ).alias("tile_id")
+        cell_id_expr(F.col("id") % 1000, F.col("id") % 97, 4).alias("tile_id")
     )
     timed(
         "tile_pyramid",

@@ -33,6 +33,23 @@ def encode_cells(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
     )
 
 
+def cell_id_expr(ix, iy, level: int):
+    """JVM Column twin of `encode_cells`: the SINGLE definition of the
+    (level << 58) | ((ix + OFFSET) << 29) | (iy + OFFSET) bit layout for
+    Spark expressions — every codegen encode site (point cells, cover
+    cells, kNN buckets, pyramid re-encode, bench inputs) must build its
+    cell ids through this helper so a layout change cannot drift between
+    copies. `ix`/`iy` are long Columns of cell indices; `level` is a
+    plan-time int."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.lit(int(level) << 58)
+        .bitwiseOR(F.shiftleft(ix + F.lit(_OFFSET), 29))
+        .bitwiseOR(iy + F.lit(_OFFSET))
+    )
+
+
 def decode_cell(cell_id: int):
     level = int(cell_id >> 58)
     ix = int((cell_id >> 29) & ((1 << 29) - 1)) - _OFFSET

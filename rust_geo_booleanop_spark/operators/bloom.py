@@ -17,10 +17,16 @@ carries only the sliver instead of the whole current snapshot. With the
 typical mostly-new crawl delta, that removes ~(1 - fp - dup_rate) of
 the probe side from the one expensive shuffle.
 
-Plan shape: the k probe POSITIONS are computed JVM-side
-(xxhash64(key, salt_i) mod m inside codegen); Python only indexes a
-NumPy bitmap per Arrow batch (no per-row work, no string hashing in
-Python). The bitmap build is one explode + distinct over positions —
+Plan shape: the ENTIRE probe runs in whole-stage codegen — the k
+positions are xxhash64(key, salt_i) mod m, and each is tested with a
+substring lookup into a '0'/'1' bit-string literal built from the
+bitmap (m_bits chars ≈ 1 MiB at the default 2^20, shipped once per
+stage in the task binary). No Python stage, no Arrow round trip. The
+probe feeds two consumers (the definitely-new branch and the sliver
+that joins); Spark recomputes the map-side lineage for each, which is
+the right trade at corpus scale (recompute of pure codegen beats
+materializing the snapshot) and cheap precisely because the probe is
+JVM-only. The bitmap build is a shuffle-free per-partition partial OR —
 bounded by m (the bit-space), not by corpus size.
 
 No reference counterpart (engine requirement, like heavy hitters).
@@ -94,37 +100,24 @@ def incremental_new_keys(
     """Rows of `current` whose `key_col` does NOT appear in `prior`.
 
     Exact (bloom is only a pre-filter); equals a plain left_anti join on
-    the key, pinned by test. Columns of `current` pass through."""
+    the key, pinned by test. Columns of `current` pass through. The
+    probe is a pure codegen expression (substring into a bit-string
+    literal), so the two consumers of the probed lineage recompute only
+    JVM map work — no Python stage runs twice."""
     bitmap_bytes = bloom_bitmap(prior.select(key_col), key_col, m_bits, k)
-    out_cols = current.columns
-    pos_cols = [f"__bloom_p{i}" for i in range(k)]
-    probed = current.select(
-        "*",
-        *[
-            p.alias(c)
-            for p, c in zip(_positions(F.col(key_col), m_bits, k), pos_cols)
-        ],
+    # bit j of the bitmap = byte j//8, bit j%8 (little bit order) — the
+    # same layout bloom_bitmap scatters; unpackbits(bitorder='little')
+    # inverts it exactly, then '0'/'1' ASCII for the substring probe
+    bits = np.unpackbits(
+        np.frombuffer(bitmap_bytes, dtype=np.uint8), bitorder="little"
     )
-
-    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bitmap = np.frombuffer(bitmap_bytes, dtype=np.uint8)
-        for pdf in batches:
-            maybe = np.ones(len(pdf), dtype=bool)
-            for c in pos_cols:
-                idx = pdf[c].to_numpy(np.int64)
-                maybe &= (bitmap[idx // 8] & (1 << (idx % 8)).astype(np.uint8)) != 0
-            out = pdf[out_cols].copy()
-            out["__maybe_seen"] = maybe
-            yield out
-
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in current.schema.fields
-    )
-    flagged = probed.mapInPandas(
-        probe_batches, schema=f"{schema}, __maybe_seen boolean"
-    )
-    definitely_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-    sliver = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    bitstr = (bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
+    maybe_seen = None
+    for p in _positions(F.col(key_col), m_bits, k):
+        hit = F.substring(F.lit(bitstr), (p + F.lit(1)).cast("int"), 1) == "1"
+        maybe_seen = hit if maybe_seen is None else (maybe_seen & hit)
+    definitely_new = current.filter(~maybe_seen)
+    sliver = current.filter(maybe_seen)
     verified_new = sliver.join(
         prior.select(key_col).distinct(), on=key_col, how="left_anti"
     )

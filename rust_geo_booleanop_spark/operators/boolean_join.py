@@ -140,6 +140,39 @@ def pair_candidates_salted(
     )
 
 
+RESULT_ROW_KEYS = (
+    "case_id", "subject_url", "clipping_url", "op",
+    "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax", "status",
+)
+
+
+def new_result_rows() -> dict:
+    """Empty column-dict matching BOOLEAN_RESULTS_SCHEMA — the single
+    marshalling definition shared by the batch kernel stage below and the
+    streaming pair completion (streaming/boolean.py), so a schema change
+    cannot silently diverge the two paths."""
+    return {k: [] for k in RESULT_ROW_KEYS}
+
+
+def append_pair_results(rows: dict, pair_run, case_id, s_url, c_url, s_json, c_json, ops):
+    """Run one (subject, clipping) pair through `pair_run` and append the
+    per-op result rows to the `new_result_rows()` column-dict."""
+    for op, result_json, n_polys, xmin, ymin, xmax, ymax, status in (
+        pair_run(s_json, c_json, ops)
+    ):
+        rows["case_id"].append(case_id)
+        rows["subject_url"].append(s_url)
+        rows["clipping_url"].append(c_url)
+        rows["op"].append(op)
+        rows["result_json"].append(result_json)
+        rows["n_polys"].append(n_polys)
+        rows["xmin"].append(xmin)
+        rows["ymin"].append(ymin)
+        rows["xmax"].append(xmax)
+        rows["ymax"].append(ymax)
+        rows["status"].append(status)
+
+
 def _make_kernel_batches(ops: Sequence[str]):
     def kernel_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Resolved inside the Spark Python worker (after fork): the full-C
@@ -148,28 +181,14 @@ def _make_kernel_batches(ops: Sequence[str]):
         # pure-Python composition otherwise.
         pair_run = resolve_pair_runner()
         for pdf in batches:
-            rows = {k: [] for k in (
-                "case_id", "subject_url", "clipping_url", "op",
-                "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax", "status",
-            )}
+            rows = new_result_rows()
             for case_id, s_url, c_url, s_json, c_json in zip(
                 pdf["case_id"], pdf["subject_url"], pdf["clipping_url"],
                 pdf["subject_json"], pdf["clipping_json"],
             ):
-                for op, result_json, n_polys, xmin, ymin, xmax, ymax, status in (
-                    pair_run(s_json, c_json, ops)
-                ):
-                    rows["case_id"].append(case_id)
-                    rows["subject_url"].append(s_url)
-                    rows["clipping_url"].append(c_url)
-                    rows["op"].append(op)
-                    rows["result_json"].append(result_json)
-                    rows["n_polys"].append(n_polys)
-                    rows["xmin"].append(xmin)
-                    rows["ymin"].append(ymin)
-                    rows["xmax"].append(xmax)
-                    rows["ymax"].append(ymax)
-                    rows["status"].append(status)
+                append_pair_results(
+                    rows, pair_run, case_id, s_url, c_url, s_json, c_json, ops
+                )
             yield pd.DataFrame(rows)
 
     return kernel_batches

@@ -50,9 +50,13 @@ MEASURE_COLUMNS = (
 
 
 def _ring_shoelace(ring):
-    """Left-fold sum of x_i*y_{i+1} - x_{i+1}*y_i over a closed ring."""
+    """Left-fold sum of x_i*y_{i+1} - x_{i+1}*y_i over a closed ring.
+
+    The slice length is clamped at 0 so a degenerate EMPTY ring folds to
+    0.0 (matching `measures_python`'s zero-iteration loop) instead of
+    crashing slice() with a negative length."""
     edges = F.transform(
-        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 1, F.greatest(F.size(ring) - 1, F.lit(0))),
         # slice index i is 0-based; original-ring successor is 1-based i+2
         lambda p, i: p.getItem(0) * F.element_at(ring, i + F.lit(2)).getItem(1)
         - F.element_at(ring, i + F.lit(2)).getItem(0) * p.getItem(1),

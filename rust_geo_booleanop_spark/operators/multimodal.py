@@ -173,25 +173,32 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _phash64(img) -> int:
+    """8x8 average-hash fingerprint on a coarse grid, wrapped to a signed
+    int64 — the SINGLE definition shared by image features and video
+    frame sampling (the m01/m03 oracle fixtures are generated from these
+    exact bits, so image and video fingerprints must stay comparable)."""
+    hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
+    bits = (hh > hh.mean()).flatten()
+    phash = 0
+    for i, b in enumerate(bits):
+        if b:
+            phash |= 1 << i
+    return phash - (1 << 63) if phash >= (1 << 63) else phash
+
+
 def image_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Pure pandas body of image_features (shared with the oracle-fixture
     generator)."""
     out = {k: [] for k in ("url", "width", "height", "mean_pixel", "std_pixel", "phash")}
     for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
         img = _decode_image(payload)
-        # 8x8 average-hash style fingerprint on a coarse grid
-        hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
-        bits = (hh > hh.mean()).flatten()
-        phash = 0
-        for i, b in enumerate(bits):
-            if b:
-                phash |= 1 << i
         out["url"].append(url)
         out["width"].append(w)
         out["height"].append(h)
         out["mean_pixel"].append(float(img.mean()))
         out["std_pixel"].append(float(img.std()))
-        out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
+        out["phash"].append(_phash64(img))
     return pd.DataFrame(out)
 
 
@@ -259,17 +266,11 @@ def sample_video_frames_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -
         n_frames = min(max_frames, max(1, int(dur) // every_ms))
         for fi in range(n_frames):
             img = _decode_video_frame(bytes(payload), fi * every_ms)
-            hh = img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)][:8, :8]
-            bits = (hh > hh.mean()).flatten()
-            phash = 0
-            for i, b in enumerate(bits):
-                if b:
-                    phash |= 1 << i
             out["url"].append(url)
             out["frame_no"].append(fi)
             out["ts_ms"].append(fi * every_ms)
             out["mean_pixel"].append(float(img.mean()))
-            out["phash"].append(phash - (1 << 63) if phash >= (1 << 63) else phash)
+            out["phash"].append(_phash64(img))
     return pd.DataFrame(out)
 
 

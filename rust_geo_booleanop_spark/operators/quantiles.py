@@ -57,30 +57,44 @@ def _kth_smallest(df: DataFrame, col: str, k: int) -> float:
     return row[0]
 
 
+def _degenerate(lo: float, hi: float, bins: int) -> bool:
+    return hi <= lo or (hi - lo) / bins <= 0 or math.nextafter(lo, hi) >= hi
+
+
+def _rank_from_ties(ties, rank: int) -> float:
+    seen = 0
+    for value, cnt in ties:
+        seen += cnt
+        if seen >= rank:
+            return value
+    raise AssertionError("rank exceeds tie histogram")
+
+
 def _resolve_rank(df: DataFrame, col: str, rank: int, lo: float, hi: float,
-                  bins: int, max_tail: int) -> float:
+                  bins: int, max_tail: int, first_counts=None) -> float:
     """Value at 1-based `rank` within `df` (already non-null filtered).
 
     `df` carries the exact membership predicate accumulated so far;
     [lo, hi] are numeric HINTS for the next histogram's bucketing, never
-    a membership test."""
+    a membership test. `first_counts`, if given, is the precomputed
+    top-level histogram for exactly this (df, lo, hi, bins) — the caller
+    shares ONE whole-corpus pass across all quantiles instead of
+    recomputing it per q."""
     while True:
-        if hi <= lo or (hi - lo) / bins <= 0 or math.nextafter(lo, hi) >= hi:
+        if _degenerate(lo, hi, bins):
             # massive-tie base case: the interval is at most a few ULPs
             # wide; resolve the rank from the exact per-value tie counts
             ties = sorted((r[0], r[1]) for r in df.groupBy(col).count().collect())
-            seen = 0
-            for value, cnt in ties:
-                seen += cnt
-                if seen >= rank:
-                    return value
-            raise AssertionError("rank exceeds tie histogram")
+            return _rank_from_ties(ties, rank)
         width = (hi - lo) / bins
         bexpr = _bucket_expr(col, lo, width, bins)
-        counts = sorted(
-            (r["bucket"], r["count"])
-            for r in df.groupBy(bexpr.alias("bucket")).count().collect()
-        )
+        if first_counts is not None:
+            counts, first_counts = first_counts, None
+        else:
+            counts = sorted(
+                (r["bucket"], r["count"])
+                for r in df.groupBy(bexpr.alias("bucket")).count().collect()
+            )
         seen = 0
         for bucket, cnt in counts:
             if seen + cnt >= rank:
@@ -111,9 +125,17 @@ def exact_quantiles(
 ) -> DataFrame:
     """Exact `quantile_disc` values of `col` at each q in `qs`.
 
-    Returns a DataFrame (q double, value double). Null values of `col`
-    are excluded (quantile_disc semantics)."""
+    Returns a DataFrame (q double, value double). Null AND NaN values of
+    `col` are excluded — a NaN would otherwise become the max hint
+    (Spark orders NaN greatest) and poison every histogram width with
+    NaN arithmetic, so NaN is treated as missing data like null.
+
+    The top-level whole-corpus histogram is computed ONCE and shared by
+    every quantile's narrowing walk; only the already-filtered
+    sub-corpus passes are per-q."""
     data = df.filter(F.col(col).isNotNull())
+    if df.schema[col].dataType.typeName() in ("double", "float"):
+        data = data.filter(~F.isnan(F.col(col)))
     (stats,) = data.agg(
         F.count(col).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
     ).collect()
@@ -122,8 +144,27 @@ def exact_quantiles(
         raise ValueError("exact_quantiles: empty column")
     lo, hi = float(stats["lo"]), float(stats["hi"])
     out = []
-    for q in qs:
-        rank = min(n, max(1, math.ceil(q * n)))
-        out.append((float(q), float(_resolve_rank(data, col, rank, lo, hi, bins, max_tail))))
+    if _degenerate(lo, hi, bins):
+        # whole column is ties within a few ULPs: ONE tie histogram
+        ties = sorted((r[0], r[1]) for r in data.groupBy(col).count().collect())
+        for q in qs:
+            rank = min(n, max(1, math.ceil(q * n)))
+            out.append((float(q), float(_rank_from_ties(ties, rank))))
+    else:
+        width = (hi - lo) / bins
+        bexpr = _bucket_expr(col, lo, width, bins)
+        top_counts = sorted(
+            (r["bucket"], r["count"])
+            for r in data.groupBy(bexpr.alias("bucket")).count().collect()
+        )
+        for q in qs:
+            rank = min(n, max(1, math.ceil(q * n)))
+            out.append((
+                float(q),
+                float(_resolve_rank(
+                    data, col, rank, lo, hi, bins, max_tail,
+                    first_counts=top_counts,
+                )),
+            ))
     spark = df.sparkSession
     return spark.createDataFrame(out, "q double, value double")

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_size
+from ..functions.cells import cell_id_expr, cell_size
 from ..kernel.geojson import parse_multipolygon
 from ..kernel.pip import MultiPolygonEdges, points_in_multipolygon_batch
 
@@ -66,11 +66,10 @@ def with_point_cells(points: DataFrame, level: int = DEFAULT_CELL_LEVEL, x="x", 
     """Point -> cell id, pure JVM (same values as functions/cells.py::
     point_cells, pinned by the parity battery)."""
     size = float(cell_size(level))
-    offset = F.lit(1 << 28)
-    cell = (
-        F.lit(int(level) << 58)
-        .bitwiseOR(F.shiftleft(F.floor(F.col(x) / F.lit(size)).cast("long") + offset, 29))
-        .bitwiseOR(F.floor(F.col(y) / F.lit(size)).cast("long") + offset)
+    cell = cell_id_expr(
+        F.floor(F.col(x) / F.lit(size)).cast("long"),
+        F.floor(F.col(y) / F.lit(size)).cast("long"),
+        level,
     )
     return points.withColumn("cell_id", cell)
 
@@ -242,11 +241,7 @@ def knn_join_bucketed(
     def cell_col(xcol, ycol, dx=0, dy=0):
         ix = F.floor(xcol / F.lit(size)).cast("long") + F.lit(dx)
         iy = F.floor(ycol / F.lit(size)).cast("long") + F.lit(dy)
-        return (
-            F.shiftleft(F.lit(level).cast("long"), 58)
-            .bitwiseOR(F.shiftleft(ix + F.lit(1 << 28), 29))
-            .bitwiseOR(iy + F.lit(1 << 28))
-        )
+        return cell_id_expr(ix, iy, level)
 
     pts = points.select(
         "point_id", "x", "y", cell_col(F.col("x"), F.col("y")).alias("cell_id")

@@ -40,23 +40,19 @@ def cover_cells_column(xmin, ymin, xmax, ymax, level: int):
     3 and timed as much as the kernel stage at the default bench). A NaN
     or inverted bbox yields an EMPTY array (the guard fails), matching
     the python helper's [] for degraded rows."""
-    from ..functions.cells import cell_size
+    from ..functions.cells import cell_id_expr, cell_size
 
     size = float(cell_size(level))
     ix0 = F.floor(xmin / F.lit(size)).cast("long")
     ix1 = F.floor(xmax / F.lit(size)).cast("long")
     iy0 = F.floor(ymin / F.lit(size)).cast("long")
     iy1 = F.floor(ymax / F.lit(size)).cast("long")
-    offset = F.lit(1 << 28)
-    base = F.lit(int(level) << 58)
     cells = F.flatten(
         F.transform(
             F.sequence(ix0, ix1),
             lambda ix: F.transform(
                 F.sequence(iy0, iy1),
-                lambda iy: base
-                .bitwiseOR(F.shiftleft(ix + offset, 29))
-                .bitwiseOR(iy + offset),
+                lambda iy: cell_id_expr(ix, iy, level),
             ),
         )
     )
@@ -102,6 +98,8 @@ def tile_pyramid(
     """
     if to_level > from_level:
         raise ValueError("to_level must be <= from_level")
+    from ..functions.cells import cell_id_expr
+
     offset = F.lit(1 << 28)
     mask = F.lit((1 << 29) - 1)
     ix = F.shiftrightunsigned(F.col("tile_id"), 29).bitwiseAND(mask) - offset
@@ -113,12 +111,11 @@ def tile_pyramid(
         *[
             F.struct(
                 F.lit(lv).cast("int").alias("level"),
-                F.lit(lv << 58)
-                .bitwiseOR(
-                    F.shiftleft(F.shiftright(ix, from_level - lv) + offset, 29)
-                )
-                .bitwiseOR(F.shiftright(iy, from_level - lv) + offset)
-                .alias("tile_id"),
+                cell_id_expr(
+                    F.shiftright(ix, from_level - lv),
+                    F.shiftright(iy, from_level - lv),
+                    lv,
+                ).alias("tile_id"),
             )
             for lv in range(to_level, from_level + 1)
         ]

@@ -9,17 +9,22 @@ pairs with a custom stateful operator instead:
   State holds the first-seen side (url + geometry JSON); when the
   partner arrives — same micro-batch or any later one — the kernel runs
   (same `resolve_pair_runner` hot path as batch: full-C pair lifecycle
-  when available) and the state is cleared. Per-key state is one
-  geometry string, and only for cases still missing a side, so state
-  size tracks the open-case frontier, not the corpus.
+  when available) and the state collapses to a `done` tombstone.
+  Per-key state is one geometry string only for cases still missing a
+  side, so state size tracks the open-case frontier plus a few bytes
+  per completed case.
 - `stream_boolean_tiling` — tile assignment on top is the same pure-JVM
   cover expression as batch (stateless, streams unchanged).
 
 Emitted rows are byte-identical to the batch pipeline's (pinned by
-test): the streaming engine adds pair completion, not new geometry
-semantics. Duplicate sides of an already-complete case are ignored
-(first-seen wins) — the corpus contract is one subject + one clipping
-per case url.
+test, via the SAME `append_pair_results` marshalling helper the batch
+kernel stage uses): the streaming engine adds pair completion, not new
+geometry semantics. Duplicate sides of an already-complete case are
+ignored (first-seen wins) — the corpus contract is one subject + one
+clipping per case url. Completion leaves an O(1) `done` tombstone in
+state (no geometry retained) so a late-arriving duplicate side cannot
+re-open the case and re-emit its rows; open cases hold one geometry
+string, completed cases a few bytes.
 """
 
 from __future__ import annotations
@@ -30,21 +35,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.boolean_join import BOOLEAN_RESULTS_SCHEMA, DEFAULT_OPS
+from ..operators.boolean_join import (
+    BOOLEAN_RESULTS_SCHEMA,
+    DEFAULT_OPS,
+    append_pair_results,
+    new_result_rows,
+)
 
-_PAIR_STATE_SCHEMA = "s_url string, s_json string, c_url string, c_json string"
+_PAIR_STATE_SCHEMA = (
+    "s_url string, s_json string, c_url string, c_json string, done boolean"
+)
+
+# worker-process-local memo: resolve the kernel pair runner once per
+# Python worker, not once per (case_id) state group per micro-batch
+_RUNNER_CACHE: dict = {}
+
+
+def _cached_pair_runner():
+    runner = _RUNNER_CACHE.get("runner")
+    if runner is None:
+        from ..kernel.pairs import resolve_pair_runner
+
+        runner = _RUNNER_CACHE["runner"] = resolve_pair_runner()
+    return runner
 
 
 def _make_pair_fn(ops):
     def pair_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        from ..kernel.pairs import resolve_pair_runner
-
         (case_id,) = key
-        s_url, s_json, c_url, c_json = (
-            state.get if state.exists else ("", "", "", "")
+        s_url, s_json, c_url, c_json, done = (
+            state.get if state.exists else ("", "", "", "", False)
         )
+        if done:
+            # already emitted: drain and drop late duplicate sides, keep
+            # the tombstone (no update needed — state persists as is)
+            for _ in pdfs:
+                pass
+            return
         for pdf in pdfs:
             for url, role, gj in zip(pdf["url"], pdf["role"], pdf["geom_json"]):
                 if role == "subject" and not s_json:
@@ -53,30 +82,16 @@ def _make_pair_fn(ops):
                     c_url, c_json = url, gj
 
         if s_json and c_json:
-            state.remove()
-            pair_run = resolve_pair_runner()
-            rows = {k: [] for k in (
-                "case_id", "subject_url", "clipping_url", "op",
-                "result_json", "n_polys", "xmin", "ymin", "xmax", "ymax", "status",
-            )}
-            for op, rj, n, xmin, ymin, xmax, ymax, status in pair_run(
-                s_json, c_json, ops
-            ):
-                rows["case_id"].append(case_id)
-                rows["subject_url"].append(s_url)
-                rows["clipping_url"].append(c_url)
-                rows["op"].append(op)
-                rows["result_json"].append(rj)
-                rows["n_polys"].append(n)
-                rows["xmin"].append(xmin)
-                rows["ymin"].append(ymin)
-                rows["xmax"].append(xmax)
-                rows["ymax"].append(ymax)
-                rows["status"].append(status)
+            # tombstone: geometry dropped, only the done flag survives
+            state.update(("", "", "", "", True))
+            rows = new_result_rows()
+            append_pair_results(
+                rows, _cached_pair_runner(), case_id, s_url, c_url, s_json, c_json, ops
+            )
             yield pd.DataFrame(rows)
         else:
             # half-open case: park the seen side in state and emit nothing
-            state.update((s_url, s_json, c_url, c_json))
+            state.update((s_url, s_json, c_url, c_json, False))
 
     return pair_fn
 

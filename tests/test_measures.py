@@ -46,6 +46,26 @@ class TestGeometryMeasures:
         assert (r.n_polys, r.n_rings, r.n_vertices) == (1, 2, 10)
         assert r.area == 12.0  # 16 - 4
 
+    def test_empty_ring_folds_to_zero(self, spark):
+        """A degenerate empty ring must fold to 0 on BOTH engines (the
+        JVM slice length is clamped at 0; the twin's loop runs zero
+        iterations) instead of crashing slice() with length -1."""
+        geom = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [
+                    [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+                    [],
+                ]
+            ],
+        }
+        gj = json.dumps(geom, separators=(",", ":"))
+        r = self._measure_one(spark, geom)
+        exp = measures_python(gj)
+        assert (r.n_rings, r.n_vertices, r.area) == (2, 5, 16.0)
+        for k, v in exp.items():
+            assert getattr(r, k) == v, k
+
     def test_bit_identical_to_python_twin_on_corpus(self, spark):
         """JVM fold vs CPython twin, every geometry at sf0.001, exact ==
         plus repr equality (catches a -0.0/0.0 zero-sign divergence that

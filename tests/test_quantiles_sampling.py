@@ -64,6 +64,22 @@ class TestExactQuantiles:
         got = {r.q: r.value for r in exact_quantiles(df, "x", [0.5], bins=4, max_tail=3).collect()}
         assert got == brute_quantiles(vals, [0.5])
 
+    def test_nan_excluded_and_terminates(self, spark):
+        """NaN used to become the max hint (Spark sorts NaN greatest) and
+        poison every histogram width into NaN arithmetic — the narrowing
+        loop then never made progress. NaN is now excluded like null."""
+        df = spark.range(100).select(
+            F.when(F.col("id") < 97, F.col("id").cast("double"))
+            .otherwise(F.lit(float("nan")))
+            .alias("x")
+        )
+        got = {
+            r.q: r.value
+            for r in exact_quantiles(df, "x", [0.25, 0.5, 1.0], bins=8, max_tail=5).collect()
+        }
+        vals = [float(i) for i in range(97)]
+        assert got == brute_quantiles(vals, [0.25, 0.5, 1.0])
+
     def test_negative_and_mixed_range(self, spark):
         df = spark.range(500).select(
             ((F.col("id") % 101) - F.lit(50.0)).alias("x")

@@ -398,3 +398,31 @@ def test_streaming_boolean_tiling_matches_batch(spark, tmp_path):
             tuple(r) for r in df.select(*cols).fillna("", subset=["result_json"]).collect()
         )
     assert norm(got) == norm(expected)
+
+
+def test_duplicate_side_after_completion_emits_nothing(spark, tmp_path):
+    """A re-crawled duplicate side arriving AFTER its case completed must
+    not re-open state or re-emit rows (the done tombstone), even when the
+    missing partner side shows up again too."""
+    from rust_geo_booleanop_spark.streaming import run_boolean_tiling_stream
+
+    drop_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(drop_dir)
+
+    base = spark.read.parquet(f"{TESTDATA}/documents.parquet").filter(
+        F.col("doc_id") < 4
+    )
+    # run 1: both sides of cases 0 and 1 -> both complete and emit
+    _drop_parquet(base, drop_dir, "d1")
+    run_boolean_tiling_stream(spark, drop_dir, out_dir, ckpt_dir)
+    first = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert first
+
+    # run 2: the same four pages re-crawled (duplicate subject AND
+    # clipping of completed cases) -> tombstones swallow them
+    _drop_parquet(base.withColumn("doc_id", F.col("doc_id") + 0), drop_dir, "d2")
+    run_boolean_tiling_stream(spark, drop_dir, out_dir, ckpt_dir)
+    second = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert second == first
