@@ -666,6 +666,22 @@ def _t13_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def _t15_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 4-gram with a deterministic held-out eval slice (doc_id % 41
+    == 0) — the pre-training hygiene pass that keeps test data out of the
+    corpus (operators/text.py::decontaminate). Pure codegen gram explode
+    + broadcast join + one aggregation; the oracle recomputes identical
+    grams with DuckDB list slicing (d03's shingle precedent; counts only,
+    no FP)."""
+    from rust_geo_booleanop_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 41 == 0)
+    tr = docs.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(tr, ev, n=4)
+
+
 def _t14_chunking(spark, sf_dir):
     """Training-window chunking: fixed 32-token windows with 8-token
     overlap (operators/text.py::chunk_documents) — a pure per-row codegen
@@ -1209,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_geometry_measures": _g16_geometry_measures,
         "t13_tfidf_topterms": _t13_tfidf_topterms,
         "t14_chunking": _t14_chunking,
+        "t15_decontaminate": _t15_decontaminate,
     }
 
 
@@ -1702,6 +1719,31 @@ def oracle_sql() -> dict[str, str]:
         # n_tokens, keeping start 0 and any start < n - overlap; DuckDB
         # list slicing clamps like Spark's slice. Strings only, so the
         # only parity concerns are the shared \\s+ tokenizer semantics.
+        # t15: identical 4-gram definition on both sides (lowercase ->
+        # whitespace split -> non-empty filter -> DISTINCT grams with the
+        # d03 short-doc clamp); counts only, so no FP concerns. COUNT is
+        # BIGINT in DuckDB (the SUM/HUGEINT trap does not apply).
+        "t15_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+                                             i -> array_to_string(t[i:i+3], ' '))) AS gram
+                FROM toks
+            ), ev AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0
+            ), tr AS (
+                SELECT doc_id, gram FROM grams WHERE doc_id % 41 <> 0
+            )
+            SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(ev.gram) AS n_matched,
+                   COUNT(ev.gram) > 0 AS contaminated
+            FROM tr LEFT JOIN ev USING (gram)
+            GROUP BY tr.doc_id
+        """,
         "t14_chunking": """
             WITH tk AS (
                 SELECT doc_id,

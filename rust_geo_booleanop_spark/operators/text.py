@@ -560,3 +560,61 @@ def chunk_documents(
             "n_chunk_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def word_ngram_col(col="text", n: int = 4):
+    """Distinct word n-grams: lowercase, whitespace-tokenized, joined with
+    single spaces. A document shorter than n tokens contributes its whole
+    token sequence as one (short) gram — the same clamp d03's shingles use
+    — so every non-empty document owns at least one gram."""
+    tk = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation set (the standard pre-training hygiene
+    pass that keeps test questions out of the training corpus).
+
+    Output: one row per training document —
+    (id_col, n_grams, n_matched, contaminated), where n_grams counts the
+    document's DISTINCT n-grams, n_matched how many of those occur
+    anywhere in the eval set, and contaminated = n_matched > 0.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    documents, not billions — so its distinct-gram set is broadcast and
+    the whole pass is scan -> per-row gram explode -> broadcast hash join
+    -> one map-side-partial aggregation on id_col. The corpus is never
+    shuffled by gram. (If the eval set ever outgrows broadcast, drop the
+    F.broadcast hint and the same plan degrades to a shuffle join on the
+    gram key.) No reference counterpart (engine requirement, like
+    heavy hitters / sampling).
+    """
+    grams = word_ngram_col(text_col, n)
+    ev = eval_docs.select(F.explode(grams).alias("gram")).distinct()
+    tr = train.select(F.col(id_col), F.explode(grams).alias("gram"))
+    hits = tr.join(
+        F.broadcast(ev.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_matched"),
+        )
+        .withColumn("contaminated", F.col("n_matched") > F.lit(0))
+    )

@@ -730,3 +730,55 @@ class TestGopherQualityFilter:
         }
         assert got[0].fail_reason == "repetition_distinct"
         assert got[1].fail_reason == "repetition_2gram"
+
+
+class TestDecontaminate:
+    def test_flags_overlap_and_counts(self, spark):
+        from rust_geo_booleanop_spark.operators import decontaminate
+
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        rows = [
+            # shares the 4-gram "beta gamma delta epsilon" with the eval doc
+            (0, "zzz beta gamma delta epsilon yyy"),
+            # disjoint vocabulary -> clean
+            (1, "one two three four five six"),
+            # shares individual words but no 4 consecutive ones -> clean
+            (2, "alpha two beta three gamma four delta"),
+            # verbatim copy of the eval doc -> both grams match
+            (3, "alpha beta gamma delta epsilon"),
+        ]
+        tr = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in decontaminate(tr, ev, n=4).collect()}
+        assert got[0].contaminated and got[0].n_matched == 1
+        assert not got[1].contaminated and got[1].n_matched == 0
+        assert not got[2].contaminated
+        assert got[3].contaminated and got[3].n_matched == got[3].n_grams == 2
+
+    def test_short_doc_whole_text_gram(self, spark):
+        from rust_geo_booleanop_spark.operators import decontaminate
+
+        # a doc shorter than n tokens contributes its whole token
+        # sequence as ONE gram (the d03 clamp); an identical short eval
+        # doc therefore matches it
+        ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+        tr = spark.createDataFrame(
+            [(0, "tiny doc"), (1, "tiny other")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in decontaminate(tr, ev, n=4).collect()}
+        assert got[0].contaminated and got[0].n_grams == 1
+        assert not got[1].contaminated
+
+    def test_case_normalization(self, spark):
+        from rust_geo_booleanop_spark.operators import decontaminate
+
+        ev = spark.createDataFrame(
+            [(9, "Alpha BETA gamma DELTA")], "doc_id long, text string"
+        )
+        tr = spark.createDataFrame(
+            [(0, "alpha beta GAMMA delta")], "doc_id long, text string"
+        )
+        got = decontaminate(tr, ev, n=4).collect()
+        assert got[0].contaminated
