@@ -18,16 +18,20 @@ typical mostly-new crawl delta, that removes ~(1 - fp - dup_rate) of
 the probe side from the one expensive shuffle.
 
 Plan shape: the ENTIRE probe runs in whole-stage codegen — the k
-positions are xxhash64(key, salt_i) mod m, and each is tested with a
-substring lookup into a '0'/'1' bit-string literal built from the
-bitmap (m_bits chars ≈ 1 MiB at the default 2^20, shipped once per
-stage in the task binary). No Python stage, no Arrow round trip. The
-probe feeds two consumers (the definitely-new branch and the sliver
-that joins); Spark recomputes the map-side lineage for each, which is
-the right trade at corpus scale (recompute of pure codegen beats
-materializing the snapshot) and cheap precisely because the probe is
-JVM-only. The bitmap build is a shuffle-free per-partition partial OR —
-bounded by m (the bit-space), not by corpus size.
+positions are xxhash64(key, salt_i) mod m, each tested with an O(1)
+`element_at` into ONE array<long> literal of m_bits/64 words (128 KiB
+at the default 2^20, a single Literal node shared by all k probes via
+`forall`'s lambda). No Python stage, no Arrow round trip. (An earlier
+revision probed a '0'/'1' STRING literal with substring — O(position)
+per probe, because UTF8String.substring walks bytes from the start: a
+per-row megabyte scan and an 8 MiB task binary. The array word probe
+is the O(1) shape.) The probe feeds two consumers (the definitely-new
+branch and the sliver that joins); Spark recomputes the map-side
+lineage for each, which is the right trade at corpus scale (recompute
+of pure codegen beats materializing the snapshot) and cheap precisely
+because the probe is JVM-only. The bitmap build is a shuffle-free
+per-partition partial OR — bounded by m (the bit-space), not by
+corpus size.
 
 No reference counterpart (engine requirement, like heavy hitters).
 """
@@ -101,23 +105,38 @@ def incremental_new_keys(
 
     Exact (bloom is only a pre-filter); equals a plain left_anti join on
     the key, pinned by test. Columns of `current` pass through. The
-    probe is a pure codegen expression (substring into a bit-string
-    literal), so the two consumers of the probed lineage recompute only
-    JVM map work — no Python stage runs twice."""
+    probe is a pure codegen expression (O(1) element_at into an
+    array<long> word literal), so the two consumers of the probed
+    lineage recompute only JVM map work — no Python stage runs twice."""
     bitmap_bytes = bloom_bitmap(prior.select(key_col), key_col, m_bits, k)
     # bit j of the bitmap = byte j//8, bit j%8 (little bit order) — the
-    # same layout bloom_bitmap scatters; unpackbits(bitorder='little')
-    # inverts it exactly, then '0'/'1' ASCII for the substring probe
-    bits = np.unpackbits(
-        np.frombuffer(bitmap_bytes, dtype=np.uint8), bitorder="little"
+    # same layout bloom_bitmap scatters; viewed as little-endian uint64
+    # words that is word j//64, bit j%64. The words ride as a ONE-ROW
+    # broadcast frame cross-joined onto the probe side (a 128 KiB
+    # BroadcastExchange, reused by both consumers) — NOT as a literal: a
+    # python-list literal builds a 16k-child CreateArray through py4j,
+    # and a bit-string literal makes every probe an O(m) substring walk.
+    words = np.frombuffer(bitmap_bytes, dtype="<u8").view(np.int64)
+    spark = current.sparkSession
+    words_df = spark.createDataFrame(
+        [([int(w) for w in words],)], "__bloom_words array<bigint>"
     )
-    bitstr = (bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
-    maybe_seen = None
-    for p in _positions(F.col(key_col), m_bits, k):
-        hit = F.substring(F.lit(bitstr), (p + F.lit(1)).cast("int"), 1) == "1"
-        maybe_seen = hit if maybe_seen is None else (maybe_seen & hit)
-    definitely_new = current.filter(~maybe_seen)
-    sliver = current.filter(maybe_seen)
+    probed = current.join(F.broadcast(words_df))
+    maybe_seen = F.forall(
+        F.array(*_positions(F.col(key_col), m_bits, k)),
+        lambda p: (
+            F.call_function(
+                "shiftrightunsigned",
+                F.element_at(
+                    F.col("__bloom_words"), F.shiftright(p, 6).cast("int") + F.lit(1)
+                ),
+                p.bitwiseAND(F.lit(63)).cast("int"),
+            ).bitwiseAND(F.lit(1))
+            == F.lit(1)
+        ),
+    )
+    definitely_new = probed.filter(~maybe_seen).drop("__bloom_words")
+    sliver = probed.filter(maybe_seen).drop("__bloom_words")
     verified_new = sliver.join(
         prior.select(key_col).distinct(), on=key_col, how="left_anti"
     )
