@@ -682,6 +682,19 @@ def _t15_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, n=4)
 
 
+def _t16_lang_balance(spark, sf_dir):
+    """Mixture balancing: downsample every language stratum to exactly
+    the smallest stratum's count ("equal documents per language"),
+    deterministically by (md5(doc_id), doc_id) rank
+    (operators/sampling.py::balanced_sample). Rank-based so the kept set
+    is exact — no FP thresholds; the oracle recomputes the identical
+    total-order window + data-dependent min-count target."""
+    from rust_geo_booleanop_spark.operators import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, stratum_col="lang", key_col="doc_id")
+
+
 def _t14_chunking(spark, sf_dir):
     """Training-window chunking: fixed 32-token windows with 8-token
     overlap (operators/text.py::chunk_documents) — a pure per-row codegen
@@ -1226,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_tfidf_topterms": _t13_tfidf_topterms,
         "t14_chunking": _t14_chunking,
         "t15_decontaminate": _t15_decontaminate,
+        "t16_lang_balance": _t16_lang_balance,
     }
 
 
@@ -1723,6 +1737,24 @@ def oracle_sql() -> dict[str, str]:
         # whitespace split -> non-empty filter -> DISTINCT grams with the
         # d03 short-doc clamp); counts only, so no FP concerns. COUNT is
         # BIGINT in DuckDB (the SUM/HUGEINT trap does not apply).
+        # t16: identical total-order rank (md5 hex string, doc_id
+        # tiebreak) + the data-dependent min-count target; integers only
+        "t16_lang_balance": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS INTEGER) AS sample_rank
+                FROM documents
+            ), tgt AS (
+                SELECT MIN(n) AS t FROM (
+                    SELECT COUNT(*) AS n FROM documents GROUP BY lang
+                )
+            )
+            SELECT doc_id, lang, sample_rank FROM ranked, tgt
+            WHERE sample_rank <= t
+        """,
         "t15_decontaminate": """
             WITH toks AS (
                 SELECT doc_id,

@@ -62,3 +62,52 @@ def stratified_sample(
             sample_predicate(F.col(key_col), rate),
         ).otherwise(pred)
     return df.filter(pred)
+
+
+def balanced_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Balance a skewed stratum mixture to uniform: keep exactly
+    min-stratum-count rows per stratum (or `target` if given),
+    deterministically.
+
+    The mixture-weighting step of corpus assembly ("equal tokens per
+    language/domain"). Selection is rank-based, not rate-based: rows rank
+    within their stratum by (md5(key), key) — a total order, so the kept
+    set is EXACTLY the target-smallest hashes, the same rows on every
+    run and every cluster size, with no FP arithmetic anywhere (contrast
+    `stratified_sample`, which is rate-based and approximate in count).
+
+    Output: the input columns plus `sample_rank` (1-based within
+    stratum, dense).
+
+    100 TB shape: one shuffle on the stratum key for the window rank,
+    plus a tiny count aggregate for the data-dependent target. Stratum
+    count is small (languages, domains) but each stratum's partition is
+    a single reducer — for strata that exceed one executor, pass an
+    explicit literal `target`: Spark's WindowGroupLimit pushdown then
+    runs a map-side partial top-K per stratum before the shuffle, so the
+    exchange carries ~target rows per stratum per map task instead of
+    the full stratum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    if target is not None:
+        return ranked.filter(F.col("sample_rank") <= F.lit(int(target)))
+    tgt = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("_target"))
+    )
+    return (
+        ranked.join(F.broadcast(tgt))
+        .filter(F.col("sample_rank") <= F.col("_target"))
+        .drop("_target")
+    )

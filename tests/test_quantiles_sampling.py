@@ -200,3 +200,48 @@ class TestStratifiedSample:
             ).fetchall()
         )
         assert kept == expected
+
+
+class TestBalancedSample:
+    def _skewed(self, spark):
+        rows = [(i, "en" if i % 10 < 6 else ("de" if i % 10 < 9 else "fr"))
+                for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_uniform_mixture_at_min_count(self, spark):
+        from rust_geo_booleanop_spark.operators import balanced_sample
+
+        df = self._skewed(spark)   # en 120, de 60, fr 20
+        got = balanced_sample(df, "lang", "doc_id").collect()
+        by = {}
+        for r in got:
+            by.setdefault(r.lang, []).append(r)
+        assert {k: len(v) for k, v in by.items()} == {"en": 20, "de": 20, "fr": 20}
+        # ranks are 1..target dense within each stratum
+        for rows in by.values():
+            assert sorted(r.sample_rank for r in rows) == list(range(1, 21))
+
+    def test_deterministic_across_partitioning(self, spark):
+        from rust_geo_booleanop_spark.operators import balanced_sample
+
+        df = self._skewed(spark)
+        a = {(r.doc_id, r.sample_rank)
+             for r in balanced_sample(df, "lang", "doc_id").collect()}
+        b = {(r.doc_id, r.sample_rank)
+             for r in balanced_sample(df.repartition(13), "lang", "doc_id").collect()}
+        assert a == b
+
+    def test_explicit_target_literal(self, spark):
+        from rust_geo_booleanop_spark.operators import balanced_sample
+
+        df = self._skewed(spark)
+        got = balanced_sample(df, "lang", "doc_id", target=5).collect()
+        counts = {}
+        for r in got:
+            counts[r.lang] = counts.get(r.lang, 0) + 1
+        assert counts == {"en": 5, "de": 5, "fr": 5}
+        # the literal-target rows are a prefix of the data-dependent ones
+        auto = {(r.lang, r.doc_id) for r in
+                balanced_sample(df, "lang", "doc_id").collect()
+                if r.sample_rank <= 5}
+        assert {(r.lang, r.doc_id) for r in got} == auto
