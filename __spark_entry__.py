@@ -203,6 +203,34 @@ def _g16_geometry_measures(spark, sf_dir):
     return geometry_measures(geoms).drop("geom_json")
 
 
+def _g17_simplify(spark, sf_dir):
+    """Douglas-Peucker ring simplification over the corpus geometries
+    (operators/simplify.py) — the vertex-budget step of low-zoom tiling.
+    Oracle: committed fixture tests/oracle_fixtures/g17_simplify_sf01.parquet
+    computed by an INDEPENDENT recursive scalar DP
+    (scripts/gen_geo_oracle_fixtures.py::_dp_recursive; same per-point
+    distance expression, different control flow), hash-comparing vertex
+    counts and the md5 of the byte-parity serialization."""
+    from rust_geo_booleanop_spark.operators import (
+        extract_geometries,
+        simplify_geometries,
+    )
+    from rust_geo_booleanop_spark.operators.simplify import DEFAULT_SIMPLIFY_TOL
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).select(
+        "case_id", "role", "geom_json"
+    )
+    out = simplify_geometries(geoms, tol=DEFAULT_SIMPLIFY_TOL)
+    return out.select(
+        "case_id",
+        "role",
+        "n_vertices_in",
+        "n_vertices_out",
+        F.md5("simplified_json").alias("simplified_md5"),
+    )
+
+
 def _g04_pip_join(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import point_in_polygon_join
 
@@ -1236,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m03_video_frames": _m03_video_frames,
         "m04_image_resize": _m04_image_resize,
         "g16_geometry_measures": _g16_geometry_measures,
+        "g17_simplify": _g17_simplify,
         "t13_tfidf_topterms": _t13_tfidf_topterms,
         "t14_chunking": _t14_chunking,
         "t15_decontaminate": _t15_decontaminate,
@@ -1697,6 +1726,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.case_id, f.role, f.n_polys, f.n_rings, f.n_vertices,
                    f.area, f.xmin, f.ymin, f.xmax, f.ymax
             FROM read_parquet('{fixdir}/g16_measures_sf01.parquet') f
+            JOIN docroles USING (case_id, role)
+        """,
+        # g17: independent-twin fixture (recursive scalar DP vs the
+        # operator's iterative NumPy DP), joined to the live corpus
+        "g17_simplify": f"""
+            WITH docroles AS (
+                SELECT doc_id // 2 AS case_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'subject' ELSE 'clipping' END AS role
+                FROM documents
+            )
+            SELECT f.case_id, f.role, f.n_vertices_in, f.n_vertices_out,
+                   f.simplified_md5
+            FROM read_parquet('{fixdir}/g17_simplify_sf01.parquet') f
             JOIN docroles USING (case_id, role)
         """,
         # t13: same tokenize -> tf -> df -> rational-idf score -> windowed

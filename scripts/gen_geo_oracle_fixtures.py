@@ -1,4 +1,4 @@
-"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16).
+"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16/g17).
 
 Two provenance classes, both committed under tests/oracle_fixtures/:
 
@@ -141,6 +141,84 @@ def g16_measure_rows(case_ids):
     return rows
 
 
+def _dp_recursive(ring, tol2):
+    """INDEPENDENT recursive scalar Douglas-Peucker (the twin check for
+    operators/simplify.py's iterative NumPy implementation): same
+    per-point distance expression term for term, different control flow
+    (recursion + scalar loops vs explicit stack + vectorized rows), so a
+    g17 match cross-checks the algorithm, not just reproducibility.
+    Returns the sorted kept indices of the closed ring."""
+    kept = {0, len(ring) - 1}
+
+    def rec(lo, hi):
+        if hi - lo < 2:
+            return
+        ax, ay = ring[lo][0], ring[lo][1]
+        bx, by = ring[hi][0], ring[hi][1]
+        best_i, best_d2 = -1, -1.0
+        for i in range(lo + 1, hi):
+            px, py = ring[i][0], ring[i][1]
+            if ax == bx and ay == by:
+                d2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            else:
+                cross = (bx - ax) * (ay - py) - (ax - px) * (by - ay)
+                d2 = cross * cross / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+            if d2 > best_d2:  # strict: FIRST max wins, like np.argmax
+                best_i, best_d2 = i, d2
+        if best_d2 > tol2:
+            kept.add(best_i)
+            rec(lo, best_i)
+            rec(best_i, hi)
+
+    rec(0, len(ring) - 1)
+    return sorted(kept)
+
+
+def g17_simplify_rows(case_ids, tol=None):
+    """Expected simplification rows per (case_id, role): vertex counts
+    plus the md5 of the simplified geometry's byte-parity serialization,
+    computed with the recursive twin + the same ring/polygon drop rules
+    as operators/simplify.py (ring < 4 kept points dropped; dropping a
+    polygon's exterior drops the polygon)."""
+    import hashlib
+
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.simplify import DEFAULT_SIMPLIFY_TOL
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    if tol is None:
+        tol = DEFAULT_SIMPLIFY_TOL
+    tol2 = tol * tol
+    rows = []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        for role, mp in (("subject", subject), ("clipping", clipping)):
+            n_in = sum(len(r) for p in mp for r in p)
+            out_polys = []
+            for poly in mp:
+                out_rings = []
+                for ring_idx, ring in enumerate(poly):
+                    if len(ring) < 4:
+                        continue
+                    idx = _dp_recursive(ring, tol2)
+                    if len(idx) < 4:
+                        if ring_idx == 0:
+                            out_rings = None
+                            break
+                        continue
+                    out_rings.append(
+                        [[float(ring[i][0]), float(ring[i][1])] for i in idx]
+                    )
+                if out_rings:
+                    out_polys.append(out_rings)
+            n_out = sum(len(r) for p in out_polys for r in p)
+            digest = hashlib.md5(
+                serialize_multipolygon(out_polys).encode()
+            ).hexdigest()
+            rows.append((case_id, role, n_in, n_out, digest))
+    return rows
+
+
 def g09_expected_rows():
     """Reference-data expected rows: (case_key, op, n_polys, expected_json)
     for every annotated expected feature in the reference fixture corpus.
@@ -263,6 +341,22 @@ def main():
         compression="zstd",
     )
     print(f"g16: {len(g16)} measure rows")
+
+    g17 = g17_simplify_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g17], pa.int64()),
+                "role": pa.array([r[1] for r in g17], pa.string()),
+                "n_vertices_in": pa.array([r[2] for r in g17], pa.int32()),
+                "n_vertices_out": pa.array([r[3] for r in g17], pa.int32()),
+                "simplified_md5": pa.array([r[4] for r in g17], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "g17_simplify_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g17: {len(g17)} simplify rows (recursive DP twin)")
 
 
 if __name__ == "__main__":
