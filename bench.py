@@ -99,6 +99,8 @@ def main():
 
     from rust_geo_booleanop_spark.operators import (
         asof_join,
+        balanced_sample,
+        decontaminate,
         assign_tiles,
         boolean_pipeline,
         cosine_topk,
@@ -114,6 +116,7 @@ def main():
         point_in_polygon_join,
         remove_boilerplate_lines,
         sessionize,
+        simplify_geometries,
         stratified_sample,
         tile_pyramid,
         url_dedup,
@@ -199,6 +202,9 @@ def main():
         "url_dedup": 0.5,
         "exact_quantiles": 2.5,
         "stratified_sample": 0.5,
+        "decontaminate": 6.0,
+        "lang_balance": 0.6,
+        "simplify": 5.0,
         "incremental_dedup": 2.0,
         "tile_pyramid": 1.0,
     }
@@ -471,6 +477,27 @@ def main():
     timed(
         "tile_pyramid",
         lambda: tile_pyramid(pyramid_input, from_level=4, to_level=0).count(),
+    )
+    eval_docs = documents.filter(F.col("doc_id") % 41 == 0)
+    train_docs = documents.filter(F.col("doc_id") % 41 != 0)
+    timed(
+        "decontaminate",
+        lambda: decontaminate(train_docs, eval_docs, n=4).count(),
+    )
+    timed(
+        "lang_balance",
+        lambda: balanced_sample(
+            documents.select("doc_id", "lang"), "lang", "doc_id"
+        ).count(),
+    )
+    # re-runs extraction so the leg is self-contained; the DP stage is
+    # the dominant term (extraction alone is the g16-style map pass)
+    timed(
+        "simplify",
+        lambda: simplify_geometries(
+            extract_geometries(docs).select("case_id", "role", "geom_json"),
+            tol=2.0,
+        ).count(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]
