@@ -978,6 +978,21 @@ def _d04_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs).select("doc_id", "cluster_rep")
 
 
+def _d08_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: LSH embedding near-dup pairs (the
+    s03 stage) -> connected components (the d04 stage) -> one kept
+    representative per semantic cluster, singletons kept
+    (operators/similarity.py::semantic_dedup). Oracle: recursive CTE
+    over the identical literal-hyperplane pair relation, left-joined to
+    the full embeddings table."""
+    from rust_geo_booleanop_spark.operators import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.3,
+        n_planes=3, n_tables=12,
+    )
+
+
 def _s01_cosine_topk(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import cosine_topk
 
@@ -1269,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_chunking": _t14_chunking,
         "t15_decontaminate": _t15_decontaminate,
         "t16_lang_balance": _t16_lang_balance,
+        "d08_semantic_dedup": _d08_semantic_dedup,
     }
 
 
@@ -1779,6 +1795,27 @@ def oracle_sql() -> dict[str, str]:
         # whitespace split -> non-empty filter -> DISTINCT grams with the
         # d03 short-doc clamp); counts only, so no FP concerns. COUNT is
         # BIGINT in DuckDB (the SUM/HUGEINT trap does not apply).
+        # d08: the s03 pair relation (literal hyperplanes) -> recursive-
+        # CTE components (d04's pattern) -> representative per vector
+        "d08_semantic_dedup": f"""
+            WITH RECURSIVE pairs AS ({_lsh_neardup_sql()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, w.r FROM reach w JOIN edges e ON e.dst = w.id
+            ),
+            comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+            SELECT emb.vec_id,
+                   CAST(COALESCE(c.rep, emb.vec_id) AS BIGINT) AS cluster_rep,
+                   COALESCE(c.rep, emb.vec_id) = emb.vec_id AS keep
+            FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+        """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only
         "t16_lang_balance": """

@@ -422,3 +422,44 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    n_planes: int = 3,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    LSH near-dup pairs -> connected components -> keep one representative
+    (the min id) per semantic cluster.
+
+    Output: one row per input vector — (id_col, cluster_rep, keep), where
+    singletons are their own representative and keep = (id == rep).
+
+    Composition of two proven stages: `embedding_near_dup_pairs` (OR-
+    amplified multi-table LSH, bucket equi-join — never all-pairs) and
+    `dedup_clusters` (min-label + pointer doubling, O(log n) rounds).
+    The final representative attach is one equi-join on the id. At 100 TB
+    every stage is bucketed or key-partitioned; nothing quadratic.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, dim=dim, threshold=threshold,
+        n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col,
+    )
+    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    rep = F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    return (
+        embeddings.select(id_col)
+        .join(clusters, on=id_col, how="left")
+        .select(
+            id_col,
+            rep.alias("cluster_rep"),
+            (rep == F.col(id_col)).alias("keep"),
+        )
+    )

@@ -782,3 +782,33 @@ class TestDecontaminate:
         )
         got = decontaminate(tr, ev, n=4).collect()
         assert got[0].contaminated
+
+
+class TestSemanticDedup:
+    def test_totality_reps_and_pair_consistency(self, spark):
+        from rust_geo_booleanop_spark.operators import (
+            embedding_near_dup_pairs,
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = semantic_dedup(emb, dim=64, threshold=0.3).collect()
+        n_vecs = emb.count()
+        # totality: one row per vector, keep <=> own representative
+        assert len(out) == n_vecs
+        rep = {r.vec_id: r.cluster_rep for r in out}
+        assert all(r.keep == (r.vec_id == r.cluster_rep) for r in out)
+        # every pair's endpoints share a representative; reps are members
+        pairs = embedding_near_dup_pairs(
+            emb, dim=64, threshold=0.3, n_planes=3, n_tables=12
+        ).collect()
+        for p in pairs:
+            assert rep[p.id_a] == rep[p.id_b]
+        assert all(rep[v] in rep for v in rep)
+        # at least one non-trivial cluster on this corpus, and singletons
+        # keep themselves
+        assert any(not r.keep for r in out)
+        paired = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+        for r in out:
+            if r.vec_id not in paired:
+                assert r.keep and r.cluster_rep == r.vec_id
