@@ -710,6 +710,47 @@ def _t15_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev, n=4)
 
 
+def _h03_bigram_assoc(spark, sf_dir):
+    """Top-20 corpus collocations by the rational association score
+    pair_count*N/(c_a*c_b) (operators/text.py::bigram_collocations) —
+    PMI without the log so the doubles are bit-reproducible (the t13
+    trick). Distributed partial top-k via orderBy+limit
+    (TakeOrderedAndProject), never a global window. Oracle: identical
+    zip-unnest bigrams, counts, and score expression tree in DuckDB."""
+    from rust_geo_booleanop_spark.operators import bigram_collocations
+
+    return bigram_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=20
+    )
+
+
+def _t17_line_dedup(spark, sf_dir):
+    """Within-document repeated-line removal, first occurrence kept in
+    order (operators/text.py::dedup_lines) — the within-page half of
+    CCNet line dedup (d06 is the cross-document half). The corpus texts
+    are single-line, so the query synthesizes a deterministic page with
+    in-page repeats: a nav line at top AND bottom, a doubled blank line,
+    and (every 3rd doc) the content line twice. Pure codegen fold; the
+    oracle replays it with a min-ordinality group + ordered string_agg."""
+    from rust_geo_booleanop_spark.operators import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("nav home about contact"),
+            F.col("text"),
+            F.lit(""),
+            F.lit(""),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")),
+            F.lit("nav home about contact"),
+        ),
+    )
+    return dedup_lines(d).select(
+        "doc_id", "clean_text", "n_lines_in", "n_lines_out"
+    )
+
+
 def _t16_lang_balance(spark, sf_dir):
     """Mixture balancing: downsample every language stratum to exactly
     the smallest stratum's count ("equal documents per language"),
@@ -1285,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_decontaminate": _t15_decontaminate,
         "t16_lang_balance": _t16_lang_balance,
         "d08_semantic_dedup": _d08_semantic_dedup,
+        "t17_line_dedup": _t17_line_dedup,
+        "h03_bigram_assoc": _h03_bigram_assoc,
     }
 
 
@@ -1815,6 +1858,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.rep, emb.vec_id) AS BIGINT) AS cluster_rep,
                    COALESCE(c.rep, emb.vec_id) = emb.vec_id AS keep
             FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+        """,
+        # h03: identical zip-unnest bigrams + rational score tree
+        # ((pair*N)/(c_a*c_b), no log -> bit-equal doubles); SUM needs the
+        # BIGINT cast (DuckDB HUGEINT trap); total-order tiebreak (w1,w2)
+        "h03_bigram_assoc": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), bg AS (
+                SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+                FROM toks WHERE len(t) >= 2
+            ), bc AS (
+                SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY 1, 2
+            ), uc AS (
+                SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks)
+                GROUP BY 1
+            ), n AS (
+                SELECT CAST(SUM(pair_count) AS BIGINT) AS nb FROM bc
+            )
+            SELECT bc.w1, bc.w2, bc.pair_count,
+                   (CAST(bc.pair_count AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                     / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS score
+            FROM bc, n
+            JOIN uc a ON a.w = bc.w1
+            JOIN uc b ON b.w = bc.w2
+            WHERE bc.pair_count >= 5
+            ORDER BY score DESC, bc.w1, bc.w2
+            LIMIT 20
+        """,
+        # t17: identical page synthesis (concat_ws skips the NULL arg in
+        # both engines), dedup replayed as min-ordinality + ordered agg
+        "t17_line_dedup": """
+            WITH pages AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                                 'nav home about contact',
+                                 text,
+                                 '',
+                                 '',
+                                 CASE WHEN doc_id % 3 = 0 THEN text END,
+                                 'nav home about contact') AS page
+                FROM documents
+            ), ls AS (
+                SELECT doc_id, page, string_split(page, chr(10)) AS arr
+                FROM pages
+            ), ex AS (
+                SELECT doc_id, unnest(arr) AS l,
+                       unnest(range(1, len(arr) + 1)) AS i
+                FROM ls
+            ), firsts AS (
+                SELECT doc_id, l, MIN(i) AS fi FROM ex GROUP BY 1, 2
+            )
+            SELECT f.doc_id,
+                   string_agg(f.l, chr(10) ORDER BY f.fi) AS clean_text,
+                   CAST(ANY_VALUE(len(ls.arr)) AS INTEGER) AS n_lines_in,
+                   CAST(COUNT(*) AS INTEGER) AS n_lines_out
+            FROM firsts f JOIN ls ON ls.doc_id = f.doc_id
+            GROUP BY f.doc_id
         """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only

@@ -618,3 +618,94 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_matched") > F.lit(0))
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document line dedup (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove REPEATED lines within each document, keeping the first
+    occurrence in order (the within-page half of CCNet-style line dedup;
+    `remove_boilerplate_lines` is the cross-document half).
+
+    Pure codegen: an `aggregate` fold over the line array appends a line
+    iff it hasn't been seen yet — O(lines^2) per document, which is fine
+    because lines-per-page is bounded (and tiny next to the regex work
+    already in this pipeline). Appends clean_text, n_lines_in,
+    n_lines_out; empty lines count as lines (a repeated blank collapses
+    too).
+
+    100 TB shape: per-row expression only — no shuffle, no UDF, chunking
+    parallelism equals scan parallelism.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    deduped = F.aggregate(
+        lines,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.concat(acc, F.array(x))
+        ),
+    )
+    return docs.select(
+        *docs.columns,
+        F.array_join(deduped, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines_in"),
+        F.size(deduped).alias("n_lines_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def bigram_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus collocations: adjacent token pairs ranked by the
+    rational association score ``pair_count * N / (count(w1) * count(w2))``
+    (a PMI without the log, so the doubles are bit-reproducible across
+    engines — the t13 rational-idf trick). N is the corpus bigram total;
+    unigram counts are plain token frequencies.
+
+    Output: (w1, w2, pair_count, score), the k highest-scoring pairs with
+    pair_count >= min_count, tie-broken by (w1, w2).
+
+    100 TB shape: token/bigram explodes are map-side; the two hash aggs
+    run map-side partials; the final top-k is orderBy().limit() =
+    TakeOrderedAndProject, a distributed partial top-k — never a
+    single-partition window over the bigram vocabulary.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    pairs = F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(tk, i + F.lit(2)).alias("w2")
+        ),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (
+        docs.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_bigrams = bc.agg(F.sum("pair_count").alias("nb"))
+    scored = (
+        bc.filter(F.col("pair_count") >= F.lit(int(min_count)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .join(F.broadcast(n_bigrams))
+        .withColumn(
+            "score",
+            (F.col("pair_count").cast("double") * F.col("nb").cast("double"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "w1", "w2")
+        .limit(int(k))
+        .select("w1", "w2", "pair_count", "score")
+    )

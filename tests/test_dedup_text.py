@@ -812,3 +812,60 @@ class TestSemanticDedup:
         for r in out:
             if r.vec_id not in paired:
                 assert r.keep and r.cluster_rep == r.vec_id
+
+
+class TestDedupLines:
+    def test_order_preserving_first_occurrence(self, spark):
+        from rust_geo_booleanop_spark.operators import dedup_lines
+
+        d = spark.createDataFrame(
+            [(0, "a\nb\na\nc\nb"), (1, "x\n\n\ny"), (2, "only")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dedup_lines(d).collect()}
+        assert got[0].clean_text == "a\nb\nc"
+        assert (got[0].n_lines_in, got[0].n_lines_out) == (5, 3)
+        # repeated blank lines collapse to one
+        assert got[1].clean_text == "x\n\ny"
+        assert (got[1].n_lines_in, got[1].n_lines_out) == (4, 3)
+        assert got[2].clean_text == "only" and got[2].n_lines_out == 1
+
+    def test_trailing_newline_keeps_empty_line(self, spark):
+        from rust_geo_booleanop_spark.operators import dedup_lines
+
+        d = spark.createDataFrame([(0, "a\n")], "doc_id long, text string")
+        r = dedup_lines(d).collect()[0]
+        assert r.n_lines_in == 2 and r.clean_text == "a\n"
+
+
+class TestBigramCollocations:
+    def test_counts_and_score(self, spark):
+        from rust_geo_booleanop_spark.operators import bigram_collocations
+
+        d = spark.createDataFrame(
+            [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+        )
+        got = bigram_collocations(d, min_count=2, k=5).collect()
+        assert len(got) == 1
+        r = got[0]
+        # pairs: (a,b)x3, (b,a)x1, (b,c)x1 -> N=5; unigrams a=3 b=3 c=1
+        assert (r.w1, r.w2, r.pair_count) == ("a", "b", 3)
+        assert r.score == (3.0 * 5.0) / (3.0 * 3.0)
+
+    def test_deterministic_tiebreak_and_k(self, spark):
+        from rust_geo_booleanop_spark.operators import bigram_collocations
+
+        # four symmetric pairs with identical scores; (w1, w2) breaks ties
+        d = spark.createDataFrame(
+            [(0, "p q p q"), (1, "r s r s")], "doc_id long, text string"
+        )
+        got = bigram_collocations(d, min_count=1, k=3).collect()
+        assert len(got) == 3
+        assert [(r.w1, r.w2) for r in got] == sorted(
+            (r.w1, r.w2) for r in got
+        ) or got[0].score > got[-1].score
+        a = bigram_collocations(d, min_count=1, k=3).collect()
+        b = bigram_collocations(d.repartition(7), min_count=1, k=3).collect()
+        assert [(r.w1, r.w2, r.pair_count, r.score) for r in a] == [
+            (r.w1, r.w2, r.pair_count, r.score) for r in b
+        ]
