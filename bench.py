@@ -100,7 +100,9 @@ def main():
     from rust_geo_booleanop_spark.operators import (
         asof_join,
         balanced_sample,
+        bigram_collocations,
         decontaminate,
+        dedup_lines,
         assign_tiles,
         boolean_pipeline,
         cosine_topk,
@@ -207,6 +209,8 @@ def main():
         "simplify": 5.0,
         "incremental_dedup": 2.0,
         "tile_pyramid": 1.0,
+        "line_dedup": 1.2,
+        "bigram_collocations": 1.7,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -498,6 +502,16 @@ def main():
             extract_geometries(docs).select("case_id", "role", "geom_json"),
             tol=2.0,
         ).count(),
+    )
+    timed(
+        "line_dedup",
+        lambda: dedup_lines(documents).agg(
+            F.sum("n_lines_out")
+        ).collect(),
+    )
+    timed(
+        "bigram_collocations",
+        lambda: bigram_collocations(documents, min_count=5, k=20).count(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]

