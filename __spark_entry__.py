@@ -796,6 +796,21 @@ def _d07_incremental_dedup(spark, sf_dir):
     return new.select("doc_id", "lang")
 
 
+def _d09_substring_dup(spark, sf_dir):
+    """Exact substring duplication (Lee et al. window-hash form): per-doc
+    count/coverage of 8-token windows occurring >1 time anywhere in the
+    corpus (operators/dedup.py::substring_dup_stats). One hash-agg over
+    md5 window keys + a semi join back + a per-doc agg — never a suffix
+    array, never all-pairs. Oracle: identical windows via DuckDB list
+    slicing + range unnest; dup_fraction is a single covered/n_tokens
+    double division (bit-equal both engines)."""
+    from rust_geo_booleanop_spark.operators import substring_dup_stats
+
+    return substring_dup_stats(
+        _t(spark, sf_dir, "documents"), window=8, threshold=0.5
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -1328,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d08_semantic_dedup": _d08_semantic_dedup,
         "t17_line_dedup": _t17_line_dedup,
         "h03_bigram_assoc": _h03_bigram_assoc,
+        "d09_substring_dup": _d09_substring_dup,
     }
 
 
@@ -1917,6 +1933,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS INTEGER) AS n_lines_out
             FROM firsts f JOIN ls ON ls.doc_id = f.doc_id
             GROUP BY f.doc_id
+        """,
+        # d09: identical 8-token windows via list slicing (t[st:st+7] is
+        # inclusive), same md5 window keys, coverage via range unnest;
+        # counts cast to INT (DuckDB COUNT is BIGINT/HUGEINT), the one
+        # double division is bit-equal in both engines
+        "d09_substring_dup": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, t FROM toks
+            ), w AS (
+                SELECT doc_id, st,
+                       md5(array_to_string(t[st:st+7], ' ')) AS wkey
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 8 + 2)) AS st
+                      FROM base WHERE n_tokens >= 8)
+            ), dup AS (
+                SELECT wkey FROM w GROUP BY 1 HAVING COUNT(*) > 1
+            ), dw AS (
+                SELECT w.doc_id, w.st FROM w JOIN dup USING (wkey)
+            ), pos AS (
+                SELECT doc_id, st, unnest(range(st, st + 8)) AS p FROM dw
+            ), cov AS (
+                SELECT doc_id,
+                       CAST(COUNT(DISTINCT st) AS INTEGER) AS n_dup_windows,
+                       CAST(COUNT(DISTINCT p) AS INTEGER) AS covered_tokens
+                FROM pos GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   GREATEST(b.n_tokens - 8 + 1, 0) AS n_windows,
+                   COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+                   COALESCE(c.covered_tokens, 0) AS covered_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+                             / CAST(b.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_fraction,
+                   (CASE WHEN b.n_tokens > 0
+                         THEN CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+                              / CAST(b.n_tokens AS DOUBLE)
+                         ELSE 0.0 END) >= 0.5 AS flagged
+            FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
         """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only

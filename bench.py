@@ -120,6 +120,7 @@ def main():
         sessionize,
         simplify_geometries,
         stratified_sample,
+        substring_dup_stats,
         tile_pyramid,
         url_dedup,
         zonal_stats_join,
@@ -211,6 +212,7 @@ def main():
         "tile_pyramid": 1.0,
         "line_dedup": 1.2,
         "bigram_collocations": 1.7,
+        "substring_dup": 3.5,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -512,6 +514,12 @@ def main():
     timed(
         "bigram_collocations",
         lambda: bigram_collocations(documents, min_count=5, k=20).count(),
+    )
+    timed(
+        "substring_dup",
+        lambda: substring_dup_stats(documents, window=8)
+        .agg(F.sum("n_dup_windows"))
+        .collect(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]

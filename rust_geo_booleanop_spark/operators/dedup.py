@@ -516,3 +516,101 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring duplication (windowed token hashing)
+# ---------------------------------------------------------------------------
+
+def substring_dup_stats(
+    docs: DataFrame,
+    window: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document exact substring-duplication statistics: how much of
+    each document is covered by token windows of length `window` that
+    occur MORE THAN ONCE anywhere in the corpus (including twice within
+    one document). This is the distributed window-hash form of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): the paper's suffix array finds duplicated
+    spans >= N tokens; hashing every N-token window finds exactly the
+    same spans, and shards embarrassingly.
+
+    Tokenization is the divergence-proof lower+whitespace split shared
+    with d03/t15. Output, one row per input document:
+    (doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    dup_fraction, flagged) where covered_tokens counts distinct token
+    positions inside duplicated windows, dup_fraction =
+    covered_tokens / n_tokens, and flagged = dup_fraction >= threshold.
+    Documents shorter than `window` tokens have zero windows and are
+    never flagged.
+
+    100 TB shape: window keys are md5 strings, never materialized
+    per-document lists; ONE hash-agg over window keys (map-side partial
+    combine collapses each partition's repeats first), a shuffled semi
+    join back (AQE skew-join splits hot boilerplate windows), then a
+    per-document agg. No collect, no all-pairs anything.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col), tk.alias("_tk"), F.size(tk).alias("n_tokens")
+    )
+    starts = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(F.lit(1), F.col("n_tokens") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col, F.explode(starts).alias("st"), F.col("_tk")
+    ).select(
+        id_col,
+        "st",
+        F.md5(F.array_join(F.slice("_tk", F.col("st"), window), " ")).alias(
+            "wkey"
+        ),
+    )
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wkey")
+    )
+    dup_wins = wins.join(dup_keys, "wkey", "leftsemi")
+    cov = (
+        dup_wins.select(
+            id_col,
+            "st",
+            F.explode(
+                F.sequence(F.col("st"), F.col("st") + window - 1)
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("st").cast("int").alias("n_dup_windows"),
+            F.countDistinct("p").cast("int").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - window + 1, F.lit(0)).alias(
+                "n_windows"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+        .withColumn("flagged", F.col("dup_fraction") >= F.lit(float(threshold)))
+    )

@@ -869,3 +869,67 @@ class TestBigramCollocations:
         assert [(r.w1, r.w2, r.pair_count, r.score) for r in a] == [
             (r.w1, r.w2, r.pair_count, r.score) for r in b
         ]
+
+
+class TestSubstringDupStats:
+    def test_window_coverage_and_flag(self, spark):
+        from rust_geo_booleanop_spark.operators import substring_dup_stats
+
+        # docs 0 and 1 share the 3-token window "a b c"; doc 2 is unique;
+        # doc 3 is shorter than the window
+        d = spark.createDataFrame(
+            [
+                (0, "a b c x y"),
+                (1, "z a b c"),
+                (2, "p q r s t"),
+                (3, "u v"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r
+            for r in substring_dup_stats(d, window=3, threshold=0.5).collect()
+        }
+        assert len(got) == 4
+        # doc 0: windows (a b c),(b c x),(c x y) -> 1 dup window covering
+        # token positions 1-3 of 5
+        r0 = got[0]
+        assert (r0.n_tokens, r0.n_windows, r0.n_dup_windows) == (5, 3, 1)
+        assert r0.covered_tokens == 3 and r0.dup_fraction == 3 / 5
+        assert r0.flagged  # 0.6 >= 0.5
+        # raising the threshold unflags it
+        from rust_geo_booleanop_spark.operators import substring_dup_stats as sds
+        strict = {r.doc_id: r for r in sds(d, window=3, threshold=0.7).collect()}
+        assert not strict[0].flagged and strict[1].flagged
+        # doc 1: dup window covers 3 of 4 tokens -> flagged at 0.5
+        r1 = got[1]
+        assert (r1.n_dup_windows, r1.covered_tokens) == (1, 3)
+        assert r1.flagged
+        # doc 2: no dups; doc 3: too short for any window
+        assert got[2].n_dup_windows == 0 and not got[2].flagged
+        assert (got[3].n_windows, got[3].dup_fraction) == (0, 0.0)
+
+    def test_within_document_repeat_counts(self, spark):
+        from rust_geo_booleanop_spark.operators import substring_dup_stats
+
+        # the window "a b" occurs twice INSIDE one doc -> duplicated
+        d = spark.createDataFrame(
+            [(0, "a b q a b")], "doc_id long, text string"
+        )
+        r = substring_dup_stats(d, window=2).collect()[0]
+        assert r.n_dup_windows == 2
+        # covers positions {1,2} and {4,5}
+        assert r.covered_tokens == 4 and r.dup_fraction == 4 / 5
+
+    def test_overlapping_coverage_distinct_positions(self, spark):
+        from rust_geo_booleanop_spark.operators import substring_dup_stats
+
+        # both docs identical -> every window duplicated; coverage is the
+        # whole doc, NOT windows * window_len
+        d = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+        )
+        for r in substring_dup_stats(d, window=2).collect():
+            assert r.n_dup_windows == 3
+            assert r.covered_tokens == 4 and r.dup_fraction == 1.0
+            assert r.flagged
