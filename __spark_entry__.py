@@ -231,6 +231,33 @@ def _g17_simplify(spark, sf_dir):
     )
 
 
+def _g18_convex_hull(spark, sf_dir):
+    """Convex hull per corpus geometry (operators/hull.py, Andrew
+    monotone chain in one mapInPandas stage — no shuffle). Oracle:
+    committed fixture tests/oracle_fixtures/g18_hull_sf01.parquet
+    computed by an INDEPENDENT Jarvis gift-wrapping implementation
+    (scripts/gen_geo_oracle_fixtures.py::_jarvis_hull; same cross
+    expression, different control flow), hash-comparing point/vertex
+    counts and the md5 of the byte-parity hull serialization."""
+    from rust_geo_booleanop_spark.operators import (
+        convex_hull_geometries,
+        extract_geometries,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).select(
+        "case_id", "role", "geom_json"
+    )
+    out = convex_hull_geometries(geoms)
+    return out.select(
+        "case_id",
+        "role",
+        "n_points",
+        "n_hull_vertices",
+        F.md5("hull_json").alias("hull_md5"),
+    )
+
+
 def _g04_pip_join(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import point_in_polygon_join
 
@@ -1344,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_line_dedup": _t17_line_dedup,
         "h03_bigram_assoc": _h03_bigram_assoc,
         "d09_substring_dup": _d09_substring_dup,
+        "g18_convex_hull": _g18_convex_hull,
     }
 
 
@@ -1814,6 +1842,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.case_id, f.role, f.n_vertices_in, f.n_vertices_out,
                    f.simplified_md5
             FROM read_parquet('{fixdir}/g17_simplify_sf01.parquet') f
+            JOIN docroles USING (case_id, role)
+        """,
+        # g18: independent-twin fixture (Jarvis gift-wrapping vs the
+        # operator's monotone chain), joined to the live corpus
+        "g18_convex_hull": f"""
+            WITH docroles AS (
+                SELECT doc_id // 2 AS case_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'subject' ELSE 'clipping' END AS role
+                FROM documents
+            )
+            SELECT f.case_id, f.role, f.n_points, f.n_hull_vertices,
+                   f.hull_md5
+            FROM read_parquet('{fixdir}/g18_hull_sf01.parquet') f
             JOIN docroles USING (case_id, role)
         """,
         # t13: same tokenize -> tf -> df -> rational-idf score -> windowed

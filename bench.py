@@ -105,6 +105,7 @@ def main():
         dedup_lines,
         assign_tiles,
         boolean_pipeline,
+        convex_hull_geometries,
         cosine_topk,
         exact_dedup,
         exact_quantiles,
@@ -213,6 +214,7 @@ def main():
         "line_dedup": 1.2,
         "bigram_collocations": 1.7,
         "substring_dup": 3.5,
+        "convex_hull": 3.0,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -519,6 +521,15 @@ def main():
         "substring_dup",
         lambda: substring_dup_stats(documents, window=8)
         .agg(F.sum("n_dup_windows"))
+        .collect(),
+    )
+    # re-runs extraction like `simplify` so the leg is self-contained
+    timed(
+        "convex_hull",
+        lambda: convex_hull_geometries(
+            extract_geometries(docs).select("case_id", "role", "geom_json")
+        )
+        .agg(F.sum("n_hull_vertices"))
         .collect(),
     )
 

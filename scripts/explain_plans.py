@@ -82,6 +82,7 @@ def main():
         ("t17_line_dedup", "within-doc line dedup: order-preserving aggregate fold in codegen - ZERO shuffles, chunking parallelism = scan parallelism"),
         ("h03_bigram_assoc", "bigram collocations: arrays_zip slice pairs (no per-element re-eval), two map-side-partial hash aggs, TakeOrderedAndProject top-k"),
         ("d09_substring_dup", "exact substring dup stats: md5 window keys, ONE hash-agg + shuffled semi join back (AQE skew-splits hot boilerplate windows), per-doc agg - no suffix array, no all-pairs"),
+        ("g18_convex_hull", "convex hull: single MapInPandas monotone-chain stage over the geometry column - no shuffle"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

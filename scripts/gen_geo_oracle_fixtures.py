@@ -1,4 +1,4 @@
-"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16/g17).
+"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16/g17/g18).
 
 Two provenance classes, both committed under tests/oracle_fixtures/:
 
@@ -219,6 +219,80 @@ def g17_simplify_rows(case_ids, tol=None):
     return rows
 
 
+def _jarvis_hull(points):
+    """INDEPENDENT gift-wrapping convex hull (the twin check for
+    operators/hull.py's monotone chain): same cross expression
+    ``(ax-ox)*(by-oy) - (ay-oy)*(bx-ox)`` term for term, completely
+    different control flow (angular wrapping vs sorted chain). Returns
+    the OPEN counter-clockwise hull starting at the lexicographically
+    smallest point, strict corners only (farthest wins among collinear).
+    """
+    pts = sorted(set(points))
+    if len(pts) < 3:
+        return pts
+    start = pts[0]
+    hull = [start]
+    p = start
+    while True:
+        q = None
+        for r in pts:
+            if r == p:
+                continue
+            if q is None:
+                q = r
+                continue
+            c = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+            if c < 0.0:
+                # r is strictly RIGHT of p->q: q can't be the next CCW
+                # hull vertex (the hull edge must keep every point to
+                # its left)
+                q = r
+            elif c == 0.0:
+                # collinear: keep the farther candidate so interior
+                # collinear points never become hull vertices
+                dq = (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                dr = (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                if dr > dq:
+                    q = r
+        if q == start:
+            break
+        hull.append(q)
+        p = q
+    return hull
+
+
+def g18_hull_rows(case_ids):
+    """Expected convex-hull rows per (case_id, role): point/vertex counts
+    plus the md5 of the closed hull ring's byte-parity serialization,
+    computed with the Jarvis twin."""
+    import hashlib
+
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    rows = []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        for role, mp in (("subject", subject), ("clipping", clipping)):
+            points = {
+                (float(p[0]), float(p[1]))
+                for poly in mp
+                for ring in poly
+                for p in ring
+            }
+            hull = _jarvis_hull(points)
+            closed = [[x, y] for x, y in hull]
+            if closed:
+                closed.append(list(closed[0]))
+            digest = hashlib.md5(
+                serialize_multipolygon([[closed]] if closed else []).encode()
+            ).hexdigest()
+            rows.append(
+                (case_id, role, len(points), max(len(closed) - 1, 0), digest)
+            )
+    return rows
+
+
 def g09_expected_rows():
     """Reference-data expected rows: (case_key, op, n_polys, expected_json)
     for every annotated expected feature in the reference fixture corpus.
@@ -357,6 +431,22 @@ def main():
         compression="zstd",
     )
     print(f"g17: {len(g17)} simplify rows (recursive DP twin)")
+
+    g18 = g18_hull_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g18], pa.int64()),
+                "role": pa.array([r[1] for r in g18], pa.string()),
+                "n_points": pa.array([r[2] for r in g18], pa.int32()),
+                "n_hull_vertices": pa.array([r[3] for r in g18], pa.int32()),
+                "hull_md5": pa.array([r[4] for r in g18], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "g18_hull_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g18: {len(g18)} hull rows (Jarvis gift-wrapping twin)")
 
 
 if __name__ == "__main__":

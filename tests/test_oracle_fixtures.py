@@ -119,6 +119,27 @@ class TestGeoFixturesFresh:
         # the tolerance actually thins the corpus (no vacuous fixture)
         assert sum(r[2] - r[3] for r in rows) > 0
 
+    def test_g18_sample_fresh(self):
+        from scripts.gen_geo_oracle_fixtures import g18_hull_rows
+
+        sample = sorted(set(SAMPLE_CASES))
+        expected = {(r[0], r[1]): r[2:] for r in g18_hull_rows(sample)}
+        committed = {
+            (r[0], r[1]): r[2:]
+            for r in _fix("g18_hull_sf01")
+            if r[0] in set(SAMPLE_CASES)
+        }
+        assert committed == expected
+
+    def test_g18_covers_sf01_case_space_and_convexifies(self):
+        rows = _fix("g18_hull_sf01")
+        assert {r[0] for r in rows} == set(range(2500))
+        assert len(rows) == 2500 * 2
+        # every hull is a real polygon and strictly drops interior points
+        # somewhere (no vacuous fixture)
+        assert all(r[3] >= 3 for r in rows)
+        assert sum(r[2] - r[3] for r in rows) > 0
+
 
 def test_g11_fresh_flat_fold():
     """g11's fixture regenerates from the pure-python FLAT sorted fold —
