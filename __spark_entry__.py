@@ -778,6 +778,19 @@ def _t17_line_dedup(spark, sf_dir):
     )
 
 
+def _h04_vocab_stats(spark, sf_dir):
+    """Per-language vocabulary statistics (token volume, vocabulary size,
+    hapax legomena, type-token ratio) — the Heaps/Zipf corpus health
+    check (operators/text.py::vocabulary_stats). Two map-side-partial
+    hash aggs, never a distinct over raw tokens. Oracle: identical
+    tokenize -> (lang, token) count -> per-lang rollup; the one double
+    division (n_types/n_tokens) is bit-equal both engines; integer sums
+    carry the BIGINT cast (DuckDB HUGEINT trap)."""
+    from rust_geo_booleanop_spark.operators import vocabulary_stats
+
+    return vocabulary_stats(_t(spark, sf_dir, "documents"))
+
+
 def _t16_lang_balance(spark, sf_dir):
     """Mixture balancing: downsample every language stratum to exactly
     the smallest stratum's count ("equal documents per language"),
@@ -1372,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h03_bigram_assoc": _h03_bigram_assoc,
         "d09_substring_dup": _d09_substring_dup,
         "g18_convex_hull": _g18_convex_hull,
+        "h04_vocab_stats": _h04_vocab_stats,
     }
 
 
@@ -1974,6 +1988,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS INTEGER) AS n_lines_out
             FROM firsts f JOIN ls ON ls.doc_id = f.doc_id
             GROUP BY f.doc_id
+        """,
+        # h04: identical tokenize -> (lang, token) count -> per-lang
+        # rollup; BIGINT casts on the integer sums, one double division
+        "h04_vocab_stats": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                          x -> x != '')) AS w
+                FROM documents
+            ), freq AS (
+                SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+                       AS type_token_ratio
+            FROM freq GROUP BY lang
         """,
         # d09: identical 8-token windows via list slicing (t[st:st+7] is
         # inclusive), same md5 window keys, coverage via range unnest;

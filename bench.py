@@ -124,6 +124,7 @@ def main():
         substring_dup_stats,
         tile_pyramid,
         url_dedup,
+        vocabulary_stats,
         zonal_stats_join,
     )
     from rust_geo_booleanop_spark.plans import get_spark
@@ -215,6 +216,7 @@ def main():
         "bigram_collocations": 1.7,
         "substring_dup": 3.5,
         "convex_hull": 3.0,
+        "vocab_stats": 0.6,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -522,6 +524,10 @@ def main():
         lambda: substring_dup_stats(documents, window=8)
         .agg(F.sum("n_dup_windows"))
         .collect(),
+    )
+    timed(
+        "vocab_stats",
+        lambda: vocabulary_stats(documents).count(),
     )
     # re-runs extraction like `simplify` so the leg is self-contained
     timed(

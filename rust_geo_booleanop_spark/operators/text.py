@@ -711,3 +711,56 @@ def bigram_collocations(
         .limit(int(k))
         .select("w1", "w2", "pair_count", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def vocabulary_stats(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language corpus vocabulary statistics — the Heaps/Zipf health
+    check of a training corpus: token volume, vocabulary size, hapax
+    legomena (frequency-1 types, the noise/typo tail), and the
+    type-token ratio.
+
+    Tokenization is the divergence-proof lower+whitespace split shared
+    with d03/d09/h03. Output, one row per language:
+    (lang, n_tokens, n_types, n_hapax, type_token_ratio) with
+    type_token_ratio = n_types / n_tokens as a single double division
+    (bit-equal across engines).
+
+    100 TB shape: token explode is map-side; the (lang, token) hash agg
+    runs map-side partials (each partition's repeats collapse before the
+    shuffle), then a tiny per-language rollup. Never a distinct over raw
+    tokens, never a collect.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    freq = (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tk).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            (
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )

@@ -83,6 +83,7 @@ def main():
         ("h03_bigram_assoc", "bigram collocations: arrays_zip slice pairs (no per-element re-eval), two map-side-partial hash aggs, TakeOrderedAndProject top-k"),
         ("d09_substring_dup", "exact substring dup stats: md5 window keys, ONE hash-agg + shuffled semi join back (AQE skew-splits hot boilerplate windows), per-doc agg - no suffix array, no all-pairs"),
         ("g18_convex_hull", "convex hull: single MapInPandas monotone-chain stage over the geometry column - no shuffle"),
+        ("h04_vocab_stats", "vocabulary stats: token explode -> (lang, token) map-side-partial hash agg -> tiny per-lang rollup - never a raw-token distinct"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

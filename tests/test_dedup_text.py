@@ -933,3 +933,38 @@ class TestSubstringDupStats:
             assert r.n_dup_windows == 3
             assert r.covered_tokens == 4 and r.dup_fraction == 1.0
             assert r.flagged
+
+
+class TestVocabularyStats:
+    def test_counts_types_hapax_ttr(self, spark):
+        from rust_geo_booleanop_spark.operators import vocabulary_stats
+
+        d = spark.createDataFrame(
+            [
+                (0, "en", "the cat sat on the mat"),
+                (1, "en", "the dog"),
+                (2, "de", "der der hund"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.lang: r for r in vocabulary_stats(d).collect()}
+        en = got["en"]
+        # en tokens: the x3, cat, sat, on, mat, dog -> 8 tokens, 6 types,
+        # 5 hapax (everything but "the")
+        assert (en.n_tokens, en.n_types, en.n_hapax) == (8, 6, 5)
+        assert en.type_token_ratio == 6.0 / 8.0
+        de = got["de"]
+        assert (de.n_tokens, de.n_types, de.n_hapax) == (3, 2, 1)
+
+    def test_case_folding_and_partition_invariance(self, spark):
+        from rust_geo_booleanop_spark.operators import vocabulary_stats
+
+        d = spark.createDataFrame(
+            [(i, "en", "The THE the word%d" % (i % 3)) for i in range(30)],
+            "doc_id long, lang string, text string",
+        )
+        a = sorted(map(tuple, vocabulary_stats(d).collect()))
+        b = sorted(map(tuple, vocabulary_stats(d.repartition(7)).collect()))
+        assert a == b
+        # "The"/"THE"/"the" fold to one type
+        assert a[0][2] == 1 + 3  # "the" + word0/word1/word2
