@@ -791,6 +791,19 @@ def _h04_vocab_stats(spark, sf_dir):
     return vocabulary_stats(_t(spark, sf_dir, "documents"))
 
 
+def _h05_length_token_corr(spark, sf_dir):
+    """Per-source Pearson correlation + OLS slope between the stored
+    n_chars and the observed whitespace token count
+    (operators/text.py::length_token_correlation) — the metadata-sanity
+    check of a crawl pipeline. All sufficient statistics are exact
+    integer sums (one map-side-partial hash agg); the only doubles are
+    the final fixed-tree corr/slope expressions, bit-equal with the
+    DuckDB oracle (IEEE correctly-rounded sqrt/div over exact ints)."""
+    from rust_geo_booleanop_spark.operators import length_token_correlation
+
+    return length_token_correlation(_t(spark, sf_dir, "documents"))
+
+
 def _t16_lang_balance(spark, sf_dir):
     """Mixture balancing: downsample every language stratum to exactly
     the smallest stratum's count ("equal documents per language"),
@@ -1386,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d09_substring_dup": _d09_substring_dup,
         "g18_convex_hull": _g18_convex_hull,
         "h04_vocab_stats": _h04_vocab_stats,
+        "h05_length_token_corr": _h05_length_token_corr,
     }
 
 
@@ -2791,6 +2805,42 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings e ON e.vec_id = c.vec_id
                 JOIN embeddings q ON q.vec_id = c.query_id
             ) WHERE sim_rank <= 10
+        """,
+        # h05: identical t07 token-count rule; integer sufficient stats
+        # (DuckDB side in HUGEINT — a strict superset of Spark's long at
+        # these magnitudes, same exact integers), then the same fixed
+        # expression tree CAST to DOUBLE: num/(sqrt(denx)*sqrt(deny)),
+        # num/denx. Zero-variance groups NULL via identical CASE.
+        "h05_length_token_corr": """
+            WITH base AS (
+                SELECT source,
+                       CAST(n_chars AS HUGEINT) AS x,
+                       CAST(CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE len(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                                                 t -> t != '')) END AS HUGEINT) AS y
+                FROM documents
+            ), s AS (
+                SELECT source,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+                FROM base GROUP BY source
+            )
+            SELECT source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(sx AS BIGINT) AS chars_sum,
+                   CAST(sy AS BIGINT) AS tokens_sum,
+                   CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0
+                        THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                   END AS corr_chars_tokens,
+                   CASE WHEN (n*sxx - sx*sx) = 0 THEN NULL
+                        ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE)
+                   END AS ols_slope
+            FROM s
         """,
         "s02_lsh_buckets": _lsh_bucket_sql(),
         "s07_lsh_topk": _lsh_topk_sql(),

@@ -114,6 +114,7 @@ def main():
         gopher_quality_filter,
         ivf_cosine_topk,
         knn_join,
+        length_token_correlation,
         minhash_dedup,
         ngram_jaccard_pairs,
         point_in_polygon_join,
@@ -217,6 +218,7 @@ def main():
         "substring_dup": 3.5,
         "convex_hull": 3.0,
         "vocab_stats": 0.6,
+        "length_token_corr": 0.6,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -528,6 +530,10 @@ def main():
     timed(
         "vocab_stats",
         lambda: vocabulary_stats(documents).count(),
+    )
+    timed(
+        "length_token_corr",
+        lambda: length_token_correlation(documents).count(),
     )
     # re-runs extraction like `simplify` so the leg is self-contained
     timed(

@@ -764,3 +764,64 @@ def vocabulary_stats(
             ).alias("type_token_ratio"),
         )
     )
+
+
+def length_token_correlation(
+    docs: DataFrame,
+    group_col: str = "source",
+    chars_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Pearson correlation and OLS slope between the stored
+    character count and the observed whitespace token count — the
+    metadata-sanity check of a crawl pipeline (a source whose n_chars
+    stops tracking its text signals an extraction bug upstream).
+
+    Exactness: the five sufficient statistics (n, sum x, sum y, sum x^2,
+    sum y^2, sum x*y) are INTEGER sums over integer inputs — bit-exact
+    regardless of aggregation order. The only floating point is the final
+    corr = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+    and slope = (n*sxy - sx*sy) / (n*sxx - sx*sx), each a fixed tree of
+    IEEE correctly-rounded ops over exact integers, hence bit-equal with
+    the DuckDB oracle. Zero-variance groups yield NULL (identical CASE
+    both sides).
+
+    100 TB shape: one map-side-partial hash aggregate over the group key
+    — the shuffle carries six numbers per group, nothing else. The long
+    accumulators hold to ~9e18 (comfortably past 1e8 docs/group at web
+    page sizes); a corpus beyond that should cast the products to
+    decimal(38,0) (Spark) / HUGEINT (DuckDB), which keeps exactness.
+    """
+    x = F.col(chars_col).cast("long")
+    y = token_count_col(text_col).cast("long")
+    g = docs.select(
+        F.col(group_col).alias("grp"), x.alias("x"), y.alias("y")
+    )
+    s = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (denx == 0) | (deny == 0), F.lit(None).cast("double")
+    ).otherwise(
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+    )
+    slope = F.when(denx == 0, F.lit(None).cast("double")).otherwise(
+        num.cast("double") / denx.cast("double")
+    )
+    return s.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_docs"),
+        F.col("sx").alias("chars_sum"),
+        F.col("sy").alias("tokens_sum"),
+        corr.alias("corr_chars_tokens"),
+        slope.alias("ols_slope"),
+    )

@@ -968,3 +968,48 @@ class TestVocabularyStats:
         assert a == b
         # "The"/"THE"/"the" fold to one type
         assert a[0][2] == 1 + 3  # "the" + word0/word1/word2
+
+
+class TestLengthTokenCorrelation:
+    def test_hand_computed_corr_and_slope(self, spark):
+        import math
+
+        from rust_geo_booleanop_spark.operators import length_token_correlation
+
+        # (n_chars, tokens): perfectly measurable small set
+        rows = [(0, "a", 10, "x y"), (1, "a", 20, "x y z w"),
+                (2, "a", 30, "x y z w v u")]
+        d = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars int, text string"
+        )
+        r = length_token_correlation(d).collect()[0]
+        xs, ys = [10, 20, 30], [2, 4, 6]
+        n = 3
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = n * sxy - sx * sy
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        assert r.n_docs == 3 and r.chars_sum == sx and r.tokens_sum == sy
+        assert r.corr_chars_tokens == num / (math.sqrt(denx) * math.sqrt(deny))
+        # collinear: 1.0 up to the last-ULP rounding of sqrt(a)*sqrt(b)
+        assert abs(r.corr_chars_tokens - 1.0) < 1e-14
+        assert r.ols_slope == num / denx
+
+    def test_zero_variance_is_null_and_partition_invariance(self, spark):
+        from rust_geo_booleanop_spark.operators import length_token_correlation
+
+        d = spark.createDataFrame(
+            [(i, "s%d" % (i % 2), 50, "one two three") for i in range(20)],
+            "doc_id long, source string, n_chars int, text string",
+        )
+        got = {r.source: r for r in length_token_correlation(d).collect()}
+        # constant x AND constant y -> both variance terms zero -> NULL
+        assert got["s0"].corr_chars_tokens is None
+        assert got["s0"].ols_slope is None
+        a = sorted(map(tuple, length_token_correlation(d).collect()))
+        b = sorted(
+            map(tuple, length_token_correlation(d.repartition(7)).collect())
+        )
+        assert a == b
