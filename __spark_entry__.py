@@ -864,6 +864,21 @@ def _d09_substring_dup(spark, sf_dir):
     )
 
 
+def _d10_edit_pairs(spark, sf_dir):
+    """Edit-distance-verified near-dup pairs: window-hash blocking (the
+    d09 relation, df-bounded like d03's max_df) + exact JVM thresholded
+    Levenshtein verification on whitespace-normalized text
+    (operators/dedup.py::edit_verified_pairs). Oracle: identical window
+    blocking in DuckDB (proven by d09) + DuckDB's levenshtein — both
+    engines implement standard edit distance, so dist is an exact
+    integer, hash-stable."""
+    from rust_geo_booleanop_spark.operators import edit_verified_pairs
+
+    return edit_verified_pairs(
+        _t(spark, sf_dir, "documents"), window=8, max_dist=6, max_df=64
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -1400,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_convex_hull": _g18_convex_hull,
         "h04_vocab_stats": _h04_vocab_stats,
         "h05_length_token_corr": _h05_length_token_corr,
+        "d10_edit_pairs": _d10_edit_pairs,
     }
 
 
@@ -2066,6 +2082,39 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(b.n_tokens AS DOUBLE)
                          ELSE 0.0 END) >= 0.5 AS flagged
             FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+        """,
+        # d10: same window blocking as d09 (df bounded to [2, 64] —
+        # mirrors the operator's max_df, counting WINDOWS not docs),
+        # DISTINCT id pairs, then full levenshtein on the normalized
+        # (token-joined) text; dist <= 6 keeps exact integers only
+        "d10_edit_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), norm AS (
+                SELECT doc_id, array_to_string(t, ' ') AS ntext, t FROM toks
+            ), w AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[st:st+7], ' ')) AS wkey
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 8 + 2)) AS st
+                      FROM norm WHERE len(t) >= 8)
+            ), keys AS (
+                SELECT wkey FROM w GROUP BY 1
+                HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM w a JOIN keys USING (wkey) JOIN w b USING (wkey)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(levenshtein(na.ntext, nb.ntext) AS INTEGER) AS dist
+            FROM cand c
+            JOIN norm na ON na.doc_id = c.doc_id_a
+            JOIN norm nb ON nb.doc_id = c.doc_id_b
+            WHERE levenshtein(na.ntext, nb.ntext) <= 6
         """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only

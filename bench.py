@@ -122,6 +122,7 @@ def main():
         sessionize,
         simplify_geometries,
         stratified_sample,
+        edit_verified_pairs,
         substring_dup_stats,
         tile_pyramid,
         url_dedup,
@@ -216,6 +217,7 @@ def main():
         "line_dedup": 1.2,
         "bigram_collocations": 1.7,
         "substring_dup": 3.5,
+        "edit_pairs": 4.0,
         "convex_hull": 3.0,
         "vocab_stats": 0.6,
         "length_token_corr": 0.6,
@@ -526,6 +528,11 @@ def main():
         lambda: substring_dup_stats(documents, window=8)
         .agg(F.sum("n_dup_windows"))
         .collect(),
+    )
+    timed(
+        "edit_pairs",
+        lambda: edit_verified_pairs(documents, window=8, max_dist=6)
+        .count(),
     )
     timed(
         "vocab_stats",

@@ -84,6 +84,7 @@ def main():
         ("d09_substring_dup", "exact substring dup stats: md5 window keys, ONE hash-agg + shuffled semi join back (AQE skew-splits hot boilerplate windows), per-doc agg - no suffix array, no all-pairs"),
         ("g18_convex_hull", "convex hull: single MapInPandas monotone-chain stage over the geometry column - no shuffle"),
         ("h04_vocab_stats", "vocabulary stats: token explode -> (lang, token) map-side-partial hash agg -> tiny per-lang rollup - never a raw-token distinct"),
+        ("d10_edit_pairs", "edit-verified near-dup pairs: df-bounded window-key blocking evaluated ONCE (in-row bounded pair expansion, no self-join), DISTINCT id pairs BEFORE text re-fetch, length-gap lower-bound prune, thresholded JVM levenshtein - O(k*len) verify only on candidates"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

@@ -935,6 +935,51 @@ class TestSubstringDupStats:
             assert r.flagged
 
 
+class TestEditVerifiedPairs:
+    def test_blocked_and_verified(self, spark):
+        from rust_geo_booleanop_spark.operators import edit_verified_pairs
+
+        # 0/1/3 are single-char variants sharing the "b c d" window;
+        # 2 shares windows with them but is far longer, so the length
+        # lower bound + verify reject every pair involving it
+        d = spark.createDataFrame(
+            [
+                (0, "a b c d e"),
+                (1, "a b c d f"),
+                (2, "a b c d e xxxxxxxx yyyyyyyy zzzzzzzz"),
+                (3, "q b c d e"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_id_a, r.doc_id_b): r.dist
+            for r in edit_verified_pairs(d, window=3, max_dist=4).collect()
+        }
+        assert got == {(0, 1): 1, (0, 3): 1, (1, 3): 2}
+
+    def test_max_df_blocks_boilerplate(self, spark):
+        from rust_geo_booleanop_spark.operators import edit_verified_pairs
+
+        d = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+        )
+        # df of every shared window is 2 > max_df=1 -> no candidates
+        assert edit_verified_pairs(d, window=3, max_dist=9, max_df=1).count() == 0
+        assert edit_verified_pairs(d, window=3, max_dist=9, max_df=2).count() == 1
+
+    def test_identical_docs_dist_zero_and_determinism(self, spark):
+        from rust_geo_booleanop_spark.operators import edit_verified_pairs
+
+        d = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "  A   b C d E  ")],
+            "doc_id long, text string",
+        )
+        rows = edit_verified_pairs(d, window=3, max_dist=2).collect()
+        assert [(r.doc_id_a, r.doc_id_b, r.dist) for r in rows] == [(0, 1, 0)]
+        r2 = edit_verified_pairs(d.repartition(5), window=3, max_dist=2).collect()
+        assert [(r.doc_id_a, r.doc_id_b, r.dist) for r in r2] == [(0, 1, 0)]
+
+
 class TestVocabularyStats:
     def test_counts_types_hapax_ttr(self, spark):
         from rust_geo_booleanop_spark.operators import vocabulary_stats
