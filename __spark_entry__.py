@@ -879,6 +879,49 @@ def _d10_edit_pairs(spark, sf_dir):
     )
 
 
+def _d11_edit_clusters(spark, sf_dir):
+    """Edit-distance dedup collapse: the d10 verified pair relation ->
+    connected components (the d04 min-label/pointer-doubling stage) ->
+    canonical minimum-id representative per doc. Oracle: recursive-CTE
+    transitive closure over the identical _D10_SQL pair set."""
+    from rust_geo_booleanop_spark.operators import (
+        dedup_clusters,
+        edit_verified_pairs,
+    )
+
+    pairs = edit_verified_pairs(
+        _t(spark, sf_dir, "documents"), window=8, max_dist=6, max_df=64
+    )
+    return dedup_clusters(pairs, id_a="doc_id_a", id_b="doc_id_b").select(
+        "doc_id", "cluster_rep"
+    )
+
+
+def _h06_zipf_histogram(spark, sf_dir):
+    """Zipf token-frequency histogram: power-of-2 frequency bands with
+    type and occurrence counts (operators/text.py::zipf_histogram).
+    Bucket = base-2 digit count of the frequency — exact integer
+    arithmetic on both engines (Spark conv base 2, DuckDB bin), no
+    floating log anywhere."""
+    from rust_geo_booleanop_spark.operators import zipf_histogram
+
+    return zipf_histogram(_t(spark, sf_dir, "documents"))
+
+
+def _d12_containment_pairs(spark, sf_dir):
+    """Asymmetric containment / quote detection: pairs whose smaller
+    distinct-window set is >= 80% contained in the other's
+    (operators/dedup.py::containment_pairs). Catches short-doc-quoted-
+    inside-long-doc cases that Jaccard (d03) structurally misses.
+    Oracle: identical distinct-window relation + df bound in DuckDB;
+    counts are exact integers, containment one double division."""
+    from rust_geo_booleanop_spark.operators import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), window=8, threshold=0.8, max_df=64
+    )
+
+
 def _t01_exact_dedup(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import exact_dedup
 
@@ -1320,34 +1363,80 @@ def _m03_video_frames(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (round-3 fix for the round-2 driver truncation):
-    # the driver grades only the first ~50 entries, so the most valuable
-    # oracle-backed queries come first. Since round 4 EVERY query is
-    # oracle-backed (72 value-hash oracles; zero rows-only): the geo
-    # pipeline block leads — flagship g01 first (it was the gate's only
-    # non-green row through round 3), then the tile/clip/fixture-suite
-    # queries — followed by the relational/text/dedup/similarity blocks.
-    # Entries past position 50 (s04 onward) are the documented
-    # beyond-budget block: still graded by scripts/check_oracles.py,
-    # which runs every entry, and all were driver-graded hash-green in
-    # CORRECTNESS_r03.json or carry committed-fixture oracles. A pytest
-    # (tests/test_contract.py) pins this ordering.
+    # the driver grades only the first ~50 entries, so budget slots go
+    # to queries that have NEVER been driver-graded. Round-4 allocation:
+    # slots 1-37 are every query with no hash-green row in the committed
+    # CORRECTNESS_r03.json (the flagship geo block g01-g03/g09 first,
+    # then this round's new oracles and operators); slots 38-50 are 13
+    # representative r3-green queries spanning every category (spatial
+    # join, TPC-H agg, as-of, sketch, dedup, similarity, generated-
+    # oracle text ops). Entries past position 50 are the documented
+    # beyond-budget block: ALL of them are driver-graded hash-green in
+    # the committed CORRECTNESS_r03.json, and scripts/check_oracles.py
+    # still runs every entry locally. A pytest (tests/test_contract.py)
+    # pins the invariant that only r3-green queries can fall past the
+    # cut.
     return {
-        # --- geo pipeline (flagship first) ---
+        # --- never driver-graded: flagship geo block first ---
         "g01_boolean_pipeline": _g01_boolean_pipeline,
         "g02_tile_assignment": _g02_tile_assignment,
         "g03_tile_clip": _g03_tile_clip,
         "g09_fixture_suite": _g09_fixture_suite,
         "g15_tile_pyramid": _g15_tile_pyramid,
+        "g11_dissolve": _g11_dissolve,
+        "g16_geometry_measures": _g16_geometry_measures,
+        "g17_simplify": _g17_simplify,
+        "g18_convex_hull": _g18_convex_hull,
+        # --- never driver-graded: dedup / text / similarity / media ---
+        "d01_minhash_pairs": _d01_minhash_pairs,
+        "d02_simhash_pairs": _d02_simhash_pairs,
+        "d05_url_dedup": _d05_url_dedup,
+        "d06_boilerplate_lines": _d06_boilerplate_lines,
+        "d07_incremental_dedup": _d07_incremental_dedup,
+        "d08_semantic_dedup": _d08_semantic_dedup,
+        "d09_substring_dup": _d09_substring_dup,
+        "d10_edit_pairs": _d10_edit_pairs,
+        "d11_edit_clusters": _d11_edit_clusters,
+        "d12_containment_pairs": _d12_containment_pairs,
+        "t10_repetition_stats": _t10_repetition_stats,
+        "t11_quality_filter": _t11_quality_filter,
+        "t12_stratified_sample": _t12_stratified_sample,
+        "t13_tfidf_topterms": _t13_tfidf_topterms,
+        "t14_chunking": _t14_chunking,
+        "t15_decontaminate": _t15_decontaminate,
+        "t16_lang_balance": _t16_lang_balance,
+        "t17_line_dedup": _t17_line_dedup,
+        "h02_exact_quantiles": _h02_exact_quantiles,
+        "h03_bigram_assoc": _h03_bigram_assoc,
+        "h04_vocab_stats": _h04_vocab_stats,
+        "h05_length_token_corr": _h05_length_token_corr,
+        "h06_zipf_histogram": _h06_zipf_histogram,
+        "s06_ivf_kmeans": _s06_ivf_kmeans,
+        "m01_image_features": _m01_image_features,
+        "m02_audio_frames": _m02_audio_frames,
+        "m03_video_frames": _m03_video_frames,
+        "m04_image_resize": _m04_image_resize,
+        # --- r3-green representatives (driver evidence refresh) ---
         "g04_pip_join": _g04_pip_join,
+        "g07_candidate_pairs": _g07_candidate_pairs,
+        "g13_bbox_overlap_join": _g13_bbox_overlap_join,
+        "r01_pricing_summary": _r01_pricing_summary,
+        "r15_asof_join": _r15_asof_join,
+        "h01_heavy_hitters": _h01_heavy_hitters,
+        "d03_ngram_jaccard": _d03_ngram_jaccard,
+        "d04_dedup_clusters": _d04_dedup_clusters,
+        "s01_cosine_topk": _s01_cosine_topk,
+        "s02_lsh_buckets": _s02_lsh_buckets,
+        "s04_ivf_topk": _s04_ivf_topk,
+        "t05_langid": _t05_langid,
+        "t08_pii_scrub": _t08_pii_scrub,
+        # --- beyond the ~50 budget: ALL hash-green in CORRECTNESS_r03 ---
         "g05_knn_join": _g05_knn_join,
         "g06_zonal_stats": _g06_zonal_stats,
-        "g07_candidate_pairs": _g07_candidate_pairs,
         "g08_cell_histogram": _g08_cell_histogram,
         "g10_raster_zonal": _g10_raster_zonal,
         "g12_knn_bucketed": _g12_knn_bucketed,
-        "g13_bbox_overlap_join": _g13_bbox_overlap_join,
         "g14_tile_cover": _g14_tile_cover,
-        "r01_pricing_summary": _r01_pricing_summary,
         "r02_filter_projection": _r02_filter_projection,
         "r03_broadcast_join_dims": _r03_broadcast_join_dims,
         "r04_sortmerge_join": _r04_sortmerge_join,
@@ -1361,7 +1450,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_events_json": _r12_events_json,
         "r13_date_functions": _r13_date_functions,
         "r14_rollup": _r14_rollup,
-        "r15_asof_join": _r15_asof_join,
         "r16_sessionize": _r16_sessionize,
         "r17_scalar_subquery": _r17_scalar_subquery,
         "r18_pivot": _r18_pivot,
@@ -1369,53 +1457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r20_cube": _r20_cube,
         "r21_in_subquery": _r21_in_subquery,
         "r22_lag_lead": _r22_lag_lead,
-        "h01_heavy_hitters": _h01_heavy_hitters,
         "t01_exact_dedup": _t01_exact_dedup,
         "t02_dup_stats": _t02_dup_stats,
         "t03_text_stats": _t03_text_stats,
         "t04_quality_score": _t04_quality_score,
-        "t05_langid": _t05_langid,
         "t06_fingerprint": _t06_fingerprint,
         "t07_token_count": _t07_token_count,
-        "t08_pii_scrub": _t08_pii_scrub,
         "t09_stopword_ratio": _t09_stopword_ratio,
-        "d03_ngram_jaccard": _d03_ngram_jaccard,
-        "d04_dedup_clusters": _d04_dedup_clusters,
-        "s01_cosine_topk": _s01_cosine_topk,
-        "s02_lsh_buckets": _s02_lsh_buckets,
         "s03_embedding_neardup": _s03_embedding_neardup,
-        "s04_ivf_topk": _s04_ivf_topk,
         "s05_neardup_exact": _s05_neardup_exact,
         "s07_lsh_topk": _s07_lsh_topk,
-        "d01_minhash_pairs": _d01_minhash_pairs,
-        "d02_simhash_pairs": _d02_simhash_pairs,
-        "t10_repetition_stats": _t10_repetition_stats,
-        "d05_url_dedup": _d05_url_dedup,
-        "d06_boilerplate_lines": _d06_boilerplate_lines,
-        "t11_quality_filter": _t11_quality_filter,
-        "h02_exact_quantiles": _h02_exact_quantiles,
-        "t12_stratified_sample": _t12_stratified_sample,
-        "d07_incremental_dedup": _d07_incremental_dedup,
-        "g11_dissolve": _g11_dissolve,
-        "s06_ivf_kmeans": _s06_ivf_kmeans,
-        "m01_image_features": _m01_image_features,
-        "m02_audio_frames": _m02_audio_frames,
-        "m03_video_frames": _m03_video_frames,
-        "m04_image_resize": _m04_image_resize,
-        "g16_geometry_measures": _g16_geometry_measures,
-        "g17_simplify": _g17_simplify,
-        "t13_tfidf_topterms": _t13_tfidf_topterms,
-        "t14_chunking": _t14_chunking,
-        "t15_decontaminate": _t15_decontaminate,
-        "t16_lang_balance": _t16_lang_balance,
-        "d08_semantic_dedup": _d08_semantic_dedup,
-        "t17_line_dedup": _t17_line_dedup,
-        "h03_bigram_assoc": _h03_bigram_assoc,
-        "d09_substring_dup": _d09_substring_dup,
-        "g18_convex_hull": _g18_convex_hull,
-        "h04_vocab_stats": _h04_vocab_stats,
-        "h05_length_token_corr": _h05_length_token_corr,
-        "d10_edit_pairs": _d10_edit_pairs,
     }
 
 
@@ -1433,6 +1484,42 @@ SF001_ONLY_ORACLES = {"d02_simhash_pairs", "g11_dissolve", "s06_ivf_kmeans"}
 # definition (mirrors the operator's scale-safe "auto" max_df default:
 # shingles in more than max(1000, 0.1% of corpus) docs are dropped before
 # the self-join; sizes computed after the filter).
+# d10's pair relation, shared verbatim by the d10 oracle and d11's
+# recursive-CTE transitive closure (the d03/_D03_SQL pattern): same
+# window blocking as d09 (df bounded to [2, 64] mirroring the operator's
+# max_df, counting WINDOWS not docs), DISTINCT id pairs, then full
+# levenshtein on the normalized (token-joined) text; dist <= 6 keeps
+# exact integers only
+_D10_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), norm AS (
+                SELECT doc_id, array_to_string(t, ' ') AS ntext, t FROM toks
+            ), w AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[st:st+7], ' ')) AS wkey
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 8 + 2)) AS st
+                      FROM norm WHERE len(t) >= 8)
+            ), keys AS (
+                SELECT wkey FROM w GROUP BY 1
+                HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM w a JOIN keys USING (wkey) JOIN w b USING (wkey)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.doc_id_a, c.doc_id_b,
+                   CAST(levenshtein(na.ntext, nb.ntext) AS INTEGER) AS dist
+            FROM cand c
+            JOIN norm na ON na.doc_id = c.doc_id_a
+            JOIN norm nb ON nb.doc_id = c.doc_id_b
+            WHERE levenshtein(na.ntext, nb.ntext) <= 6
+"""
+
 _D03_SQL = """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
@@ -2083,38 +2170,86 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END) >= 0.5 AS flagged
             FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
         """,
-        # d10: same window blocking as d09 (df bounded to [2, 64] —
-        # mirrors the operator's max_df, counting WINDOWS not docs),
-        # DISTINCT id pairs, then full levenshtein on the normalized
-        # (token-joined) text; dist <= 6 keeps exact integers only
-        "d10_edit_pairs": """
+        # d10: the shared pair relation (see _D10_SQL)
+        "d10_edit_pairs": _D10_SQL,
+        # d11: connected components over the SAME edit-verified pair set
+        # (recursive transitive closure, exactly the d04 pattern);
+        # cluster_rep = the component's minimum id
+        "d11_edit_clusters": f"""
+            WITH RECURSIVE pairs AS ({_D10_SQL}),
+            edges AS (
+                SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, w.r FROM reach w JOIN edges e ON e.dst = w.id
+            )
+            SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+            FROM reach GROUP BY id
+        """,
+        # d12: same distinct-window relation (df = DISTINCT docs holding
+        # the window, bounded to [2, 64] like the operator), shared
+        # counts over expanded pairs, containment = shared / least(n_a,
+        # n_b) — one double division, bit-equal both engines
+        "d12_containment_pairs": """
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
                                    x -> x != '') AS t
                 FROM documents
-            ), norm AS (
-                SELECT doc_id, array_to_string(t, ' ') AS ntext, t FROM toks
             ), w AS (
-                SELECT doc_id,
+                SELECT DISTINCT doc_id,
                        md5(array_to_string(t[st:st+7], ' ')) AS wkey
                 FROM (SELECT doc_id, t,
                              unnest(range(1, len(t) - 8 + 2)) AS st
-                      FROM norm WHERE len(t) >= 8)
+                      FROM toks WHERE len(t) >= 8)
+            ), counts AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win
+                FROM w GROUP BY 1
             ), keys AS (
                 SELECT wkey FROM w GROUP BY 1
                 HAVING COUNT(*) > 1 AND COUNT(*) <= 64
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+            ), shared AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CAST(COUNT(*) AS BIGINT) AS shared_windows
                 FROM w a JOIN keys USING (wkey) JOIN w b USING (wkey)
                 WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
             )
-            SELECT c.doc_id_a, c.doc_id_b,
-                   CAST(levenshtein(na.ntext, nb.ntext) AS INTEGER) AS dist
-            FROM cand c
-            JOIN norm na ON na.doc_id = c.doc_id_a
-            JOIN norm nb ON nb.doc_id = c.doc_id_b
-            WHERE levenshtein(na.ntext, nb.ntext) <= 6
+            SELECT s.doc_id_a, s.doc_id_b, s.shared_windows,
+                   ca.n_win AS n_windows_a, cb.n_win AS n_windows_b,
+                   CAST(s.shared_windows AS DOUBLE)
+                       / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE)
+                       AS containment
+            FROM shared s
+            JOIN counts ca ON ca.doc_id = s.doc_id_a
+            JOIN counts cb ON cb.doc_id = s.doc_id_b
+            WHERE CAST(s.shared_windows AS DOUBLE)
+                      / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE) >= 0.8
+        """,
+        # h06: identical tokenization; EXACT power-of-2 bucketing via the
+        # base-2 string length (DuckDB bin == Spark conv base 2 for
+        # positive counts), shiftleft min_count; SUMs cast to BIGINT
+        # (DuckDB SUM(int) is HUGEINT)
+        "h06_zipf_histogram": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), freq AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            )
+            SELECT CAST(length(bin(c)) AS INTEGER) AS bucket,
+                   CAST(1 << (CAST(length(bin(c)) AS INTEGER) - 1) AS BIGINT)
+                       AS min_count,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS total_occurrences
+            FROM freq GROUP BY 1, 2
         """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only

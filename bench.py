@@ -122,11 +122,13 @@ def main():
         sessionize,
         simplify_geometries,
         stratified_sample,
+        containment_pairs,
         edit_verified_pairs,
         substring_dup_stats,
         tile_pyramid,
         url_dedup,
         vocabulary_stats,
+        zipf_histogram,
         zonal_stats_join,
     )
     from rust_geo_booleanop_spark.plans import get_spark
@@ -218,6 +220,8 @@ def main():
         "bigram_collocations": 1.7,
         "substring_dup": 3.5,
         "edit_pairs": 4.0,
+        "zipf_histogram": 1.0,
+        "containment_pairs": 4.0,
         "convex_hull": 3.0,
         "vocab_stats": 0.6,
         "length_token_corr": 0.6,
@@ -533,6 +537,14 @@ def main():
         "edit_pairs",
         lambda: edit_verified_pairs(documents, window=8, max_dist=6)
         .count(),
+    )
+    timed(
+        "containment_pairs",
+        lambda: containment_pairs(documents, window=8, threshold=0.8).count(),
+    )
+    timed(
+        "zipf_histogram",
+        lambda: zipf_histogram(documents).count(),
     )
     timed(
         "vocab_stats",

@@ -616,6 +616,112 @@ def substring_dup_stats(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment (quote/repost) detection: pairs where the
+    smaller document's token-window set is mostly CONTAINED in the
+    other's — Broder's containment coefficient |Wa ∩ Wb| / min(|Wa|,
+    |Wb|) over distinct `window`-token windows. This catches what
+    Jaccard (d03) structurally cannot: a short document quoted whole
+    inside a much longer one has tiny Jaccard (the union is dominated by
+    the long doc) but containment ~1.
+
+    Output: (doc_id_a, doc_id_b, shared_windows, n_windows_a,
+    n_windows_b, containment) with doc_id_a < doc_id_b, integer counts,
+    and containment a single double division (bit-equal across
+    engines); pairs with containment >= threshold only.
+
+    100 TB shape: ONE evaluation of the window pipeline (distinct
+    per-doc window keys), the df bound [2, max_df] caps group rows so
+    the in-row pair expansion is bounded (the d10 shape — no
+    self-join), shared counts come from a map-side-partial hash agg
+    over pair keys, and per-doc window counts join back onto the small
+    pair relation. Boilerplate windows die at the df bound, exactly
+    like d03's max_df.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col), tk.alias("_tk")).select(
+        id_col, "_tk", F.size("_tk").alias("n_tokens")
+    )
+    starts = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(F.lit(1), F.col("n_tokens") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        base.select(id_col, F.explode(starts).alias("st"), "_tk")
+        .select(
+            id_col,
+            F.md5(
+                F.array_join(F.slice("_tk", F.col("st"), window), " ")
+            ).alias("wkey"),
+        )
+        .distinct()
+    )
+    counts = wins.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_win")
+    )
+    groups = (
+        wins.groupBy("wkey")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda a: F.transform(
+                    F.col("_ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        )
+    )
+    shared = (
+        groups.select(pair.alias("_p"))
+        .filter(F.col("_p.a") < F.col("_p.b"))
+        .select(
+            F.col("_p.a").alias("doc_id_a"), F.col("_p.b").alias("doc_id_b")
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+    )
+    return (
+        shared.join(
+            counts.select(
+                F.col(id_col).alias("doc_id_a"), F.col("n_win").alias("n_windows_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            counts.select(
+                F.col(id_col).alias("doc_id_b"), F.col("n_win").alias("n_windows_b")
+            ),
+            "doc_id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("shared_windows").cast("double")
+            / F.least("n_windows_a", "n_windows_b").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "shared_windows",
+            "n_windows_a",
+            "n_windows_b",
+            "containment",
+        )
+    )
+
+
 def edit_verified_pairs(
     docs: DataFrame,
     window: int = 8,

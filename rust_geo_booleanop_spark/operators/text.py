@@ -766,6 +766,55 @@ def vocabulary_stats(
     )
 
 
+def zipf_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf/token-frequency histogram of the corpus: for each power-of-2
+    frequency band, how many distinct token types fall in it and how
+    many token occurrences they account for. The standard sanity plot
+    of a web corpus (a healthy crawl is near-linear in log-log; a
+    boilerplate-heavy one bulges at the high-frequency end).
+
+    Bucketing is EXACT integer arithmetic — bucket = number of binary
+    digits of the count (floor(log2 c) + 1), computed as the string
+    length of the base-2 representation on BOTH engines (Spark `conv`,
+    DuckDB `bin`), never a floating log that could straddle an ULP at
+    exact powers of two. Output, one row per occupied bucket:
+    (bucket, min_count, n_types, total_occurrences) with min_count =
+    2^(bucket-1) via shiftleft.
+
+    Tokenization is the divergence-proof lower+whitespace split shared
+    with d03/d09/h03/h04.
+
+    100 TB shape: token explode is map-side; the token hash agg runs
+    map-side partials; the bucket rollup is ~64 rows. Never a distinct
+    over raw tokens, never a collect, no windows.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    freq = (
+        docs.select(F.explode(tk).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bucket = F.length(F.conv(F.col("c").cast("string"), 10, 2)).cast("int")
+    return (
+        freq.select(bucket.alias("bucket"), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("c").alias("total_occurrences"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias(
+                "min_count"
+            ),
+            "n_types",
+            "total_occurrences",
+        )
+    )
+
+
 def length_token_correlation(
     docs: DataFrame,
     group_col: str = "source",

@@ -980,6 +980,111 @@ class TestEditVerifiedPairs:
         assert [(r.doc_id_a, r.doc_id_b, r.dist) for r in r2] == [(0, 1, 0)]
 
 
+class TestContainmentPairs:
+    def test_quote_inside_long_doc(self, spark):
+        from rust_geo_booleanop_spark.operators import containment_pairs
+
+        # doc 0 is a 6-token quote fully contained in the 18-token doc 1
+        # -> containment 1.0 even though Jaccard is small; doc 2 shares
+        # nothing
+        quote = "the quick brown fox jumps high"
+        d = spark.createDataFrame(
+            [
+                (0, quote),
+                (1, "intro words here then " + quote + " plus a long tail of extra words follows"),
+                (2, "completely different content with no shared windows at all"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = containment_pairs(d, window=3, threshold=0.8).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.doc_id_a, r.doc_id_b) == (0, 1)
+        # doc 0 has 4 distinct 3-token windows, all inside doc 1
+        assert r.n_windows_a == 4 and r.shared_windows == 4
+        assert r.containment == 1.0
+
+    def test_threshold_and_partial_overlap(self, spark):
+        from rust_geo_booleanop_spark.operators import containment_pairs
+
+        # docs share 2 of doc 0's 3 windows -> containment 2/3 < 0.8
+        d = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "a b c d x")],
+            "doc_id long, text string",
+        )
+        assert containment_pairs(d, window=3, threshold=0.8).count() == 0
+        got = containment_pairs(d, window=3, threshold=0.5).collect()
+        assert len(got) == 1 and got[0].containment == 2 / 3
+
+    def test_max_df_drops_boilerplate_windows(self, spark):
+        from rust_geo_booleanop_spark.operators import containment_pairs
+
+        # the shared window appears in ALL four docs -> df 4 > max_df 3
+        # -> no candidates at all
+        d = spark.createDataFrame(
+            [(i, "common shared window tail%d" % i) for i in range(4)],
+            "doc_id long, text string",
+        )
+        assert containment_pairs(d, window=3, max_df=3).count() == 0
+
+
+class TestZipfHistogram:
+    def test_exact_buckets(self, spark):
+        from rust_geo_booleanop_spark.operators import zipf_histogram
+
+        # a: 1x (bucket 1), b: 2x (bucket 2), c: 3x (bucket 2),
+        # d: 8x (bucket 4 — the ULP-dangerous exact power of two)
+        d = spark.createDataFrame(
+            [(0, "a b b c c"), (1, "c d d d d d d d d")],
+            "doc_id long, text string",
+        )
+        got = {r.bucket: r for r in zipf_histogram(d).collect()}
+        assert set(got) == {1, 2, 4}
+        assert (got[1].n_types, got[1].total_occurrences) == (1, 1)
+        assert (got[2].n_types, got[2].total_occurrences) == (2, 5)
+        assert (got[4].n_types, got[4].total_occurrences) == (1, 8)
+        assert [got[b].min_count for b in (1, 2, 4)] == [1, 2, 8]
+
+    def test_determinism_across_partitioning(self, spark):
+        from rust_geo_booleanop_spark.operators import zipf_histogram
+
+        d = spark.createDataFrame(
+            [(i, "x y " * (i % 5 + 1)) for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, zipf_histogram(d).collect()))
+        b = sorted(map(tuple, zipf_histogram(d.repartition(13)).collect()))
+        assert a == b
+
+
+class TestEditClusters:
+    def test_transitive_collapse(self, spark):
+        from rust_geo_booleanop_spark.operators import (
+            dedup_clusters,
+            edit_verified_pairs,
+        )
+
+        # chain 0-1-2 within dist 1 hops (0 and 2 at dist 2 still join
+        # the same component transitively); 3 unrelated
+        d = spark.createDataFrame(
+            [
+                (0, "a b c d e"),
+                (1, "a b c d f"),
+                (2, "a b c d g"),
+                (3, "p q r s t u v w"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = edit_verified_pairs(d, window=3, max_dist=1)
+        got = {
+            r.doc_id: r.cluster_rep
+            for r in dedup_clusters(
+                pairs, id_a="doc_id_a", id_b="doc_id_b"
+            ).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0}
+
+
 class TestVocabularyStats:
     def test_counts_types_hapax_ttr(self, spark):
         from rust_geo_booleanop_spark.operators import vocabulary_stats
