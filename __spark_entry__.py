@@ -1335,6 +1335,28 @@ def _m04_image_resize(spark, sf_dir):
     )
 
 
+def _m05_image_dedup(spark, sf_dir):
+    """Exact image dedup by DECODED pixel content
+    (operators/multimodal.py::image_pixel_dedup): duplicate groups are
+    constructed by deriving each doc's media url from doc_id % 200, so
+    copies exist at every scale factor. Oracle: the per-group pixel
+    hashes come from the committed fixture computed by the operator's
+    own pandas bodies (scripts/gen_media_oracle_fixtures.py, m01
+    pattern); the copy COUNTS are recomputed live in SQL from the
+    documents view, so the grouping/aggregation side is independently
+    verified."""
+    from rust_geo_booleanop_spark.operators import image_pixel_dedup, synth_media
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.select(
+        F.concat(
+            F.lit("img://grp/"), (F.col("doc_id") % 200).cast("string")
+        ).alias("url")
+    )
+    media = synth_media(spark, grp)
+    return image_pixel_dedup(media)
+
+
 def _s07_lsh_topk(spark, sf_dir):
     """Bucketed ANN top-k (candidates share the query's LSH bucket; exact
     cosine rank within the probed bucket only)."""
@@ -1416,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m02_audio_frames": _m02_audio_frames,
         "m03_video_frames": _m03_video_frames,
         "m04_image_resize": _m04_image_resize,
+        "m05_image_dedup": _m05_image_dedup,
         # --- r3-green representatives (driver evidence refresh) ---
         "g04_pip_join": _g04_pip_join,
         "g07_candidate_pairs": _g07_candidate_pairs,
@@ -1947,6 +1970,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.url, f.out_width, f.out_height, f.thumb_md5
             FROM read_parquet('{fixdir}/m04_thumbs_sf01.parquet') f
             JOIN urls USING (url)
+        """,
+        # m05: pixel hashes from the operator-pandas fixture (image-kind
+        # group urls only); copy counts and representatives recomputed
+        # LIVE from the documents view (url = 'img://grp/<doc_id % 200>')
+        # so the dedup aggregation is independently verified
+        "m05_image_dedup": f"""
+            WITH grp AS (
+                SELECT 'img://grp/' || CAST(doc_id % 200 AS VARCHAR) AS url,
+                       CAST(COUNT(*) AS BIGINT) AS n_copies
+                FROM documents GROUP BY 1
+            )
+            SELECT f.pixel_md5, g.n_copies, g.url AS rep_url,
+                   f.width, f.height
+            FROM read_parquet('{fixdir}/m05_pixel_hash_grp.parquet') f
+            JOIN grp g USING (url)
         """,
         # g16: generated-fixture oracle (CPython twin of the JVM shoelace
         # folds, identical FP operation order) restricted to the current

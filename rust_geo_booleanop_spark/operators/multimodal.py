@@ -214,6 +214,58 @@ def image_features(media: DataFrame) -> DataFrame:
     )
 
 
+PIXEL_HASH_SCHEMA = "url string, width int, height int, pixel_md5 string"
+
+
+def pixel_hash_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure pandas body of the image pixel-hash stage (shared with the
+    oracle-fixture generator): md5 over DECODED pixel bytes prefixed by
+    the dimensions — so two byte-different containers with identical
+    pixels (re-encoded copies) hash equal, which raw-payload hashing
+    cannot do. The dims prefix keeps a WxH raster distinct from the
+    same bytes reshaped HxW."""
+    out = {"url": [], "width": [], "height": [], "pixel_md5": []}
+    for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
+        img = _decode_image(payload)
+        key = hashlib.md5(
+            b"%dx%d:" % (img.shape[1], img.shape[0])
+            + img.astype(np.uint8).tobytes()
+        ).hexdigest()
+        out["url"].append(url)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["pixel_md5"].append(key)
+    return pd.DataFrame(out)
+
+
+def image_pixel_dedup(media: DataFrame) -> DataFrame:
+    """Exact image dedup by decoded-pixel content: one row per distinct
+    pixel raster with its copy count and canonical (minimum-url)
+    representative — the image analogue of t02's exact text dup stats,
+    and the standard content-hash dedup stage of a multimodal crawl
+    pipeline.
+
+    100 TB shape: decode + hash is ONE mapInPandas stage (Arrow binary
+    batches, no Python past it); the group-by on the 32-hex key is a
+    plain hash agg with map-side partials. Never compares pixels
+    pairwise, never collects.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pixel_hash_pdf(pdf)
+
+    hashed = media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=PIXEL_HASH_SCHEMA
+    )
+    return hashed.groupBy("pixel_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("url").alias("rep_url"),
+        F.min("width").alias("width"),
+        F.min("height").alias("height"),
+    )
+
+
 RESIZE_SCHEMA = "url string, out_width int, out_height int, thumb binary"
 
 

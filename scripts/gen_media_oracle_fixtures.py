@@ -79,12 +79,49 @@ def media_fixture_frames(doc_ids):
     return m01, m02, m03, m04
 
 
+N_GROUPS = 200  # m05's dedup-group key space: doc_id % 200
+
+
+def m05_fixture_rows():
+    """Spark-free recompute of the m05 pixel-hash relation over the 200
+    group urls (the query derives url = 'img://grp/<doc_id % 200>', so
+    this covers every scale factor; the oracle SQL joins the live
+    documents view for the per-group copy counts). Image-kind groups
+    only — audio-kind groups are absent here AND filtered Spark-side."""
+    import pandas as pd
+
+    from rust_geo_booleanop_spark.operators.multimodal import (
+        pixel_hash_pdf,
+        synth_media_pdf,
+    )
+
+    urls = pd.DataFrame({"url": [f"img://grp/{k}" for k in range(N_GROUPS)]})
+    media = synth_media_pdf(urls, kinds=("image", "audio"))
+    img = media[media["kind"] == "image"]
+    ph = pixel_hash_pdf(img)
+    return list(zip(ph["url"], ph["width"], ph["height"], ph["pixel_md5"]))
+
+
 def main():
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(FIXDIR, exist_ok=True)
     m01, m02, m03, m04 = media_fixture_frames(range(N_DOCS))
+    m05 = m05_fixture_rows()
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m05], pa.string()),
+                "width": pa.array([int(r[1]) for r in m05], pa.int32()),
+                "height": pa.array([int(r[2]) for r in m05], pa.int32()),
+                "pixel_md5": pa.array([r[3] for r in m05], pa.string()),
+            }
+        ),
+        os.path.join(FIXDIR, "m05_pixel_hash_grp.parquet"),
+        compression="zstd",
+    )
 
     pq.write_table(
         pa.table(
@@ -134,7 +171,8 @@ def main():
     )
     print(
         f"m01: {len(m01)} images, m02: {len(m02)} audio frames, "
-        f"m03: {len(m03)} video frames, m04: {len(m04)} thumbs -> {FIXDIR}"
+        f"m03: {len(m03)} video frames, m04: {len(m04)} thumbs, "
+        f"m05: {len(m05)} group pixel hashes -> {FIXDIR}"
     )
 
 

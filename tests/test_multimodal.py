@@ -299,3 +299,60 @@ class TestCodecSeam:
                 samples, sr = decode_wav_pcm16(bytes(r.media))
                 assert sr == r.sample_rate
                 assert len(samples) == sr * min(r.duration_ms, 2000) // 1000
+
+
+def test_image_pixel_dedup_counts_and_rep(spark):
+    from rust_geo_booleanop_spark.operators import image_pixel_dedup
+
+    # duplicate urls -> identical payloads -> one group with n_copies
+    docs = spark.createDataFrame(
+        [("img://grp/A",)] * 3 + [("img://grp/B",)] * 2 + [("img://grp/C",)],
+        "url string",
+    )
+    media = synth_media(spark, docs, kinds=("image",))
+    got = {r.rep_url: r for r in image_pixel_dedup(media).collect()}
+    assert {u: got[u].n_copies for u in got} == {
+        "img://grp/A": 3,
+        "img://grp/B": 2,
+        "img://grp/C": 1,
+    }
+    # hashes distinct across groups
+    rows = list(got.values())
+    assert len({r.pixel_md5 for r in rows}) == 3
+
+
+def test_pixel_hash_is_content_not_container(spark):
+    """Re-encoding identical pixels yields a byte-different PNG (extra
+    chunk) but the SAME pixel hash — the property raw-payload hashing
+    lacks and the reason the op decodes at all."""
+    import numpy as np
+
+    from rust_geo_booleanop_spark.functions.codecs import encode_png_gray8
+    from rust_geo_booleanop_spark.operators.multimodal import pixel_hash_pdf
+    import pandas as pd
+
+    img = (np.arange(64 * 48) % 251).astype(np.uint8).reshape(48, 64)
+    png1 = encode_png_gray8(img)
+    # structurally different container: inject a private ancillary chunk
+    # before IEND (valid PNG, identical pixels)
+    import struct
+    import zlib
+
+    chunk_type = b"prVt"
+    data = b"x" * 4
+    crc = zlib.crc32(chunk_type + data) & 0xFFFFFFFF
+    extra = struct.pack(">I", len(data)) + chunk_type + data + struct.pack(">I", crc)
+    iend = png1.rindex(b"IEND") - 4
+    png2 = png1[:iend] + extra + png1[iend:]
+    assert png1 != png2
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "b"],
+            "media": [png1, png2],
+            "width": [64, 64],
+            "height": [48, 48],
+        }
+    )
+    out = pixel_hash_pdf(pdf)
+    assert out["pixel_md5"][0] == out["pixel_md5"][1]

@@ -207,3 +207,16 @@ class TestMediaFixturesFresh:
         assert committed == sorted(
             (u, int(w), int(h), md5) for u, w, h, md5 in regenerated[3]
         )
+
+    def test_m05_full_fresh(self):
+        """m05's fixture is only 200 group urls — recompute it WHOLE and
+        require byte equality (no sampling needed at this size)."""
+        from scripts.gen_media_oracle_fixtures import m05_fixture_rows
+
+        committed = sorted(_fix("m05_pixel_hash_grp"))
+        assert committed == sorted(
+            (u, int(w), int(h), md5) for u, w, h, md5 in m05_fixture_rows()
+        )
+        # every group hash distinct: duplicate groups collapse by url,
+        # never by accidental pixel collision
+        assert len({r[3] for r in committed}) == len(committed)
