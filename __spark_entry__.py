@@ -879,6 +879,27 @@ def _d10_edit_pairs(spark, sf_dir):
     )
 
 
+def _g19_iou(spark, sf_dir):
+    """Per-case intersection-over-union: the kernel computes
+    intersection + union geometries, the JVM shoelace fold (g16's
+    pinned expressions) takes their areas, one division makes the IoU
+    (operators/measures.py::iou_per_case). Oracle: committed fixture
+    computed WITHOUT Spark by the pure-Python kernel pair runner + the
+    area-fold twin (scripts/gen_geo_oracle_fixtures.py::g19_iou_rows),
+    joined to the live documents view; the iou division runs in SQL on
+    the fixture areas — identical IEEE division both engines."""
+    from rust_geo_booleanop_spark.operators import (
+        boolean_pipeline,
+        extract_geometries,
+        iou_per_case,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    results = boolean_pipeline(geoms, ops=("intersection", "union"))
+    return iou_per_case(results)
+
+
 def _d11_edit_clusters(spark, sf_dir):
     """Edit-distance dedup collapse: the d10 verified pair relation ->
     connected components (the d04 min-label/pointer-doubling stage) ->
@@ -1409,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_geometry_measures": _g16_geometry_measures,
         "g17_simplify": _g17_simplify,
         "g18_convex_hull": _g18_convex_hull,
+        "g19_iou": _g19_iou,
         # --- never driver-graded: dedup / text / similarity / media ---
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
@@ -1937,6 +1959,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM t CROSS JOIN lv
             GROUP BY 1, 2
+        """,
+        # g19: fixture areas from the python-kernel + area-fold twin,
+        # restricted to live cases; the single iou division recomputed in
+        # SQL (identical IEEE double division both engines)
+        "g19_iou": f"""
+            WITH cases AS (
+                SELECT DISTINCT doc_id // 2 AS case_id FROM documents
+            )
+            SELECT f.case_id, f.area_intersection, f.area_union,
+                   CASE WHEN f.area_union != 0.0
+                        THEN f.area_intersection / f.area_union
+                        ELSE 0.0 END AS iou
+            FROM read_parquet('{fixdir}/g19_iou_sf01.parquet') f
+            JOIN cases USING (case_id)
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

@@ -107,16 +107,19 @@ def main():
         boolean_pipeline,
         convex_hull_geometries,
         cosine_topk,
+        apply_boolean_ops,
         exact_dedup,
         exact_quantiles,
         incremental_new_keys,
         extract_geometries,
         gopher_quality_filter,
+        iou_per_case,
         ivf_cosine_topk,
         knn_join,
         length_token_correlation,
         minhash_dedup,
         ngram_jaccard_pairs,
+        pair_candidates,
         point_in_polygon_join,
         remove_boilerplate_lines,
         sessionize,
@@ -223,6 +226,7 @@ def main():
         "zipf_histogram": 1.0,
         "containment_pairs": 4.0,
         "convex_hull": 3.0,
+        "iou": 5.0,
         "vocab_stats": 0.6,
         "length_token_corr": 0.6,
     }
@@ -555,6 +559,17 @@ def main():
         lambda: length_token_correlation(documents).count(),
     )
     # re-runs extraction like `simplify` so the leg is self-contained
+    timed(
+        "iou",
+        lambda: iou_per_case(
+            apply_boolean_ops(
+                pair_candidates(extract_geometries(docs)),
+                ops=("intersection", "union"),
+            )
+        )
+        .agg(F.sum("iou"))
+        .collect(),
+    )
     timed(
         "convex_hull",
         lambda: convex_hull_geometries(

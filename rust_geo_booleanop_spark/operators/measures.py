@@ -101,6 +101,48 @@ def geometry_measures(geoms: DataFrame, geom_col: str = "geom_json") -> DataFram
     )
 
 
+def iou_per_case(results: DataFrame) -> DataFrame:
+    """Intersection-over-union per case from boolean-op result rows
+    (the output of apply_boolean_ops / boolean_pipeline run with ops
+    containing 'intersection' and 'union'): the standard overlap metric
+    of geospatial ML evaluation, computed end-to-end inside the engine —
+    kernel geometry (bit-exact, fixture-pinned) + the JVM shoelace area
+    fold (g16's CPython twin proves it) + ONE double division.
+
+    Output: (case_id, area_intersection, area_union, iou) for cases
+    where BOTH ops returned status ok; iou = area_i / area_u, 0.0 when
+    the union is empty. One hash-agg pivot on case_id — no self-join,
+    no Python past the kernel stage.
+    """
+    m = geometry_measures(
+        results.filter(F.col("status") == "ok").select(
+            "case_id", "op", "result_json"
+        ),
+        geom_col="result_json",
+    ).select("case_id", "op", "area")
+    agg = m.groupBy("case_id").agg(
+        F.max(F.when(F.col("op") == "intersection", F.col("area"))).alias(
+            "area_intersection"
+        ),
+        F.max(F.when(F.col("op") == "union", F.col("area"))).alias(
+            "area_union"
+        ),
+    )
+    return (
+        agg.filter(
+            F.col("area_intersection").isNotNull()
+            & F.col("area_union").isNotNull()
+        )
+        .withColumn(
+            "iou",
+            F.when(
+                F.col("area_union") != 0.0,
+                F.col("area_intersection") / F.col("area_union"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def measures_python(geom_json: str):
     """CPython twin of `geometry_measures` with IDENTICAL FP operation
     order (left folds, zero 0.0, same edge-term expression). Used by the
@@ -139,3 +181,24 @@ def measures_python(geom_json: str):
         "xmax": max(xs) + 0.0,
         "ymax": max(ys) + 0.0,
     }
+
+
+def area_python(geom_json: str) -> float:
+    """CPython twin of geometry_measures' `area` column ONLY, with the
+    identical left-fold FP operation order — but safe on EMPTY
+    multipolygons (measures_python's bbox min/max raises there, the JVM
+    path yields NULL bboxes and area 0.0). Used by the g19 IoU fixture
+    generator, where empty intersections are legitimate."""
+    coords = json.loads(geom_json)["coordinates"]
+    area2 = 0.0
+    for poly in coords:
+        poly_acc = 0.0
+        for ring in poly:
+            ring_acc = 0.0
+            for i in range(len(ring) - 1):
+                ring_acc = ring_acc + (
+                    ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                )
+            poly_acc = poly_acc + ring_acc
+        area2 = area2 + poly_acc
+    return area2 * 0.5

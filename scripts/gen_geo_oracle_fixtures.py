@@ -326,8 +326,32 @@ def main():
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # Optional argv filter: `python scripts/gen_geo_oracle_fixtures.py g19`
+    # regenerates only the named fixture groups (geo = g01/g02/g03).
+    only = set(sys.argv[1:])
+
+    def want(tag):
+        return not only or tag in only
+
     os.makedirs(FIXDIR, exist_ok=True)
 
+    if want("geo"):
+        _write_geo(pa, pq)
+    if want("g11"):
+        _write_g11(pa, pq)
+    if want("g09"):
+        _write_g09(pa, pq)
+    if want("g16"):
+        _write_g16(pa, pq)
+    if want("g17"):
+        _write_g17(pa, pq)
+    if want("g18"):
+        _write_g18(pa, pq)
+    if want("g19"):
+        _write_g19(pa, pq)
+
+
+def _write_geo(pa, pq):
     g01, g02, g03 = geo_case_rows(range(N_CASES))
     pq.write_table(
         pa.table(
@@ -366,6 +390,8 @@ def main():
     )
     print(f"g01: {len(g01)} rows, g02: {len(g02)} rows, g03: {len(g03)} rows")
 
+
+def _write_g11(pa, pq):
     g11 = g11_dissolve_rows()
     pq.write_table(
         pa.table(
@@ -380,6 +406,8 @@ def main():
     )
     print(f"g11: {len(g11)} keys (flat python-kernel fold)")
 
+
+def _write_g09(pa, pq):
     g09 = g09_expected_rows()
     pq.write_table(
         pa.table(
@@ -395,6 +423,8 @@ def main():
     )
     print(f"g09: {len(g09)} expected features -> {FIXDIR}")
 
+
+def _write_g16(pa, pq):
     g16 = g16_measure_rows(range(N_CASES))
     pq.write_table(
         pa.table(
@@ -416,6 +446,8 @@ def main():
     )
     print(f"g16: {len(g16)} measure rows")
 
+
+def _write_g17(pa, pq):
     g17 = g17_simplify_rows(range(N_CASES))
     pq.write_table(
         pa.table(
@@ -432,6 +464,8 @@ def main():
     )
     print(f"g17: {len(g17)} simplify rows (recursive DP twin)")
 
+
+def _write_g18(pa, pq):
     g18 = g18_hull_rows(range(N_CASES))
     pq.write_table(
         pa.table(
@@ -447,6 +481,56 @@ def main():
         compression="zstd",
     )
     print(f"g18: {len(g18)} hull rows (Jarvis gift-wrapping twin)")
+
+
+def g19_iou_rows(case_ids):
+    """Expected per-case intersection/union areas, computed with the
+    PURE-PYTHON kernel pair runner and the area fold of the
+    measures_python twin (identical FP operation order to the JVM
+    shoelace expressions) — so the fixture cross-checks kernel result
+    geometry AND the JVM area fold AND the one iou division. Cases where
+    either op is non-ok are omitted (the Spark side drops them via the
+    status filter + inner pivot)."""
+    from rust_geo_booleanop_spark.kernel.pairs import pair_boolean_ops_python
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.measures import area_python
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    rows = []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        s_json = serialize_multipolygon(subject)
+        c_json = serialize_multipolygon(clipping)
+        areas = {}
+        ok = True
+        for op, result_json, _n, _x0, _y0, _x1, _y1, status in (
+            pair_boolean_ops_python(s_json, c_json, ("intersection", "union"))
+        ):
+            if status != "ok":
+                ok = False
+                break
+            areas[op] = area_python(result_json)
+        if not ok:
+            continue
+        ai, au = areas["intersection"], areas["union"]
+        rows.append((case_id, ai, au))
+    return rows
+
+
+def _write_g19(pa, pq):
+    g19 = g19_iou_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g19], pa.int64()),
+                "area_intersection": pa.array([r[1] for r in g19], pa.float64()),
+                "area_union": pa.array([r[2] for r in g19], pa.float64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g19_iou_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g19: {len(g19)} iou rows (python-kernel + area-fold twin)")
 
 
 if __name__ == "__main__":

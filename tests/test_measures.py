@@ -183,3 +183,38 @@ class TestChunkDocuments:
         docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+class TestIouPerCase:
+    def test_known_overlap(self, spark):
+        from rust_geo_booleanop_spark.operators import apply_boolean_ops, iou_per_case
+
+        # unit squares [0,1]x[0,1] and [0.5,1.5]x[0,1]:
+        # intersection 0.5, union 1.5, iou = 1/3
+        sq = lambda x0, x1: json.dumps({
+            "type": "MultiPolygon",
+            "coordinates": [[[[x0, 0.0], [x1, 0.0], [x1, 1.0], [x0, 1.0], [x0, 0.0]]]],
+        })
+        pairs = spark.createDataFrame(
+            [
+                (0, "u://s0", sq(0.0, 1.0), "u://c0", sq(0.5, 1.5)),
+                # disjoint pair: intersection empty -> iou 0.0
+                (1, "u://s1", sq(0.0, 1.0), "u://c1", sq(5.0, 6.0)),
+            ],
+            "case_id long, subject_url string, subject_json string, "
+            "clipping_url string, clipping_json string",
+        )
+        res = apply_boolean_ops(pairs, ops=("intersection", "union"))
+        got = {r.case_id: r for r in iou_per_case(res).collect()}
+        assert got[0].area_intersection == 0.5
+        assert got[0].area_union == 1.5
+        assert got[0].iou == 0.5 / 1.5
+        assert got[1].area_intersection == 0.0
+        assert got[1].area_union == 2.0 and got[1].iou == 0.0
+
+    def test_area_python_twin_and_empty(self):
+        from rust_geo_booleanop_spark.operators import area_python, measures_python
+
+        gj = json.dumps(SQUARE_WITH_HOLE)
+        assert area_python(gj) == measures_python(gj)["area"]
+        assert area_python('{"type": "MultiPolygon", "coordinates": []}') == 0.0

@@ -131,6 +131,26 @@ class TestGeoFixturesFresh:
         }
         assert committed == expected
 
+    def test_g19_sample_fresh(self):
+        from scripts.gen_geo_oracle_fixtures import g19_iou_rows
+
+        sample = sorted(set(SAMPLE_CASES))
+        expected = {r[0]: r[1:] for r in g19_iou_rows(sample)}
+        committed = {
+            r[0]: r[1:]
+            for r in _fix("g19_iou_sf01")
+            if r[0] in set(SAMPLE_CASES)
+        }
+        # exact == on the area doubles (fold-order-pinned twins)
+        assert committed == expected
+
+    def test_g19_covers_sf01_case_space_nontrivially(self):
+        rows = _fix("g19_iou_sf01")
+        assert {r[0] for r in rows} == set(range(2500))
+        # unions strictly positive; at least one genuine partial overlap
+        assert all(r[2] > 0 for r in rows)
+        assert any(0.0 < r[1] / r[2] < 1.0 for r in rows)
+
     def test_g18_covers_sf01_case_space_and_convexifies(self):
         rows = _fix("g18_hull_sf01")
         assert {r[0] for r in rows} == set(range(2500))
