@@ -900,6 +900,46 @@ def _g19_iou(spark, sf_dir):
     return iou_per_case(results)
 
 
+def _g20_tile_weights(spark, sf_dir):
+    """Area-weighted tile apportionment (areal interpolation): fraction
+    of each subject geometry's area per covering tile, apportioning the
+    page's n_chars onto the grid (operators/tiling.py::
+    tile_area_weights). Oracle: committed fixture of clip/geom areas
+    from the python-kernel + area-fold twins
+    (scripts/gen_geo_oracle_fixtures.py::g20_weight_rows); the weight
+    division and the apportionment multiply are recomputed in SQL with
+    the LIVE n_chars — identical IEEE ops both engines."""
+    from rust_geo_booleanop_spark.operators import (
+        extract_geometries,
+        tile_area_weights,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).filter(
+        F.col("role") == "subject"
+    )
+    # level 6: subjects straddle ~10 tiles (median) so the weights are a
+    # real partition of unity, not a degenerate all-1.0 column; must
+    # match gen_geo_oracle_fixtures.G20_LEVEL
+    w = tile_area_weights(geoms, level=6)
+    vals = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.expr("doc_id DIV 2").alias("case_id"),
+            F.col("n_chars").cast("double").alias("_v"),
+        )
+    )
+    return w.join(vals, "case_id").select(
+        "case_id",
+        "tile_id",
+        "clip_area",
+        "geom_area",
+        "weight",
+        (F.col("weight") * F.col("_v")).alias("apportioned_chars"),
+    )
+
+
 def _d11_edit_clusters(spark, sf_dir):
     """Edit-distance dedup collapse: the d10 verified pair relation ->
     connected components (the d04 min-label/pointer-doubling stage) ->
@@ -1431,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_simplify": _g17_simplify,
         "g18_convex_hull": _g18_convex_hull,
         "g19_iou": _g19_iou,
+        "g20_tile_weights": _g20_tile_weights,
         # --- never driver-graded: dedup / text / similarity / media ---
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
@@ -1973,6 +2014,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS iou
             FROM read_parquet('{fixdir}/g19_iou_sf01.parquet') f
             JOIN cases USING (case_id)
+        """,
+        # g20: fixture areas from the python clip + area-fold twins; the
+        # weight division and apportionment multiply recomputed in SQL
+        # with the live n_chars
+        "g20_tile_weights": f"""
+            WITH vals AS (
+                SELECT doc_id // 2 AS case_id,
+                       CAST(n_chars AS DOUBLE) AS v
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT f.case_id, f.tile_id, f.clip_area, f.geom_area,
+                   CASE WHEN f.geom_area != 0.0
+                        THEN f.clip_area / f.geom_area
+                        ELSE 0.0 END AS weight,
+                   (CASE WHEN f.geom_area != 0.0
+                         THEN f.clip_area / f.geom_area
+                         ELSE 0.0 END) * v.v AS apportioned_chars
+            FROM read_parquet('{fixdir}/g20_tile_weights_sf01.parquet') f
+            JOIN vals v USING (case_id)
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

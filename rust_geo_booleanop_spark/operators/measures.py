@@ -67,8 +67,13 @@ def _ring_shoelace(ring):
 def geometry_measures(geoms: DataFrame, geom_col: str = "geom_json") -> DataFrame:
     """Append n_polys/n_rings/n_vertices/area/bbox columns (all JVM-side).
 
-    `area` is the signed shoelace area (CCW exteriors positive, CW holes
-    negative), i.e. the net enclosed area for kernel-oriented rings.
+    `area` is the SIGNED shoelace sum over all rings. NB: this equals the
+    enclosed region area only when holes are wound opposite to exteriors —
+    the kernel does NOT guarantee that (reference connect_edges.rs:288:
+    contours "may mix clockwise and counter-clockwise winding rules", and
+    input hole rings can pass through verbatim). For the true region area
+    use `region_area_column` / `region_area_python`, which subtract holes
+    STRUCTURALLY (ring index > 0 within a polygon) instead of by sign.
     """
     c = F.from_json(F.col(geom_col), MULTIPOLYGON_SCHEMA)["coordinates"]
     n_polys = F.size(c)
@@ -101,25 +106,87 @@ def geometry_measures(geoms: DataFrame, geom_col: str = "geom_json") -> DataFram
     )
 
 
+def region_area_column(geom_col: str):
+    """True enclosed region area as a pure-JVM column expression.
+
+    Per polygon: |shoelace(exterior)| minus |shoelace(hole_i)| subtracted
+    SEQUENTIALLY (left fold seeded with the exterior term), polygons
+    left-folded from 0.0, one final *0.5 — `region_area_python` mirrors
+    this exact FP operation order. Holes are identified structurally
+    (ring index > 0), never by winding, because the kernel's output
+    contract guarantees [exterior, holes...] nesting but NOT hole
+    orientation (reference connect_edges.rs:288). Exact for kernel
+    outputs and for any multipolygon whose polygons do not overlap each
+    other; self-overlapping raw inputs count overlap with multiplicity
+    (kernel-normalize first — e.g. intersect with the own bbox square —
+    to get even-odd semantics, as tiling.tile_area_weights does).
+    """
+    c = F.from_json(F.col(geom_col), MULTIPOLYGON_SCHEMA)["coordinates"]
+    area2 = F.aggregate(
+        c,
+        F.lit(0.0),
+        lambda acc, poly: acc
+        + F.when(
+            F.size(poly) > 0,
+            F.aggregate(
+                F.slice(poly, 2, F.greatest(F.size(poly) - 1, F.lit(0))),
+                F.abs(_ring_shoelace(F.element_at(poly, 1))),
+                lambda a, ring: a - F.abs(_ring_shoelace(ring)),
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return area2 * F.lit(0.5)
+
+
+def region_area_python(geom_json: str) -> float:
+    """CPython twin of `region_area_column` with IDENTICAL FP operation
+    order (per-ring left-fold shoelace, abs, sequential hole
+    subtraction, polygon left fold, single *0.5). Used by the g19/g20
+    fixture generators; must be edited in lockstep with the Spark
+    expression above. Safe on empty multipolygons (0.0)."""
+    coords = json.loads(geom_json)["coordinates"]
+    area2 = 0.0
+    for poly in coords:
+        if not poly:
+            area2 = area2 + 0.0
+            continue
+        poly_acc = None
+        for ring in poly:
+            ring_acc = 0.0
+            for i in range(len(ring) - 1):
+                ring_acc = ring_acc + (
+                    ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                )
+            if poly_acc is None:
+                poly_acc = abs(ring_acc)
+            else:
+                poly_acc = poly_acc - abs(ring_acc)
+        area2 = area2 + poly_acc
+    return area2 * 0.5
+
+
 def iou_per_case(results: DataFrame) -> DataFrame:
     """Intersection-over-union per case from boolean-op result rows
     (the output of apply_boolean_ops / boolean_pipeline run with ops
     containing 'intersection' and 'union'): the standard overlap metric
     of geospatial ML evaluation, computed end-to-end inside the engine —
-    kernel geometry (bit-exact, fixture-pinned) + the JVM shoelace area
-    fold (g16's CPython twin proves it) + ONE double division.
+    kernel geometry (bit-exact, fixture-pinned) + the JVM region-area
+    fold (structural hole subtraction; `region_area_python` is its
+    pinned CPython twin) + ONE double division. The signed fold would
+    mis-measure here: kernel outputs can carry holes wound the same way
+    as their exterior (reference connect_edges.rs:288), so holes must be
+    subtracted by ring position, not by sign.
 
     Output: (case_id, area_intersection, area_union, iou) for cases
     where BOTH ops returned status ok; iou = area_i / area_u, 0.0 when
     the union is empty. One hash-agg pivot on case_id — no self-join,
     no Python past the kernel stage.
     """
-    m = geometry_measures(
-        results.filter(F.col("status") == "ok").select(
-            "case_id", "op", "result_json"
-        ),
-        geom_col="result_json",
-    ).select("case_id", "op", "area")
+    m = results.filter(F.col("status") == "ok").select(
+        "case_id",
+        "op",
+        region_area_column("result_json").alias("area"),
+    )
     agg = m.groupBy("case_id").agg(
         F.max(F.when(F.col("op") == "intersection", F.col("area"))).alias(
             "area_intersection"

@@ -201,3 +201,150 @@ def clip_to_tiles(tiled: DataFrame, geom_col: str = "result_json", url_col: str 
         F.col(geom_col).alias("geom_json"),
     )
     return prepared.mapInPandas(_clip_batches, schema=_CLIP_SCHEMA)
+
+
+_WEIGHT_CLIP_SCHEMA = (
+    "case_id long, tile_id long, clipped_json string, status string"
+)
+
+
+def _weight_clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pair_run = resolve_pair_runner()
+    tile_json_cache: dict = {}
+
+    def cached_tile_json(tid: int) -> str:
+        tj = tile_json_cache.get(tid)
+        if tj is None:
+            tj = tile_json_cache[tid] = tile_square_json(tid)
+        return tj
+
+    for pdf in batches:
+        out = {"case_id": [], "tile_id": [], "clipped_json": [], "status": []}
+        for case_id, tile_id, geom_json in zip(
+            pdf["case_id"], pdf["tile_id"], pdf["geom_json"]
+        ):
+            (_, gj, _n, _, _, _, _, status), = pair_run(
+                geom_json, cached_tile_json(int(tile_id)), ("intersection",)
+            )
+            out["case_id"].append(case_id)
+            out["tile_id"].append(int(tile_id))
+            out["clipped_json"].append(gj if status == "ok" else "")
+            out["status"].append(status)
+        yield pd.DataFrame(out)
+
+
+def bbox_square_json(x0: float, y0: float, x1: float, y1: float) -> str:
+    """Serialized 1-polygon multipolygon of a bbox rectangle (repr
+    round-trips exactly). Shared with the g20 oracle-fixture generator."""
+    return serialize_multipolygon(
+        [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
+    )
+
+
+_REGION_AREA_SCHEMA = "case_id long, normalized_json string, status string"
+
+
+_NORMALIZE_PAD = 1.0  # see _region_normalize_batches
+
+
+def _region_normalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # kernel-normalize each geometry by intersecting it with a rectangle
+    # STRICTLY larger than its bbox: self-overlaps dissolve to even-odd
+    # semantics and holes land in their structural [exterior, holes...]
+    # slots. The pad is essential — a rectangle exactly equal to the bbox
+    # shares boundary with the geometry's extreme edges (the Martinez
+    # degenerate edge-overlap class: a bbox-tangent holed rectangle comes
+    # back with its hole as a separate exterior polygon). Padded edges
+    # lie strictly outside the bbox, so no geometry point can touch
+    # them — clean containment clipping, which is always safe.
+    pair_run = resolve_pair_runner()
+    for pdf in batches:
+        out = {"case_id": [], "normalized_json": [], "status": []}
+        for case_id, geom_json, x0, y0, x1, y1 in zip(
+            pdf["case_id"], pdf["geom_json"],
+            pdf["xmin"], pdf["ymin"], pdf["xmax"], pdf["ymax"],
+        ):
+            (_, gj, _n, _, _, _, _, status), = pair_run(
+                geom_json,
+                bbox_square_json(
+                    float(x0) - _NORMALIZE_PAD,
+                    float(y0) - _NORMALIZE_PAD,
+                    float(x1) + _NORMALIZE_PAD,
+                    float(y1) + _NORMALIZE_PAD,
+                ),
+                ("intersection",),
+            )
+            out["case_id"].append(case_id)
+            out["normalized_json"].append(gj if status == "ok" else "")
+            out["status"].append(status)
+        yield pd.DataFrame(out)
+
+
+def tile_area_weights(
+    geoms: DataFrame, level: int = DEFAULT_TILE_LEVEL
+) -> DataFrame:
+    """Area-weighted tile apportionment (areal interpolation): for each
+    geometry, the fraction of its area falling in each covering tile —
+    the standard GIS primitive for transferring a zone-level value
+    (population, counts, page statistics) onto a regular grid:
+    apportioned = value * weight, sum(weight per case) == 1 for fully
+    covered geometries.
+
+    Input needs (case_id, geom_json, xmin, ymin, xmax, ymax) — the
+    extraction schema. Output, one row per (case, covering tile) with
+    clip status ok: (case_id, tile_id, clip_area, geom_area, weight)
+    where both areas are the JVM structural region-area fold
+    (measures.region_area_column: |exterior| minus |holes| by ring
+    position — sign-based folds mis-measure kernel outputs whose holes
+    kept their input winding) over KERNEL-NORMALIZED geometry: the
+    per-tile clip for the numerator, the geometry intersected with its
+    own bbox rectangle for the denominator (the kernel pass even-odd
+    dissolves self-overlapping raw multipolygons, so weight =
+    clip_area / geom_area is a true area fraction in [0, 1] and the
+    weights of a fully covered geometry partition unity). One double
+    division.
+
+    100 TB shape: tile cover is the pure-JVM cover-cells expression
+    (explode is map-side), the kernel clip + the per-case normalization
+    are mapInPandas stages with per-batch tile-square memoization,
+    areas are codegen folds, and the per-case region area joins back on
+    case_id — no collect, no cross-tile shuffle beyond the one agg-free
+    equi-join.
+    """
+    from .measures import region_area_column
+
+    tiled = geoms.select(
+        "case_id",
+        "geom_json",
+        F.explode(
+            cover_cells_column(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), level
+            )
+        ).alias("tile_id"),
+    )
+    clipped = tiled.select("case_id", "tile_id", "geom_json").mapInPandas(
+        _weight_clip_batches, schema=_WEIGHT_CLIP_SCHEMA
+    )
+    clip_area = clipped.filter(F.col("status") == "ok").select(
+        "case_id",
+        "tile_id",
+        region_area_column("clipped_json").alias("clip_area"),
+    )
+    normalized = geoms.select(
+        "case_id", "geom_json", "xmin", "ymin", "xmax", "ymax"
+    ).mapInPandas(_region_normalize_batches, schema=_REGION_AREA_SCHEMA)
+    geom_area = normalized.filter(F.col("status") == "ok").select(
+        "case_id",
+        region_area_column("normalized_json").alias("geom_area"),
+    )
+    return (
+        clip_area.join(geom_area, "case_id")
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("geom_area") != 0.0,
+                F.col("clip_area") / F.col("geom_area"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("case_id", "tile_id", "clip_area", "geom_area", "weight")
+    )

@@ -1,4 +1,4 @@
-"""Regenerate the geo-pipeline oracle fixtures (g01/g02/g03/g09/g16/g17/g18).
+"""Regenerate the geo-pipeline oracle fixtures (g01-g03/g09/g16-g20).
 
 Two provenance classes, both committed under tests/oracle_fixtures/:
 
@@ -43,6 +43,8 @@ REF_FIXTURES = "/root/reference/tests/fixtures/generic_test_cases"
 N_CASES = 2500  # sf0.1's documents table: doc_ids 0..4999 -> cases 0..2499
 OPS = ("intersection", "union", "diff", "xor")  # boolean_join.DEFAULT_OPS
 TILE_LEVEL = 4  # tiling.DEFAULT_TILE_LEVEL
+G20_LEVEL = 6  # finer grid for area weights (subjects straddle ~10 tiles);
+# must match the level passed in __spark_entry__._g20_tile_weights
 
 
 def geo_case_rows(case_ids):
@@ -349,6 +351,8 @@ def main():
         _write_g18(pa, pq)
     if want("g19"):
         _write_g19(pa, pq)
+    if want("g20"):
+        _write_g20(pa, pq)
 
 
 def _write_geo(pa, pq):
@@ -485,15 +489,17 @@ def _write_g18(pa, pq):
 
 def g19_iou_rows(case_ids):
     """Expected per-case intersection/union areas, computed with the
-    PURE-PYTHON kernel pair runner and the area fold of the
-    measures_python twin (identical FP operation order to the JVM
-    shoelace expressions) — so the fixture cross-checks kernel result
-    geometry AND the JVM area fold AND the one iou division. Cases where
-    either op is non-ok are omitted (the Spark side drops them via the
-    status filter + inner pivot)."""
+    PURE-PYTHON kernel pair runner and the structural region-area fold
+    of the region_area_python twin (identical FP operation order to the
+    JVM region_area_column expression; holes subtracted by ring
+    position, not sign — kernel outputs can carry same-winding holes) —
+    so the fixture cross-checks kernel result geometry AND the JVM area
+    fold AND the one iou division. Cases where either op is non-ok are
+    omitted (the Spark side drops them via the status filter + inner
+    pivot)."""
     from rust_geo_booleanop_spark.kernel.pairs import pair_boolean_ops_python
     from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
-    from rust_geo_booleanop_spark.operators.measures import area_python
+    from rust_geo_booleanop_spark.operators.measures import region_area_python
     from rust_geo_booleanop_spark.sources.corpus import case_geometry
 
     rows = []
@@ -509,12 +515,79 @@ def g19_iou_rows(case_ids):
             if status != "ok":
                 ok = False
                 break
-            areas[op] = area_python(result_json)
+            areas[op] = region_area_python(result_json)
         if not ok:
             continue
         ai, au = areas["intersection"], areas["union"]
         rows.append((case_id, ai, au))
     return rows
+
+
+def g20_weight_rows(case_ids):
+    """Expected per-(case, tile) clip/geometry areas for the SUBJECT
+    geometries, computed with the python bbox-cover helper + the
+    pure-python kernel clip + the area-fold twin. The denominator is the
+    KERNEL-NORMALIZED region area — subject intersected with its own
+    bbox rectangle, exactly as tiling.tile_area_weights normalizes on
+    the Spark side (raw corpus rings have arbitrary orientation, so the
+    raw signed shoelace is not the region area). Non-ok rows are omitted
+    (the Spark side filters them identically); the weight division and
+    the apportionment multiply are recomputed in SQL."""
+    from rust_geo_booleanop_spark.functions.cells import bbox_cover_cells
+    from rust_geo_booleanop_spark.kernel.pairs import pair_boolean_ops_python
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.measures import region_area_python
+    from rust_geo_booleanop_spark.operators.tiling import (
+        bbox_square_json,
+        tile_square_json,
+    )
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    rows = []
+    for case_id in case_ids:
+        subject, _clipping = case_geometry(case_id)
+        s_json = serialize_multipolygon(subject)
+        xs = [p[0] for poly in subject for ring in poly for p in ring]
+        ys = [p[1] for poly in subject for ring in poly for p in ring]
+        # pad matches tiling._NORMALIZE_PAD: a bbox-tangent rectangle is
+        # the degenerate edge-overlap class (hole mis-classified as a
+        # separate exterior); strictly-outside edges are always clean
+        (_, norm_json, _n, _, _, _, _, nstatus), = pair_boolean_ops_python(
+            s_json,
+            bbox_square_json(
+                min(xs) - 1.0, min(ys) - 1.0, max(xs) + 1.0, max(ys) + 1.0
+            ),
+            ("intersection",),
+        )
+        if nstatus != "ok":
+            continue
+        geom_area = region_area_python(norm_json)
+        tiles = bbox_cover_cells(min(xs), min(ys), max(xs), max(ys), G20_LEVEL)
+        for tid in tiles:
+            (_, gj, _n, _, _, _, _, status), = pair_boolean_ops_python(
+                s_json, tile_square_json(int(tid)), ("intersection",)
+            )
+            if status != "ok":
+                continue
+            rows.append((case_id, int(tid), region_area_python(gj), geom_area))
+    return rows
+
+
+def _write_g20(pa, pq):
+    g20 = g20_weight_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g20], pa.int64()),
+                "tile_id": pa.array([r[1] for r in g20], pa.int64()),
+                "clip_area": pa.array([r[2] for r in g20], pa.float64()),
+                "geom_area": pa.array([r[3] for r in g20], pa.float64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g20_tile_weights_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g20: {len(g20)} tile-weight rows (python-kernel clip + area twin)")
 
 
 def _write_g19(pa, pq):

@@ -151,6 +151,34 @@ class TestGeoFixturesFresh:
         assert all(r[2] > 0 for r in rows)
         assert any(0.0 < r[1] / r[2] < 1.0 for r in rows)
 
+    def test_g20_sample_fresh(self):
+        from scripts.gen_geo_oracle_fixtures import g20_weight_rows
+
+        sample = sorted(set(SAMPLE_CASES))
+        expected = {(r[0], r[1]): r[2:] for r in g20_weight_rows(sample)}
+        committed = {
+            (r[0], r[1]): r[2:]
+            for r in _fix("g20_tile_weights_sf01")
+            if r[0] in set(SAMPLE_CASES)
+        }
+        assert committed == expected
+
+    def test_g20_covers_sf01_and_weights_partition(self):
+        rows = _fix("g20_tile_weights_sf01")
+        assert {r[0] for r in rows} == set(range(2500))
+        # per-case clip areas sum to the geometry area for fully covered
+        # subjects (exact FP equality is not guaranteed for sums across
+        # tiles, so allow a tiny relative tolerance here — the ORACLE
+        # comparison never sums, it checks per-row values)
+        from collections import defaultdict
+
+        acc = defaultdict(float)
+        geom = {}
+        for cid, _tid, ca, ga in rows:
+            acc[cid] += ca
+            geom[cid] = ga
+        assert all(abs(acc[c] - geom[c]) <= 1e-9 * max(1.0, abs(geom[c])) for c in geom)
+
     def test_g18_covers_sf01_case_space_and_convexifies(self):
         rows = _fix("g18_hull_sf01")
         assert {r[0] for r in rows} == set(range(2500))

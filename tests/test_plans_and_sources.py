@@ -203,3 +203,53 @@ def test_flagship_plan_scans_documents_once(spark):
     plan = tiled._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert plan.count("MapInPandas") == 3  # synthesis, extraction, kernel
+
+
+class TestTileAreaWeights:
+    def test_straddling_square_splits_weight(self, spark):
+        from rust_geo_booleanop_spark.functions.cells import cell_size
+        from rust_geo_booleanop_spark.operators import tile_area_weights
+        import json as _json
+
+        sz = cell_size(4)
+        # square centered on the x-boundary between tiles (ix=0, ix=1):
+        # covers [sz-0.25*sz, sz+0.25*sz] x [0.25*sz, 0.75*sz]
+        x0, x1 = 0.75 * sz, 1.25 * sz
+        y0, y1 = 0.25 * sz, 0.75 * sz
+        gj = _json.dumps({
+            "type": "MultiPolygon",
+            "coordinates": [[[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]],
+        })
+        geoms = spark.createDataFrame(
+            [(7, gj, x0, y0, x1, y1)],
+            "case_id long, geom_json string, xmin double, ymin double, "
+            "xmax double, ymax double",
+        )
+        rows = tile_area_weights(geoms, level=4).collect()
+        assert len(rows) == 2
+        ws = sorted(r.weight for r in rows)
+        assert ws == [0.5, 0.5]
+        assert all(r.geom_area == (x1 - x0) * (y1 - y0) for r in rows)
+        # weights over the covering tiles of a fully-covered geometry
+        # partition its area
+        assert sum(r.clip_area for r in rows) == rows[0].geom_area
+
+    def test_contained_geometry_single_tile_weight_one(self, spark):
+        from rust_geo_booleanop_spark.functions.cells import cell_size
+        from rust_geo_booleanop_spark.operators import tile_area_weights
+        import json as _json
+
+        sz = cell_size(4)
+        gj = _json.dumps({
+            "type": "MultiPolygon",
+            "coordinates": [[[[0.1 * sz, 0.1 * sz], [0.4 * sz, 0.1 * sz],
+                              [0.4 * sz, 0.4 * sz], [0.1 * sz, 0.4 * sz],
+                              [0.1 * sz, 0.1 * sz]]]],
+        })
+        geoms = spark.createDataFrame(
+            [(1, gj, 0.1 * sz, 0.1 * sz, 0.4 * sz, 0.4 * sz)],
+            "case_id long, geom_json string, xmin double, ymin double, "
+            "xmax double, ymax double",
+        )
+        rows = tile_area_weights(geoms, level=4).collect()
+        assert len(rows) == 1 and rows[0].weight == 1.0
