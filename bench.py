@@ -125,6 +125,7 @@ def main():
         sessionize,
         simplify_geometries,
         stratified_sample,
+        tile_area_weights,
         containment_pairs,
         edit_verified_pairs,
         substring_dup_stats,
@@ -227,6 +228,7 @@ def main():
         "containment_pairs": 4.0,
         "convex_hull": 3.0,
         "iou": 5.0,
+        "tile_weights": 6.5,
         "vocab_stats": 0.6,
         "length_token_corr": 0.6,
     }
@@ -568,6 +570,16 @@ def main():
             )
         )
         .agg(F.sum("iou"))
+        .collect(),
+    )
+    # re-runs extraction too; level 6 = the g20 grid (~10 tiles/subject)
+    timed(
+        "tile_weights",
+        lambda: tile_area_weights(
+            extract_geometries(docs).filter(F.col("role") == "subject"),
+            level=6,
+        )
+        .agg(F.sum("weight"))
         .collect(),
     )
     timed(

@@ -309,7 +309,13 @@ def tile_area_weights(
     are mapInPandas stages with per-batch tile-square memoization,
     areas are codegen folds, and the per-case region area joins back on
     case_id — no collect, no cross-tile shuffle beyond the one agg-free
-    equi-join.
+    equi-join. `geoms` is consumed twice (clip branch + denominator
+    branch); persist it upstream to avoid a second scan+extraction.
+    The denominator is deliberately NOT sum(clip_area) — a shuffle-order
+    sum is FP-nondeterministic across runs, while the per-geometry
+    kernel pass gives every row a deterministic, oracle-reproducible
+    value for one extra kernel run per geometry (~1/tiles-per-geometry
+    relative cost).
     """
     from .measures import region_area_column
 

@@ -86,7 +86,8 @@ def main():
         ("h04_vocab_stats", "vocabulary stats: token explode -> (lang, token) map-side-partial hash agg -> tiny per-lang rollup - never a raw-token distinct"),
         ("d10_edit_pairs", "edit-verified near-dup pairs: df-bounded window-key blocking evaluated ONCE (in-row bounded pair expansion, no self-join), DISTINCT id pairs BEFORE text re-fetch, length-gap lower-bound prune, thresholded JVM levenshtein - O(k*len) verify only on candidates"),
         ("h06_zipf_histogram", "Zipf frequency histogram: token explode -> map-side-partial token hash agg -> exact base-2 digit bucket (conv, no floating log) -> ~64-row rollup"),
-        ("g19_iou", "IoU per case: ONE kernel MapInPandas (intersection+union rows), JVM shoelace fold, hash-agg pivot on case_id - no self-join, no Python past the kernel"),
+        ("g19_iou", "IoU per case: ONE kernel MapInPandas (intersection+union rows), JVM region-area fold, hash-agg pivot on case_id - no self-join, no Python past the kernel"),
+        ("g20_tile_weights", "tile area weights: JVM cover-cells explode -> kernel-clip MapInPandas -> codegen region-area folds on both branches -> one case_id equi-join; denominator is a per-geometry kernel pass (deterministic, not a shuffle-order sum)"),
         ("d12_containment_pairs", "containment/quote detection: distinct-window relation evaluated once, df-bounded in-row pair expansion, map-side-partial shared-count agg, per-doc counts joined onto the small pair relation"),
     ]
 
