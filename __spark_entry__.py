@@ -940,6 +940,23 @@ def _g20_tile_weights(spark, sf_dir):
     )
 
 
+def _g21_shape_stats(spark, sf_dir):
+    """Shape statistics (region area, area-weighted centroid, boundary
+    perimeter) over every extracted corpus geometry — pure-JVM
+    higher-order-function folds, winding-robust structural hole handling
+    (operators/measures.py::shape_stats). Oracle: committed fixture from
+    the CPython twin `shape_stats_python` (identical FP operation
+    order), joined against the live documents view to restrict to the
+    current scale factor — the g16 generated-oracle pattern."""
+    from rust_geo_booleanop_spark.operators import extract_geometries, shape_stats
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).select(
+        "case_id", "role", "geom_json"
+    )
+    return shape_stats(geoms).drop("geom_json")
+
+
 def _d11_edit_clusters(spark, sf_dir):
     """Edit-distance dedup collapse: the d10 verified pair relation ->
     connected components (the d04 min-label/pointer-doubling stage) ->
@@ -1472,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_convex_hull": _g18_convex_hull,
         "g19_iou": _g19_iou,
         "g20_tile_weights": _g20_tile_weights,
+        "g21_shape_stats": _g21_shape_stats,
         # --- never driver-graded: dedup / text / similarity / media ---
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
@@ -2033,6 +2051,19 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END) * v.v AS apportioned_chars
             FROM read_parquet('{fixdir}/g20_tile_weights_sf01.parquet') f
             JOIN vals v USING (case_id)
+        """,
+        # g21: shape-twin fixture (region area / centroid / perimeter),
+        # restricted to the live scale factor via the docroles join
+        "g21_shape_stats": f"""
+            WITH docroles AS (
+                SELECT doc_id // 2 AS case_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'subject' ELSE 'clipping' END AS role
+                FROM documents
+            )
+            SELECT f.case_id, f.role, f.region_area, f.centroid_x,
+                   f.centroid_y, f.perimeter
+            FROM read_parquet('{fixdir}/g21_shape_sf01.parquet') f
+            JOIN docroles USING (case_id, role)
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

@@ -123,6 +123,7 @@ def main():
         point_in_polygon_join,
         remove_boilerplate_lines,
         sessionize,
+        shape_stats,
         simplify_geometries,
         stratified_sample,
         tile_area_weights,
@@ -227,6 +228,7 @@ def main():
         "zipf_histogram": 1.0,
         "containment_pairs": 4.0,
         "convex_hull": 3.0,
+        "shape_stats": 3.0,
         "iou": 5.0,
         "tile_weights": 6.5,
         "vocab_stats": 0.6,
@@ -588,6 +590,15 @@ def main():
             extract_geometries(docs).select("case_id", "role", "geom_json")
         )
         .agg(F.sum("n_hull_vertices"))
+        .collect(),
+    )
+    # pure-JVM shoelace/centroid/perimeter folds; extraction dominates
+    timed(
+        "shape_stats",
+        lambda: shape_stats(
+            extract_geometries(docs).select("case_id", "role", "geom_json")
+        )
+        .agg(F.sum("region_area"), F.sum("perimeter"))
         .collect(),
     )
 

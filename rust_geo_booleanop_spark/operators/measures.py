@@ -165,6 +165,187 @@ def region_area_python(geom_json: str) -> float:
     return area2 * 0.5
 
 
+def _ring_cx6(ring):
+    """Left-fold sum of (x_i + x_{i+1}) * cross_i over a closed ring —
+    the x-centroid numerator at 6x scale (centroid_x = cx6 / (3*a2))."""
+    edges = F.transform(
+        F.slice(ring, 1, F.greatest(F.size(ring) - 1, F.lit(0))),
+        lambda p, i: (p.getItem(0) + F.element_at(ring, i + F.lit(2)).getItem(0))
+        * (
+            p.getItem(0) * F.element_at(ring, i + F.lit(2)).getItem(1)
+            - F.element_at(ring, i + F.lit(2)).getItem(0) * p.getItem(1)
+        ),
+    )
+    return F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ring_cy6(ring):
+    """y twin of _ring_cx6: (y_i + y_{i+1}) * cross_i."""
+    edges = F.transform(
+        F.slice(ring, 1, F.greatest(F.size(ring) - 1, F.lit(0))),
+        lambda p, i: (p.getItem(1) + F.element_at(ring, i + F.lit(2)).getItem(1))
+        * (
+            p.getItem(0) * F.element_at(ring, i + F.lit(2)).getItem(1)
+            - F.element_at(ring, i + F.lit(2)).getItem(0) * p.getItem(1)
+        ),
+    )
+    return F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ring_perimeter(ring):
+    """Left-fold sum of sqrt(dx*dx + dy*dy) over the ring's edges —
+    +, *, sqrt are all correctly rounded, so the CPython twin is
+    bit-identical."""
+    edges = F.transform(
+        F.slice(ring, 1, F.greatest(F.size(ring) - 1, F.lit(0))),
+        lambda p, i: F.sqrt(
+            (F.element_at(ring, i + F.lit(2)).getItem(0) - p.getItem(0))
+            * (F.element_at(ring, i + F.lit(2)).getItem(0) - p.getItem(0))
+            + (F.element_at(ring, i + F.lit(2)).getItem(1) - p.getItem(1))
+            * (F.element_at(ring, i + F.lit(2)).getItem(1) - p.getItem(1))
+        ),
+    )
+    return F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sign_adjusted(ring, value_fn):
+    # ring term with its sign normalized so the ring's own shoelace
+    # reads non-negative: exteriors and holes can be wound either way
+    # (connect_edges.rs:288), so centroid numerators must be
+    # re-signed per ring before structural hole subtraction
+    return F.when(_ring_shoelace(ring) >= 0.0, value_fn(ring)).otherwise(
+        -value_fn(ring)
+    )
+
+
+def _structural_fold(c, ring_fn, norm):
+    """Geometry-level left fold: per polygon the exterior's term minus
+    each hole's term sequentially, polygons summed from 0.0. `norm`
+    wraps each ring term (abs for areas, sign-adjust for centroid
+    numerators)."""
+    return F.aggregate(
+        c,
+        F.lit(0.0),
+        lambda acc, poly: acc
+        + F.when(
+            F.size(poly) > 0,
+            F.aggregate(
+                F.slice(poly, 2, F.greatest(F.size(poly) - 1, F.lit(0))),
+                norm(F.element_at(poly, 1), ring_fn),
+                lambda a, ring: a - norm(ring, ring_fn),
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+SHAPE_COLUMNS = ("region_area", "centroid_x", "centroid_y", "perimeter")
+
+
+def shape_stats(geoms: DataFrame, geom_col: str = "geom_json") -> DataFrame:
+    """Append region_area / centroid_x / centroid_y / perimeter — all
+    pure-JVM higher-order-function folds inside whole-stage codegen, no
+    Python stage anywhere (engine requirement; no reference counterpart —
+    the reference computes no measures).
+
+    Winding-robust by construction: every per-ring term is sign-adjusted
+    so the ring's own shoelace reads non-negative, then holes (ring
+    index > 0) are subtracted STRUCTURALLY — the kernel's output contract
+    guarantees [exterior, holes...] nesting but not hole orientation
+    (reference connect_edges.rs:288). `region_area` is bit-identical to
+    `region_area_column`. `centroid_{x,y}` = cx6 / (3 * a2) over the
+    structural sums (NULL for zero-area geometries); `perimeter` sums
+    every ring's boundary length (holes ADD boundary). `shape_stats_python`
+    is the pinned FP-order twin (g21 fixture).
+
+    Semantics note: exact for kernel outputs and non-overlapping
+    multipolygons; self-overlapping raw inputs count overlap with
+    multiplicity (same contract as region_area_column).
+    """
+    c = F.from_json(F.col(geom_col), MULTIPOLYGON_SCHEMA)["coordinates"]
+    a2 = _structural_fold(c, _ring_shoelace, lambda r, fn: F.abs(fn(r)))
+    cx6 = _structural_fold(c, _ring_cx6, _sign_adjusted)
+    cy6 = _structural_fold(c, _ring_cy6, _sign_adjusted)
+    per = F.aggregate(
+        c,
+        F.lit(0.0),
+        lambda acc, poly: acc
+        + F.aggregate(poly, F.lit(0.0), lambda a, ring: a + _ring_perimeter(ring)),
+    )
+    return geoms.select(
+        *geoms.columns,
+        (a2 * F.lit(0.5)).alias("region_area"),
+        F.when(a2 != 0.0, cx6 / (a2 * F.lit(3.0)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("centroid_x"),
+        F.when(a2 != 0.0, cy6 / (a2 * F.lit(3.0)))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("centroid_y"),
+        per.alias("perimeter"),
+    )
+
+
+def shape_stats_python(geom_json: str):
+    """CPython twin of `shape_stats` with IDENTICAL FP operation order.
+    Each accumulator (a2/cx6/cy6/perimeter) is an independent left fold,
+    so the single pass here equals the JVM's per-column folds value for
+    value. Used by the g21 fixture generator; edit in lockstep with the
+    Spark expressions above."""
+    import math
+
+    coords = json.loads(geom_json)["coordinates"]
+    a2_total = 0.0
+    cx6_total = 0.0
+    cy6_total = 0.0
+    per_total = 0.0
+    for poly in coords:
+        poly_per = 0.0
+        for ring in poly:
+            ring_per = 0.0
+            for i in range(len(ring) - 1):
+                dx = ring[i + 1][0] - ring[i][0]
+                dy = ring[i + 1][1] - ring[i][1]
+                ring_per = ring_per + math.sqrt(dx * dx + dy * dy)
+            poly_per = poly_per + ring_per
+        per_total = per_total + poly_per
+        if not poly:
+            a2_total = a2_total + 0.0
+            cx6_total = cx6_total + 0.0
+            cy6_total = cy6_total + 0.0
+            continue
+        poly_a2 = None
+        poly_cx6 = None
+        poly_cy6 = None
+        for ridx, ring in enumerate(poly):
+            ring_a2 = 0.0
+            ring_cx6 = 0.0
+            ring_cy6 = 0.0
+            for i in range(len(ring) - 1):
+                cross = ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                ring_a2 = ring_a2 + cross
+                ring_cx6 = ring_cx6 + (ring[i][0] + ring[i + 1][0]) * cross
+                ring_cy6 = ring_cy6 + (ring[i][1] + ring[i + 1][1]) * cross
+            norm_a2 = abs(ring_a2)
+            if ring_a2 >= 0.0:
+                norm_cx6, norm_cy6 = ring_cx6, ring_cy6
+            else:
+                norm_cx6, norm_cy6 = -ring_cx6, -ring_cy6
+            if ridx == 0:
+                poly_a2, poly_cx6, poly_cy6 = norm_a2, norm_cx6, norm_cy6
+            else:
+                poly_a2 = poly_a2 - norm_a2
+                poly_cx6 = poly_cx6 - norm_cx6
+                poly_cy6 = poly_cy6 - norm_cy6
+        a2_total = a2_total + poly_a2
+        cx6_total = cx6_total + poly_cx6
+        cy6_total = cy6_total + poly_cy6
+    return {
+        "region_area": a2_total * 0.5,
+        "centroid_x": cx6_total / (a2_total * 3.0) if a2_total != 0.0 else None,
+        "centroid_y": cy6_total / (a2_total * 3.0) if a2_total != 0.0 else None,
+        "perimeter": per_total,
+    }
+
+
 def iou_per_case(results: DataFrame) -> DataFrame:
     """Intersection-over-union per case from boolean-op result rows
     (the output of apply_boolean_ops / boolean_pipeline run with ops

@@ -89,6 +89,7 @@ def main():
         ("g19_iou", "IoU per case: ONE kernel MapInPandas (intersection+union rows), JVM region-area fold, hash-agg pivot on case_id - no self-join, no Python past the kernel"),
         ("g20_tile_weights", "tile area weights: JVM cover-cells explode -> kernel-clip MapInPandas -> codegen region-area folds on both branches -> one case_id equi-join; denominator is a per-geometry kernel pass (deterministic, not a shuffle-order sum)"),
         ("d12_containment_pairs", "containment/quote detection: distinct-window relation evaluated once, df-bounded in-row pair expansion, map-side-partial shared-count agg, per-doc counts joined onto the small pair relation"),
+        ("g21_shape_stats", "shape statistics: region-area/centroid/perimeter as pure-JVM higher-order-function folds in one codegen stage over the geometry column - no shuffle, no Python"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

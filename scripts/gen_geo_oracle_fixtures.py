@@ -353,6 +353,8 @@ def main():
         _write_g19(pa, pq)
     if want("g20"):
         _write_g20(pa, pq)
+    if want("g21"):
+        _write_g21(pa, pq)
 
 
 def _write_geo(pa, pq):
@@ -588,6 +590,52 @@ def _write_g20(pa, pq):
         compression="zstd",
     )
     print(f"g20: {len(g20)} tile-weight rows (python-kernel clip + area twin)")
+
+
+def g21_shape_rows(case_ids):
+    """Expected region_area/centroid/perimeter per (case, role) from the
+    CPython shape twin `shape_stats_python` (identical FP operation
+    order to the JVM shape_stats folds) over the raw corpus geometries —
+    the same generated-oracle pattern as g16."""
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.operators.measures import shape_stats_python
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    rows = []
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        for role, mp in (("subject", subject), ("clipping", clipping)):
+            st = shape_stats_python(serialize_multipolygon(mp))
+            rows.append(
+                (
+                    case_id,
+                    role,
+                    st["region_area"],
+                    st["centroid_x"],
+                    st["centroid_y"],
+                    st["perimeter"],
+                )
+            )
+    return rows
+
+
+def _write_g21(pa, pq):
+    g21 = g21_shape_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g21], pa.int64()),
+                "role": pa.array([r[1] for r in g21], pa.string()),
+                "region_area": pa.array([r[2] for r in g21], pa.float64()),
+                "centroid_x": pa.array([r[3] for r in g21], pa.float64()),
+                "centroid_y": pa.array([r[4] for r in g21], pa.float64()),
+                "perimeter": pa.array([r[5] for r in g21], pa.float64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g21_shape_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g21: {len(g21)} shape rows (shape_stats_python twin)")
 
 
 def _write_g19(pa, pq):

@@ -218,3 +218,95 @@ class TestIouPerCase:
         gj = json.dumps(SQUARE_WITH_HOLE)
         assert area_python(gj) == measures_python(gj)["area"]
         assert area_python('{"type": "MultiPolygon", "coordinates": []}') == 0.0
+
+
+class TestShapeStats:
+    def _stats_one(self, spark, geom):
+        from rust_geo_booleanop_spark.operators import shape_stats
+
+        gj = json.dumps(geom, separators=(",", ":"))
+        df = spark.createDataFrame([(gj,)], "geom_json string")
+        return shape_stats(df).drop("geom_json").collect()[0]
+
+    def test_unit_square(self, spark):
+        r = self._stats_one(spark, UNIT_SQUARE)
+        assert r.region_area == 16.0
+        assert (r.centroid_x, r.centroid_y) == (2.0, 2.0)
+        assert r.perimeter == 16.0
+
+    def test_hole_subtracts_area_adds_perimeter(self, spark):
+        r = self._stats_one(spark, SQUARE_WITH_HOLE)
+        assert r.region_area == 12.0  # 16 - 4
+        # concentric hole keeps the centroid at the center
+        assert (r.centroid_x, r.centroid_y) == (2.0, 2.0)
+        assert r.perimeter == 16.0 + 8.0  # hole boundary ADDS
+
+    def test_off_center_hole_shifts_centroid(self, spark):
+        geom = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [
+                    [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]],
+                    [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]],
+                ]
+            ],
+        }
+        r = self._stats_one(spark, geom)
+        assert r.region_area == 15.0
+        # (16*2 - 1*0.5) / 15 = 2.1
+        assert abs(r.centroid_x - 2.1) < 1e-12
+        assert abs(r.centroid_y - 2.1) < 1e-12
+        assert r.perimeter == 20.0
+
+    def test_winding_robust(self, spark):
+        """Reversing the hole's winding (kernel outputs don't guarantee
+        hole orientation, connect_edges.rs:288) must not change any
+        statistic — structural ring position, not sign, decides holes."""
+        flipped = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [
+                    SQUARE_WITH_HOLE["coordinates"][0][0],
+                    list(reversed(SQUARE_WITH_HOLE["coordinates"][0][1])),
+                ]
+            ],
+        }
+        a = self._stats_one(spark, SQUARE_WITH_HOLE)
+        b = self._stats_one(spark, flipped)
+        assert (a.region_area, a.centroid_x, a.centroid_y, a.perimeter) == (
+            b.region_area,
+            b.centroid_x,
+            b.centroid_y,
+            b.perimeter,
+        )
+
+    def test_zero_area_null_centroid(self, spark):
+        degenerate = {
+            "type": "MultiPolygon",
+            "coordinates": [[[[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]]],
+        }
+        r = self._stats_one(spark, degenerate)
+        assert r.region_area == 0.0
+        assert r.centroid_x is None and r.centroid_y is None
+        assert r.perimeter == 4.0
+
+    def test_bit_identical_to_python_twin_on_corpus(self, spark):
+        """JVM folds vs the CPython twin, every geometry at sf0.001,
+        exact == plus repr equality (zero-sign divergences)."""
+        from rust_geo_booleanop_spark.operators import (
+            extract_geometries,
+            shape_stats,
+            shape_stats_python,
+        )
+        from rust_geo_booleanop_spark.sources import build_documents
+
+        geoms = extract_geometries(
+            build_documents(spark, "/root/testdata/sf0.001")
+        ).select("case_id", "role", "geom_json")
+        rows = shape_stats(geoms).collect()
+        assert len(rows) == 500
+        for r in rows:
+            exp = shape_stats_python(r.geom_json)
+            for k, v in exp.items():
+                got = getattr(r, k)
+                assert got == v and repr(got) == repr(v), (r.case_id, r.role, k)

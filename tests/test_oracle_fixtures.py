@@ -179,6 +179,31 @@ class TestGeoFixturesFresh:
             geom[cid] = ga
         assert all(abs(acc[c] - geom[c]) <= 1e-9 * max(1.0, abs(geom[c])) for c in geom)
 
+    def test_g21_sample_fresh(self):
+        from scripts.gen_geo_oracle_fixtures import g21_shape_rows
+
+        sample = sorted(set(SAMPLE_CASES))
+        expected = {(r[0], r[1]): r[2:] for r in g21_shape_rows(sample)}
+        committed = {
+            (r[0], r[1]): r[2:]
+            for r in _fix("g21_shape_sf01")
+            if r[0] in set(SAMPLE_CASES)
+        }
+        assert committed == expected
+
+    def test_g21_covers_sf01_both_roles_sane(self):
+        rows = _fix("g21_shape_sf01")
+        assert {(r[0], r[1]) for r in rows} == {
+            (c, role)
+            for c in range(2500)
+            for role in ("subject", "clipping")
+        }
+        # every corpus geometry encloses positive area, has a finite
+        # centroid inside its own frame slot, and a positive boundary
+        for _cid, _role, area, cx, cy, per in rows:
+            assert area > 0.0 and per > 0.0
+            assert cx is not None and cy is not None
+
     def test_g18_covers_sf01_case_space_and_convexifies(self):
         rows = _fix("g18_hull_sf01")
         assert {r[0] for r in rows} == set(range(2500))
