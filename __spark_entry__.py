@@ -986,6 +986,33 @@ def _h06_zipf_histogram(spark, sf_dir):
     return zipf_histogram(_t(spark, sf_dir, "documents"))
 
 
+def _t18_bm25_search(spark, sf_dir):
+    """BM25 keyword search top-10 (operators/text.py::bm25_topk) for the
+    query ["dup", "join", "window"] — corpus-audit retrieval. Rational
+    Robertson idf (no ln — monotone, t13 pattern), per-term scores summed
+    in literal term order as one left-chained addition, rank by the
+    (score DESC, doc_id ASC) total order. Oracle: the identical
+    arithmetic, operation for operation, in DuckDB."""
+    from rust_geo_booleanop_spark.operators import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), terms=["dup", "join", "window"], k=10
+    )
+
+
+def _h07_hll_sketch(spark, sf_dir):
+    """HyperLogLog register sketch (p=8, 256 registers) of the corpus
+    token vocabulary (operators/sketch.py::hll_sketch) — the mergeable
+    distinct-count structure a 100 TB pipeline keeps per shard and ORs
+    together. Rank extraction is EXACT string/integer arithmetic over
+    the md5 hex (anchored zero-strip + 4-way CASE on the first nonzero
+    hex digit), never a floating log, so the sketch value-hashes across
+    engines. Estimate accuracy is pinned separately by TestHllSketch."""
+    from rust_geo_booleanop_spark.operators import hll_sketch
+
+    return hll_sketch(_t(spark, sf_dir, "documents"), p=8)
+
+
 def _d12_containment_pairs(spark, sf_dir):
     """Asymmetric containment / quote detection: pairs whose smaller
     distinct-window set is >= 80% contained in the other's
@@ -1514,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h04_vocab_stats": _h04_vocab_stats,
         "h05_length_token_corr": _h05_length_token_corr,
         "h06_zipf_histogram": _h06_zipf_histogram,
+        "h07_hll_sketch": _h07_hll_sketch,
+        "t18_bm25_search": _t18_bm25_search,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2415,6 +2444,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_types,
                    CAST(SUM(c) AS BIGINT) AS total_occurrences
             FROM freq GROUP BY 1, 2
+        """,
+        # t18: BM25 with RATIONAL Robertson idf (no ln), identical
+        # operation order: idf = ((n - df + 0.5) / (df + 0.5)), term =
+        # (idf * (tf * 2.5)) / (tf + 1.5 * (0.25 + 0.75 * dlnorm)),
+        # dlnorm = (dl * n)::double / total::double, scores left-chained
+        # in literal term order; integers exact, each division single
+        "t18_bm25_search": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), per AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+                       CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf0,
+                       CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
+                       CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+                FROM tk
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS total_dl,
+                       CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM per
+            ), scored AS (
+                SELECT doc_id,
+                       (((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+                            * (CAST(tf0 AS DOUBLE) * 2.5))
+                           / (CAST(tf0 AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / CAST(total_dl AS DOUBLE))))
+                       + (((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+                            * (CAST(tf1 AS DOUBLE) * 2.5))
+                           / (CAST(tf1 AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / CAST(total_dl AS DOUBLE))))
+                       + (((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+                            * (CAST(tf2 AS DOUBLE) * 2.5))
+                           / (CAST(tf2 AS DOUBLE) + 1.5 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / CAST(total_dl AS DOUBLE))))
+                       AS score
+                FROM per, stats
+            )
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+            FROM scored
+            ORDER BY rank
+            LIMIT 10
+        """,
+        # h07: identical tokenization; register = md5 hex PREFIX STRING
+        # (never converted to int, so grouping is engine-proof); rank =
+        # exact leading-zero-bit count via anchored zero-strip + 4-way
+        # CASE on the first nonzero hex digit — integers only
+        "h07_hll_sketch": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(TRIM(text)), '\\s+'),
+                           x -> x != '')) AS w
+                FROM documents
+            ), rk AS (
+                SELECT substr(md5(w), 1, 2) AS register,
+                       regexp_replace(substr(md5(w), 3, 16), '^0*', '') AS nz
+                FROM toks
+            )
+            SELECT register,
+                   CAST(MAX(CASE WHEN length(nz) = 0 THEN 65
+                            ELSE 4 * (16 - length(nz))
+                                 + CASE WHEN substr(nz, 1, 1) = '1' THEN 3
+                                        WHEN substr(nz, 1, 1) IN ('2', '3') THEN 2
+                                        WHEN substr(nz, 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                        ELSE 0 END
+                                 + 1 END) AS INTEGER) AS max_rank
+            FROM rk GROUP BY register
         """,
         # t16: identical total-order rank (md5 hex string, doc_id
         # tiebreak) + the data-dependent min-count target; integers only

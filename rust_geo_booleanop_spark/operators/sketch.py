@@ -123,3 +123,84 @@ def heavy_hitters(
         .filter(F.col("n") >= F.col("n_total") * F.lit(threshold_frac))
         .select(col, "n")
     )
+
+
+def hll_sketch(
+    docs: DataFrame, text_col: str = "text", p: int = 8
+) -> DataFrame:
+    """HyperLogLog register sketch of the corpus token vocabulary —
+    the mergeable distinct-count structure (Flajolet et al. 2007) a
+    100 TB pipeline keeps per shard/day and ORs together instead of
+    re-scanning history for "how many distinct tokens/urls so far".
+
+    Output: one row per OCCUPIED register, (register, max_rank) —
+    register = the first p/4 hex chars of md5(token) (string key: never
+    converted to int, so Spark and any SQL engine group identically),
+    max_rank = max over tokens of (leading zero bits of the next 64
+    hash bits) + 1. Rank extraction is EXACT string/integer arithmetic:
+    leading zero HEX digits via an anchored regexp strip, plus a 4-way
+    CASE on the first nonzero hex digit — never floating point, never a
+    log, so the sketch is value-hash reproducible across engines
+    (the h06 conv/bin pattern). Estimate via `hll_estimate` below.
+
+    Tokenization is the divergence-proof lower+whitespace split shared
+    with d03/d09/h03/h04.
+
+    100 TB shape: token explode is map-side; the register agg is a
+    map-side-partial MAX over at most 2^p groups — constant-size
+    shuffle no matter the corpus size; sketches from disjoint corpus
+    slices merge by another MAX. Engine requirement; no reference
+    counterpart (the reference computes no sketches).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    h = F.md5(F.col("w"))
+    reg = F.substring(h, 1, p // 4)
+    # 64 rank bits = the next 16 hex chars; strip leading zero hex digits
+    z = F.substring(h, p // 4 + 1, 16)
+    nz = F.regexp_replace(z, "^0*", "")
+    lead_hex = F.lit(16) - F.length(nz)
+    first = F.substring(nz, 1, 1)
+    extra = (
+        F.when(first == "1", F.lit(3))
+        .when(first.isin("2", "3"), F.lit(2))
+        .when(first.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rank = (
+        F.when(F.length(nz) == 0, F.lit(65))  # all 64 bits zero
+        .otherwise(F.lit(4) * lead_hex + extra + F.lit(1))
+        .cast("int")
+    )
+    return (
+        docs.select(F.explode(tk).alias("w"))
+        .select(reg.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(sketch_rows, p: int = 8) -> float:
+    """Driver-side HLL cardinality estimate from (register, max_rank)
+    rows (the output of `hll_sketch` collected — at most 2^p rows by
+    construction, so the collect is bounded). Standard-error ~1.04 /
+    sqrt(2^p) (~6.5 % at p=8); linear-counting small-range correction
+    per the original paper. Deterministic: the harmonic sum folds in
+    sorted register order."""
+    import math as _math
+
+    m = 1 << p
+    ranks = {r[0]: r[1] for r in sketch_rows}
+    s = 0.0
+    for reg in sorted(ranks):
+        s += 2.0 ** (-ranks[reg])
+    n_zero = m - len(ranks)
+    s += float(n_zero)  # absent registers: 2^-0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and n_zero > 0:
+        return m * _math.log(m / n_zero)
+    return est

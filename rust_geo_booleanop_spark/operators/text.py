@@ -874,3 +874,106 @@ def length_token_correlation(
         corr.alias("corr_chars_tokens"),
         slope.alias("ols_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def _eq_lit(t: str):
+    """One-arg HOF predicate `x == lit(t)` — a closure factory, NOT a
+    default-arg lambda: a second parameter (even a defaulted one) makes
+    Spark bind the (element, index) two-arg lambda form and pass the
+    array index where the literal was expected."""
+    return lambda x: x == F.lit(t)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a literal keyword query by BM25 — the
+    retrieval primitive a training-data pipeline needs for targeted
+    corpus audits ("show me the docs about X") and decontamination
+    triage. Engine requirement; no reference counterpart.
+
+    The idf factor is the RATIONAL Robertson form
+    ``(N - df + 0.5) / (df + 0.5)`` without the usual ln() wrapper —
+    log is monotone so no per-query ranking changes, and +,-,*,/ are
+    IEEE-correctly-rounded in every engine while ln is not, so the
+    score doubles are bit-reproducible in the DuckDB oracle (the t13
+    pattern). The per-term scores are summed in the LITERAL term-list
+    order as one left-chained addition (the s02 fold discipline), never
+    an unordered SQL SUM, so the total is FP-deterministic.
+
+    Output: (doc_id, score, rank), rank 1..k by (score DESC, doc_id ASC)
+    — a total order. Documents matching no term score 0 and still rank
+    (k small; the filter `score > 0` is the caller's choice).
+
+    100 TB shape: ONE scan computes per-doc tf for every term plus the
+    doc length; N / total token count / per-term df are a single tiny
+    aggregate broadcast back (no shuffle of the corpus itself); the
+    top-k is a TakeOrderedAndProject, never a full sort.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be a non-empty list of distinct tokens")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tk).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(tk, _eq_lit(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    n_d = F.col("n").cast("double")
+    # dl/avgdl as (dl * N) / total — two exact ints, one double division
+    dlnorm = (F.col("dl") * F.col("n")).cast("double") / F.col("total_dl").cast(
+        "double"
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = (n_d - df + F.lit(0.5)) / (df + F.lit(0.5))
+        term_score = (idf * (tf * F.lit(k1 + 1.0))) / (
+            tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dlnorm)
+        )
+        score = term_score if score is None else score + term_score
+    # global top-k as TakeOrderedAndProject (never a full sort), then
+    # rank via the k-row collect_list -> array_sort -> posexplode fold
+    # (the kmeans_pivots pattern) — no single-partition WindowExec.
+    topk = (
+        j.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return (
+        topk.agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("score")).alias("_ns"), "doc_id", "score"))
+            ).alias("_r")
+        )
+        .select(F.posexplode("_r").alias("_pos", "_s"))
+        .select(
+            F.col("_s.doc_id").alias("doc_id"),
+            F.col("_s.score").alias("score"),
+            (F.col("_pos") + F.lit(1)).cast("int").alias("rank"),
+        )
+    )

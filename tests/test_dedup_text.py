@@ -1163,3 +1163,141 @@ class TestLengthTokenCorrelation:
             map(tuple, length_token_correlation(d.repartition(7)).collect())
         )
         assert a == b
+
+class TestHllSketch:
+    def test_rank_matches_python_twin(self, spark):
+        """Register/rank extraction vs a direct-bit-arithmetic CPython
+        twin (int(md5,16) leading-zero count) on real tokens."""
+        import hashlib
+
+        from rust_geo_booleanop_spark.operators import hll_sketch
+
+        words = ["alpha", "beta", "gamma", "delta", "shuffle", "join", "0", "z"]
+        d = spark.createDataFrame([(" ".join(words),)], "text string")
+        got = {
+            r.register: r.max_rank for r in hll_sketch(d, p=8).collect()
+        }
+        exp: dict = {}
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            reg = h[:2]
+            bits = int(h[2:18], 16)
+            # leading zeros of a 64-bit value + 1
+            rank = 65 if bits == 0 else 64 - bits.bit_length() + 1
+            exp[reg] = max(exp.get(reg, 0), rank)
+        assert got == exp
+
+    def test_estimate_accuracy_wide_vocab(self, spark):
+        """~4000 distinct synthetic tokens: the p=8 estimate must land
+        within 3 standard errors (3 * 1.04/sqrt(256) ~= 20%)."""
+        from rust_geo_booleanop_spark.operators import hll_estimate, hll_sketch
+
+        n = 4000
+        d = spark.range(40).select(
+            F.concat_ws(
+                " ",
+                F.array([F.concat(F.lit("tok"), (F.col("id") * 100 + F.lit(i)).cast("string")) for i in range(100)]),
+            ).alias("text")
+        )
+        rows = [(r.register, r.max_rank) for r in hll_sketch(d, p=8).collect()]
+        est = hll_estimate(rows, p=8)
+        assert abs(est - n) / n < 0.20, est
+
+    def test_sketch_merges_by_max(self, spark):
+        """sketch(A union B) == register-wise MAX of sketch(A), sketch(B)
+        — the mergeability contract that makes the sketch shippable."""
+        from rust_geo_booleanop_spark.operators import hll_sketch
+
+        a = spark.createDataFrame([("red green blue",)], "text string")
+        b = spark.createDataFrame([("blue cyan magenta key row",)], "text string")
+        both = a.union(b)
+        sa = {r.register: r.max_rank for r in hll_sketch(a).collect()}
+        sb = {r.register: r.max_rank for r in hll_sketch(b).collect()}
+        merged: dict = dict(sa)
+        for k, v in sb.items():
+            merged[k] = max(merged.get(k, 0), v)
+        assert {
+            r.register: r.max_rank for r in hll_sketch(both).collect()
+        } == merged
+
+    def test_bad_p_raises(self, spark):
+        from rust_geo_booleanop_spark.operators import hll_sketch
+
+        d = spark.createDataFrame([("x",)], "text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            hll_sketch(d, p=7)
+
+class TestBm25Topk:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rare_term_dominates(self, spark):
+        """A doc matching the rare term outranks docs stuffed with the
+        common term — the idf property BM25 exists for."""
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        d = self._mk(
+            spark,
+            [
+                (0, "join join join join join"),
+                (1, "dup join"),
+                (2, "join table scan"),
+                (3, "table scan row"),
+            ],
+        )
+        got = bm25_topk(d, terms=["dup", "join"], k=4).collect()
+        assert got[0].doc_id == 1 and got[0].rank == 1
+        assert [r.rank for r in got] == [1, 2, 3, 4]
+
+    def test_score_matches_hand_formula(self, spark):
+        """Exact score vs the same arithmetic in pure Python (identical
+        operation order)."""
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        rows = [
+            (0, "a b a c"),
+            (1, "a a a a b"),
+            (2, "c c d"),
+        ]
+        d = self._mk(spark, rows)
+        got = {r.doc_id: r.score for r in bm25_topk(d, terms=["a", "c"], k=3).collect()}
+        toks = [r[1].split() for r in rows]
+        n = len(rows)
+        total = sum(len(t) for t in toks)
+        k1, b = 1.5, 0.75
+        for i, t in enumerate(toks):
+            score = 0.0
+            for term in ["a", "c"]:
+                tf = float(t.count(term))
+                df = float(sum(1 for tt in toks if term in tt))
+                idf = (float(n) - df + 0.5) / (df + 0.5)
+                dlnorm = float(len(t) * n) / float(total)
+                score = score + (idf * (tf * (k1 + 1.0))) / (
+                    tf + k1 * ((1.0 - b) + b * dlnorm)
+                )
+            assert got[i] == score and repr(got[i]) == repr(score), i
+
+    def test_zero_match_docs_score_zero_and_tiebreak(self, spark):
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        d = self._mk(spark, [(5, "x y"), (2, "x z"), (9, "x x")])
+        got = bm25_topk(d, terms=["q"], k=3).collect()
+        assert all(r.score == 0.0 for r in got)
+        assert [r.doc_id for r in got] == [2, 5, 9]  # doc_id tiebreak
+
+    def test_k_limits_output(self, spark):
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        d = self._mk(spark, [(i, "w") for i in range(20)])
+        assert bm25_topk(d, terms=["w"], k=7).count() == 7
+
+    def test_bad_terms_raise(self, spark):
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        d = self._mk(spark, [(0, "x")])
+        with pytest.raises(ValueError):
+            bm25_topk(d, terms=[])
+        with pytest.raises(ValueError):
+            bm25_topk(d, terms=["a", "a"])
