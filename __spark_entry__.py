@@ -1306,6 +1306,22 @@ def _s04_ivf_topk(spark, sf_dir):
     return topk.select("query_id", "vec_id", F.col("rank").alias("sim_rank"))
 
 
+def _s08_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-10 (operators/similarity.py::pq_topk):
+    8 subspaces x stride-11 codebooks, per-subspace argmin encoding, ADC
+    ranking. Oracle: the identical left-fold double L2^2 arithmetic
+    (generated by _l2sq_sql, one chained expression per subspace), the
+    same (dist ASC, pivot_id ASC) argmin and (adc ASC, vec_id ASC) rank
+    total orders, in DuckDB."""
+    from rust_geo_booleanop_spark.operators import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries, k=10, m=8, stride=11)
+
+
 def _s05_neardup_exact(spark, sf_dir):
     from rust_geo_booleanop_spark.operators import cosine_near_dup_exact
 
@@ -1543,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h06_zipf_histogram": _h06_zipf_histogram,
         "h07_hll_sketch": _h07_hll_sketch,
         "t18_bm25_search": _t18_bm25_search,
+        "s08_pq_topk": _s08_pq_topk,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -1992,6 +2009,41 @@ def oracle_sql() -> dict[str, str]:
             )
     """
     cases_cte = "cases AS (SELECT DISTINCT doc_id // 2 AS case_id FROM documents)"
+
+    def _l2sq_sql(a: str, b: str, start: int, width: int) -> str:
+        # chained left-fold L2^2 over a subspace slice, double arithmetic
+        # only — operation-for-operation the same fold as
+        # operators/similarity.py::_sub_l2sq (0.0 + first term == first
+        # term: distances are sums of non-negative squares, never -0.0)
+        terms = [
+            f"((CAST({a}[{k}] AS DOUBLE) - CAST({b}[{k}] AS DOUBLE))"
+            f" * (CAST({a}[{k}] AS DOUBLE) - CAST({b}[{k}] AS DOUBLE)))"
+            for k in range(start + 1, start + width + 1)
+        ]
+        return "(0.0 + " + " + ".join(terms) + ")"
+
+    _PQ_M, _PQ_W = 8, 8  # 8 subspaces x 8 dims — keep == _s08_pq_topk
+    pq_d = ",\n                       ".join(
+        f"{_l2sq_sql('e.embedding', 'p.pivot_vec', s * _PQ_W, _PQ_W)} AS d{s}"
+        for s in range(_PQ_M)
+    )
+    pq_q = ",\n                       ".join(
+        f"{_l2sq_sql('q.embedding', 'p.pivot_vec', s * _PQ_W, _PQ_W)} AS qd{s}"
+        for s in range(_PQ_M)
+    )
+    pq_rn = ",\n                           ".join(
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d{s} ASC, pivot_id ASC) AS rn{s}"
+        for s in range(_PQ_M)
+    )
+    pq_code = ",\n                       ".join(
+        f"MAX(CASE WHEN rn{s} = 1 THEN pivot_id END) AS code{s}"
+        for s in range(_PQ_M)
+    )
+    pq_joins = "\n                ".join(
+        f"JOIN qd q{s} ON q{s}.pivot_id = e.code{s} AND q{s}.query_id = q0.query_id"
+        for s in range(1, _PQ_M)
+    )
+    pq_adc = " + ".join(f"q{s}.qd{s}" for s in range(_PQ_M))
     return {
         # --- geo pipeline: committed-fixture oracles (provenance spelled
         #     out per query docstring: g01-g03 pure-python-kernel
@@ -2488,6 +2540,45 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        # s08: PQ ADC — per-subspace distances are the generated chained
+        # left-fold double L2^2 (operation order == the Spark fold);
+        # argmin and rank are (value ASC, id ASC) total orders
+        "s08_pq_topk": f"""
+            WITH pivots AS (
+                SELECT vec_id AS pivot_id, embedding AS pivot_vec
+                FROM embeddings WHERE vec_id % 11 = 0
+            ), dists AS (
+                SELECT e.vec_id, p.pivot_id,
+                       {pq_d}
+                FROM embeddings e CROSS JOIN pivots p
+            ), enc AS (
+                SELECT vec_id,
+                       {pq_code}
+                FROM (
+                    SELECT vec_id, pivot_id,
+                           {pq_rn}
+                    FROM dists
+                ) GROUP BY vec_id
+            ), qd AS (
+                SELECT q.vec_id AS query_id, p.pivot_id,
+                       {pq_q}
+                FROM embeddings q CROSS JOIN pivots p
+                WHERE q.vec_id < 3
+            ), adc AS (
+                SELECT q0.query_id, e.vec_id,
+                       {pq_adc} AS adc
+                FROM enc e
+                JOIN qd q0 ON q0.pivot_id = e.code0
+                {pq_joins}
+            )
+            SELECT query_id, vec_id, pq_rank FROM (
+                SELECT query_id, vec_id,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc ASC, vec_id ASC) AS INTEGER) AS pq_rank
+                FROM adc
+            ) WHERE pq_rank <= 10
         """,
         # h07: identical tokenization; register = md5 hex PREFIX STRING
         # (never converted to int, so grouping is engine-proof); rank =

@@ -101,6 +101,9 @@ def main():
         asof_join,
         balanced_sample,
         bigram_collocations,
+        bm25_topk,
+        hll_sketch,
+        pq_topk,
         decontaminate,
         dedup_lines,
         assign_tiles,
@@ -211,6 +214,9 @@ def main():
         "ngram_jaccard": 9.0,
         "cosine_topk": 1.5,
         "ivf_topk": 1.9,
+        "pq_topk": 3.0,
+        "hll_sketch": 1.2,
+        "bm25_search": 1.0,
         "boilerplate_lines": 0.5,
         "quality_filter": 0.8,
         "url_dedup": 0.5,
@@ -423,6 +429,10 @@ def main():
         "ivf_topk",
         lambda: ivf_cosine_topk(embeddings, emb_queries, k=10, nprobe=2, stride=37).count(),
     )
+    timed(
+        "pq_topk",
+        lambda: pq_topk(embeddings, emb_queries, k=10, m=8, stride=11).count(),
+    )
 
     # --- text cleaning / filtering ops (round 4) ---
     # Same deterministic synthetic structure as the d05/d06 contract
@@ -557,6 +567,14 @@ def main():
     timed(
         "vocab_stats",
         lambda: vocabulary_stats(documents).count(),
+    )
+    timed(
+        "hll_sketch",
+        lambda: hll_sketch(documents).count(),
+    )
+    timed(
+        "bm25_search",
+        lambda: bm25_topk(documents, terms=["dup", "join", "window"], k=10).count(),
     )
     timed(
         "length_token_corr",

@@ -463,3 +463,116 @@ def semantic_dedup(
             (rep == F.col(id_col)).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (built-in functions only)
+# ---------------------------------------------------------------------------
+
+def _sub_l2sq(a_col, b_col, start: int, width: int):
+    """L2^2 between two array<float> slices [start, start+width) (0-based)
+    as a pure-JVM LEFT FOLD in element order: acc + (a-b)*(a-b), every
+    element cast to double BEFORE any arithmetic (float ops would round
+    at binary32 and diverge from a double-arithmetic oracle). Matches a
+    chained `(CAST..-CAST..)*(..) + ...` SQL expression operation for
+    operation; `(a-b)*(a-b)` never pow."""
+    diffs = F.zip_with(
+        F.slice(a_col, start + 1, width),
+        F.slice(b_col, start + 1, width),
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    stride: int = 31,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jegou et al., PAMI 2011):
+    split each vector into `m` subspaces, quantize every subspace to its
+    nearest codebook centroid, and rank candidates by the asymmetric
+    (ADC) distance — the sum over subspaces of the exact query-to-
+    centroid distance. The memory-bound ANN shape: at 100 TB the corpus
+    is stored as m small codes (here m pivot ids), the codebooks are a
+    tiny
+    broadcast, and query scoring never touches the raw corpus vectors.
+
+    Codebooks: deterministic stride pivots (the s04 convention) — the
+    sub-vectors of every id `% stride == 0` row. Encoding is one scan ×
+    broadcast-pivot pass with map-side-partial min(struct(dist, pivot))
+    argmins — the shuffle carries one row per vector. ADC re-uses the
+    same fold (`_sub_l2sq`, exact element-order double arithmetic), so a
+    SQL oracle reproduces every distance bit for bit; output is the
+    integer relation (query_id, vec_id, pq_rank) ranked by
+    (adc ASC, vec_id ASC) — a total order.
+
+    Engine requirement; no reference counterpart.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    pivots = embeddings.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pivot_vec")
+    )
+    dists = [
+        _sub_l2sq(F.col(vec_col), F.col("pivot_vec"), s * width, width).alias(
+            f"d{s}"
+        )
+        for s in range(m)
+    ]
+    enc = (
+        embeddings.crossJoin(F.broadcast(pivots))
+        .select(F.col(id_col).alias("vec_id"), F.col("pivot_id"), *dists)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min(F.struct(F.col(f"d{s}"), F.col("pivot_id"))).alias(f"m{s}")
+                for s in range(m)
+            ]
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"m{s}.pivot_id").alias(f"code{s}") for s in range(m)],
+        )
+    )
+    qd = queries.crossJoin(F.broadcast(pivots)).select(
+        F.col("query_id"),
+        F.col("pivot_id"),
+        *[
+            _sub_l2sq(F.col("query_vec"), F.col("pivot_vec"), s * width, width).alias(
+                f"qd{s}"
+            )
+            for s in range(m)
+        ],
+    )
+    cand = enc.crossJoin(F.broadcast(queries.select("query_id")))
+    for s in range(m):
+        cand = cand.join(
+            F.broadcast(
+                qd.select(
+                    "query_id",
+                    F.col("pivot_id").alias(f"code{s}"),
+                    F.col(f"qd{s}"),
+                )
+            ),
+            on=["query_id", f"code{s}"],
+        )
+    adc = F.col("qd0")
+    for s in range(1, m):
+        adc = adc + F.col(f"qd{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= k)
+        .select("query_id", "vec_id", "pq_rank")
+    )

@@ -90,6 +90,9 @@ def main():
         ("g20_tile_weights", "tile area weights: JVM cover-cells explode -> kernel-clip MapInPandas -> codegen region-area folds on both branches -> one case_id equi-join; denominator is a per-geometry kernel pass (deterministic, not a shuffle-order sum)"),
         ("d12_containment_pairs", "containment/quote detection: distinct-window relation evaluated once, df-bounded in-row pair expansion, map-side-partial shared-count agg, per-doc counts joined onto the small pair relation"),
         ("g21_shape_stats", "shape statistics: region-area/centroid/perimeter as pure-JVM higher-order-function folds in one codegen stage over the geometry column - no shuffle, no Python"),
+        ("h07_hll_sketch", "HLL sketch: token explode -> map-side-partial MAX over at most 2^p register groups - constant-size shuffle regardless of corpus size"),
+        ("t18_bm25_search", "BM25 search: ONE scan computes per-doc tf/dl, tiny stats aggregate broadcast back, TakeOrderedAndProject top-k - never a full sort, no window over the corpus"),
+        ("s08_pq_topk", "PQ ANN: broadcast stride codebooks, one scan x pivot pass with map-side-partial min(struct) argmin encode (shuffle carries one row per vector), ADC via 4 broadcast code-distance joins, per-query window top-k"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]
