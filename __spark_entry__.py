@@ -1000,6 +1000,17 @@ def _t18_bm25_search(spark, sf_dir):
     )
 
 
+def _t19_token_freq_score(spark, sf_dir):
+    """Corpus-frequency quality score (operators/text.py::token_freq_score)
+    — the SQL-exact CCNet-style LM-filter proxy: mean corpus frequency of
+    a document's tokens. Cross-document signal (the unigram table is the
+    model). Numerator is an integer sum (order-free exact); score is one
+    double division — no floating log (t13/t18 rational pattern)."""
+    from rust_geo_booleanop_spark.operators import token_freq_score
+
+    return token_freq_score(_t(spark, sf_dir, "documents"))
+
+
 def _h07_hll_sketch(spark, sf_dir):
     """HyperLogLog register sketch (p=8, 256 registers) of the corpus
     token vocabulary (operators/sketch.py::hll_sketch) — the mergeable
@@ -1560,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h07_hll_sketch": _h07_hll_sketch,
         "t18_bm25_search": _t18_bm25_search,
         "s08_pq_topk": _s08_pq_topk,
+        "t19_token_freq_score": _t19_token_freq_score,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2540,6 +2552,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        # t19: integer freq_sum (exact in any agg order), one double
+        # division; DuckDB SUM(int) is HUGEINT -> BIGINT casts everywhere
+        "t19_token_freq_score": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(TRIM(text)), '\\s+'),
+                           x -> x != '')) AS w
+                FROM documents
+            ), unigram AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+            ), tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS total FROM unigram
+            ), per AS (
+                SELECT t.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(u.c) AS BIGINT) AS freq_sum
+                FROM toks t JOIN unigram u USING (w)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.freq_sum, 0) AS freq_sum,
+                   CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                        THEN CAST(COALESCE(p.freq_sum, 0) AS DOUBLE)
+                             / CAST(COALESCE(p.n_tokens, 0) * total AS DOUBLE)
+                        ELSE NULL END AS score
+            FROM documents d
+            LEFT JOIN per p USING (doc_id), tot
         """,
         # s08: PQ ADC — per-subspace distances are the generated chained
         # left-fold double L2^2 (operation order == the Spark fold);

@@ -104,6 +104,7 @@ def main():
         bm25_topk,
         hll_sketch,
         pq_topk,
+        token_freq_score,
         decontaminate,
         dedup_lines,
         assign_tiles,
@@ -217,6 +218,7 @@ def main():
         "pq_topk": 3.0,
         "hll_sketch": 1.2,
         "bm25_search": 1.0,
+        "token_freq_score": 1.5,
         "boilerplate_lines": 0.5,
         "quality_filter": 0.8,
         "url_dedup": 0.5,
@@ -571,6 +573,10 @@ def main():
     timed(
         "hll_sketch",
         lambda: hll_sketch(documents).count(),
+    )
+    timed(
+        "token_freq_score",
+        lambda: token_freq_score(documents).agg(F.sum("freq_sum")).collect(),
     )
     timed(
         "bm25_search",

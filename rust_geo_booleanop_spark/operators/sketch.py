@@ -152,6 +152,19 @@ def hll_sketch(
     slices merge by another MAX. Engine requirement; no reference
     counterpart (the reference computes no sketches).
     """
+    return (
+        hll_register_ranks(docs, text_col=text_col, p=p)
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_register_ranks(docs: DataFrame, text_col: str = "text", p: int = 8) -> DataFrame:
+    """The stateless (register, rank) projection `hll_sketch` aggregates —
+    exposed so the streaming twin (`streaming.extraction.stream_hll_sketch`)
+    can apply the identical expressions to an unbounded relation and let
+    Structured Streaming keep the per-register MAX as its (bounded,
+    <= 2^p rows) state."""
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
     tk = F.filter(
@@ -175,11 +188,8 @@ def hll_sketch(
         .otherwise(F.lit(4) * lead_hex + extra + F.lit(1))
         .cast("int")
     )
-    return (
-        docs.select(F.explode(tk).alias("w"))
-        .select(reg.alias("register"), rank.alias("rank"))
-        .groupBy("register")
-        .agg(F.max("rank").alias("max_rank"))
+    return docs.select(F.explode(tk).alias("w")).select(
+        reg.alias("register"), rank.alias("rank")
     )
 
 

@@ -977,3 +977,63 @@ def bm25_topk(
             (F.col("_pos") + F.lit(1)).cast("int").alias("rank"),
         )
     )
+
+
+def token_freq_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency quality score — the SQL-exact stand-in for the
+    CCNet-style language-model filter: score each document by the mean
+    CORPUS frequency of its tokens. Documents full of rare/garbage
+    tokens score low; boilerplate-common text scores high. Unlike the
+    intra-document t04/t11 rules this is a CROSS-document signal (the
+    corpus unigram table is the "model").
+
+    FP discipline: the per-document numerator is a SUM OF INTEGERS
+    (global count of each token occurrence, exact in any aggregation
+    order), and the score is ONE double division
+    ``freq_sum / (n_tokens * total_tokens)`` — never a floating log
+    (the mean-log-prob form ranks identically on monotone grounds but
+    ln is not correctly rounded across engines; the t13/t18 rational
+    pattern).
+
+    Output: (doc_id, n_tokens, freq_sum, score). Empty docs: n_tokens 0,
+    score NULL.
+
+    100 TB shape: ONE explode -> global (token) hash agg with map-side
+    partials (vocabulary-sized, not corpus-sized) -> broadcast-sized
+    total -> equi-join tokens back to the unigram table -> per-doc sum.
+    Engine requirement; no reference counterpart.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tk).alias("w"))
+    unigram = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = unigram.agg(F.sum("c").alias("total"))
+    per_doc = (
+        toks.join(unigram, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("freq_sum"),
+        )
+    )
+    # docs whose every token was filtered out (or empty) re-enter with 0
+    base = docs.select(F.col(id_col).alias("doc_id")).join(
+        per_doc, "doc_id", "left"
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    f_sum = F.coalesce(F.col("freq_sum"), F.lit(0)).cast("long")
+    return base.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        f_sum.alias("freq_sum"),
+        F.when(
+            n_tok > 0,
+            f_sum.cast("double")
+            / (n_tok * F.col("total")).cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("score"),
+    )

@@ -12,6 +12,7 @@ from .extraction import (
     stream_documents,
     stream_events,
     stream_exact_dedup,
+    stream_hll_sketch,
     stream_extract_geometries,
     windowed_event_counts,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "stream_documents",
     "stream_events",
     "stream_exact_dedup",
+    "stream_hll_sketch",
     "stream_extract_geometries",
     "windowed_event_counts",
 ]

@@ -142,3 +142,25 @@ def run_windowed_counts_stream(
     )
     query.awaitTermination()
     return query
+
+
+def stream_hll_sketch(stream_docs: DataFrame, p: int = 8) -> DataFrame:
+    """Streaming HyperLogLog sketch: the streaming twin of
+    `operators.sketch.hll_sketch` — the IDENTICAL stateless
+    (register, rank) projection (`hll_register_ranks`), with the
+    per-register MAX kept as Structured Streaming aggregation state.
+
+    State is bounded by construction at <= 2^p rows no matter how much
+    stream flows through — the sketch IS the state — so this runs
+    forever without a watermark. Emit with outputMode complete/update;
+    after any prefix of the stream the result equals the batch sketch
+    of the same rows (pinned by
+    test_streaming_hll_matches_batch_across_batches).
+    """
+    from ..operators.sketch import hll_register_ranks
+
+    return (
+        hll_register_ranks(stream_docs, p=p)
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )

@@ -1368,3 +1368,33 @@ class TestPqTopk:
 
         with pytest.raises(ValueError):
             pq_topk(emb, self._q(emb, 0), m=5, dim=16)
+
+class TestTokenFreqScore:
+    def test_common_beats_rare(self, spark):
+        from rust_geo_booleanop_spark.operators import token_freq_score
+
+        d = spark.createDataFrame(
+            [
+                (0, "the the the the"),   # all common
+                (1, "the zzz9 qqq7"),     # mixed
+                (2, "zzz9 qqq7"),         # all rare (hapax-ish)
+                (3, ""),                  # empty
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in token_freq_score(d).collect()}
+        assert got[0].score > got[1].score > got[2].score
+        assert got[3].n_tokens == 0 and got[3].score is None
+
+    def test_exact_arithmetic(self, spark):
+        from rust_geo_booleanop_spark.operators import token_freq_score
+
+        d = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c")], "doc_id long, text string"
+        )
+        # counts: a=2, b=2, c=1; total=5
+        got = {r.doc_id: r for r in token_freq_score(d).collect()}
+        assert (got[0].n_tokens, got[0].freq_sum) == (3, 6)  # 2+2+2
+        assert got[0].score == 6.0 / float(3 * 5)
+        assert (got[1].n_tokens, got[1].freq_sum) == (2, 3)  # 2+1
+        assert got[1].score == 3.0 / float(2 * 5)

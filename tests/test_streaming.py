@@ -426,3 +426,55 @@ def test_duplicate_side_after_completion_emits_nothing(spark, tmp_path):
     run_boolean_tiling_stream(spark, drop_dir, out_dir, ckpt_dir)
     second = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert second == first
+
+
+def test_streaming_hll_matches_batch_across_batches(spark, tmp_path):
+    """The streaming sketch's per-register MAX state makes the complete-
+    mode output after each availableNow run equal the BATCH sketch of
+    every row seen so far — bounded (<= 2^p rows) state, no watermark."""
+    from rust_geo_booleanop_spark.operators import hll_sketch
+    from rust_geo_booleanop_spark.streaming import stream_documents, stream_hll_sketch
+
+    drop_dir = str(tmp_path / "hll_docs")
+    ckpt_dir = str(tmp_path / "hll_ckpt")
+    os.makedirs(drop_dir)
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_once(view):
+        q = (
+            stream_hll_sketch(stream_documents(spark, drop_dir))
+            .writeStream.format("memory")
+            .queryName(view)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r.register: r.max_rank
+            for r in spark.sql(f"SELECT * FROM {view}").collect()
+        }
+
+    batch1 = spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "en", "a", 22),
+         (1, "epsilon zeta", "en", "a", 12)],
+        ddl,
+    )
+    _drop_parquet(batch1.coalesce(1), drop_dir, "a")
+    got1 = run_once("hll_v1")
+    exp1 = {r.register: r.max_rank for r in hll_sketch(batch1).collect()}
+    assert got1 == exp1
+
+    batch2 = spark.createDataFrame(
+        [(2, "eta theta iota kappa", "en", "b", 20),
+         (3, "alpha beta", "en", "b", 10)],  # repeats change nothing
+        ddl,
+    )
+    _drop_parquet(batch2.coalesce(1), drop_dir, "b")
+    got2 = run_once("hll_v2")
+    exp2 = {
+        r.register: r.max_rank for r in hll_sketch(batch1.union(batch2)).collect()
+    }
+    assert got2 == exp2
+    assert len(got2) <= 256  # bounded-state contract at p=8
