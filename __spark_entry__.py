@@ -1000,6 +1000,17 @@ def _t18_bm25_search(spark, sf_dir):
     )
 
 
+def _h08_cm_sketch(spark, sf_dir):
+    """Count-min frequency sketch (operators/sketch.py::cm_sketch, depth
+    4 x 4096 string buckets): the mergeable companion to the h07 HLL —
+    (row_id, bucket, cnt) cells, exact integer/string arithmetic only
+    (bucket = md5 hex prefix string, the h07 discipline). Overestimate
+    guarantee pinned by TestCmSketch."""
+    from rust_geo_booleanop_spark.operators import cm_sketch
+
+    return cm_sketch(_t(spark, sf_dir, "documents"), depth=4)
+
+
 def _t19_token_freq_score(spark, sf_dir):
     """Corpus-frequency quality score (operators/text.py::token_freq_score)
     — the SQL-exact CCNet-style LM-filter proxy: mean corpus frequency of
@@ -1572,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_bm25_search": _t18_bm25_search,
         "s08_pq_topk": _s08_pq_topk,
         "t19_token_freq_score": _t19_token_freq_score,
+        "h08_cm_sketch": _h08_cm_sketch,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2552,6 +2564,25 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY rank
             LIMIT 10
+        """,
+        # h08: exact integer/string arithmetic — bucket is a hex prefix
+        # STRING of md5('<row>:' || token); counts cast (DuckDB HUGEINT)
+        "h08_cm_sketch": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(TRIM(text)), '\\s+'),
+                           x -> x != '')) AS w
+                FROM documents
+            ), cells AS (
+                SELECT r.row_id,
+                       substr(md5(CAST(r.row_id AS VARCHAR) || ':' || w), 1, 3)
+                           AS bucket
+                FROM toks
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS row_id) r
+            )
+            SELECT CAST(row_id AS INTEGER) AS row_id, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY row_id, bucket
         """,
         # t19: integer freq_sum (exact in any agg order), one double
         # division; DuckDB SUM(int) is HUGEINT -> BIGINT casts everywhere

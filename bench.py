@@ -102,6 +102,7 @@ def main():
         balanced_sample,
         bigram_collocations,
         bm25_topk,
+        cm_sketch,
         hll_sketch,
         pq_topk,
         token_freq_score,
@@ -219,6 +220,7 @@ def main():
         "hll_sketch": 1.2,
         "bm25_search": 1.0,
         "token_freq_score": 1.5,
+        "cm_sketch": 1.5,
         "boilerplate_lines": 0.5,
         "quality_filter": 0.8,
         "url_dedup": 0.5,
@@ -577,6 +579,10 @@ def main():
     timed(
         "token_freq_score",
         lambda: token_freq_score(documents).agg(F.sum("freq_sum")).collect(),
+    )
+    timed(
+        "cm_sketch",
+        lambda: cm_sketch(documents).agg(F.sum("cnt")).collect(),
     )
     timed(
         "bm25_search",

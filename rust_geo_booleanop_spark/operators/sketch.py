@@ -214,3 +214,63 @@ def hll_estimate(sketch_rows, p: int = 8) -> float:
     if est <= 2.5 * m and n_zero > 0:
         return m * _math.log(m / n_zero)
     return est
+
+
+def cm_sketch(
+    docs: DataFrame, text_col: str = "text", depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies (Cormode &
+    Muthukrishnan 2005) — the mergeable frequency structure that pairs
+    with the HLL distinct sketch: per (hash row, bucket) cell, the total
+    occurrences of every token mapping there. Point estimate = MIN over
+    rows of the queried token's cell (`cm_estimate`), always an
+    OVERestimate of the true count.
+
+    Hashing is the h07 discipline: bucket = the first 3 hex chars of
+    md5('<row>:' || token) kept AS A STRING (4096 buckets per row, never
+    converted to int), counts are integer sums — the whole sketch is
+    exact integer/string arithmetic, value-hash reproducible in any SQL
+    engine.
+
+    Output: (row_id, bucket, cnt) for occupied cells only.
+
+    100 TB shape: token explode is map-side; the cell agg is a map-side-
+    partial SUM over at most depth * 4096 groups — constant-size shuffle
+    regardless of corpus size; sketches of disjoint slices merge by
+    adding cells. Engine requirement; no reference counterpart.
+    """
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("row_id")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("row_id").cast("string"), F.lit(":"), F.col("w"))),
+        1,
+        3,
+    )
+    return (
+        docs.select(F.explode(tk).alias("w"))
+        .select("w", rows)
+        .select(F.col("row_id").cast("int").alias("row_id"), bucket.alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(sketch_rows, token: str, depth: int = 4) -> int:
+    """Driver-side count-min point estimate for one token from collected
+    (row_id, bucket, cnt) rows: MIN over hash rows of the token's cell
+    (0 when a cell is unoccupied). Guaranteed >= the true count."""
+    import hashlib
+
+    cells = {(r[0], r[1]): r[2] for r in sketch_rows}
+    best = None
+    for r in range(depth):
+        b = hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:3]
+        c = cells.get((r, b), 0)
+        best = c if best is None else min(best, c)
+    return int(best or 0)

@@ -94,6 +94,7 @@ def main():
         ("t18_bm25_search", "BM25 search: ONE scan computes per-doc tf/dl, tiny stats aggregate broadcast back, TakeOrderedAndProject top-k - never a full sort, no window over the corpus"),
         ("s08_pq_topk", "PQ ANN: broadcast stride codebooks, one scan x pivot pass with map-side-partial min(struct) argmin encode (shuffle carries one row per vector), ADC via 4 broadcast code-distance joins, per-query window top-k"),
         ("t19_token_freq_score", "corpus-frequency quality score: ONE explode, vocabulary-sized unigram hash agg (map-side partials), broadcast total, token->unigram equi-join, per-doc integer sum + one division"),
+        ("h08_cm_sketch", "count-min sketch: token explode x depth rows -> map-side-partial SUM over at most depth*4096 cells - constant-size shuffle regardless of corpus size"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

@@ -1398,3 +1398,42 @@ class TestTokenFreqScore:
         assert got[0].score == 6.0 / float(3 * 5)
         assert (got[1].n_tokens, got[1].freq_sum) == (2, 3)  # 2+1
         assert got[1].score == 3.0 / float(2 * 5)
+
+class TestCmSketch:
+    def test_estimate_overestimates_and_is_tight_without_collisions(self, spark):
+        from rust_geo_booleanop_spark.operators import cm_estimate, cm_sketch
+
+        d = spark.createDataFrame(
+            [(0, "a a a b"), (1, "b c")], "doc_id long, text string"
+        )
+        rows = [(r.row_id, r.bucket, r.cnt) for r in cm_sketch(d).collect()]
+        true = {"a": 3, "b": 2, "c": 1}
+        for w, c in true.items():
+            est = cm_estimate(rows, w)
+            assert est >= c  # overestimate guarantee
+            assert est <= sum(true.values())
+        # 3 tokens in 4096 buckets: no collisions, estimates exact
+        assert all(cm_estimate(rows, w) == c for w, c in true.items())
+        assert cm_estimate(rows, "absent") == 0
+
+    def test_merge_by_cell_addition(self, spark):
+        from rust_geo_booleanop_spark.operators import cm_sketch
+
+        a = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "y z z w")], "doc_id long, text string")
+        sa = {(r.row_id, r.bucket): r.cnt for r in cm_sketch(a).collect()}
+        sb = {(r.row_id, r.bucket): r.cnt for r in cm_sketch(b).collect()}
+        merged = dict(sa)
+        for k, v in sb.items():
+            merged[k] = merged.get(k, 0) + v
+        both = {
+            (r.row_id, r.bucket): r.cnt for r in cm_sketch(a.union(b)).collect()
+        }
+        assert both == merged
+
+    def test_bad_depth_raises(self, spark):
+        from rust_geo_booleanop_spark.operators import cm_sketch
+
+        d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cm_sketch(d, depth=0)
