@@ -216,7 +216,7 @@ def main():
         "ngram_jaccard": 9.0,
         "cosine_topk": 1.5,
         "ivf_topk": 1.9,
-        "pq_topk": 3.0,
+        "pq_topk": 3.5,
         "hll_sketch": 1.2,
         "bm25_search": 1.0,
         "token_freq_score": 1.5,
