@@ -1437,3 +1437,124 @@ class TestCmSketch:
         d = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             cm_sketch(d, depth=0)
+
+class TestNewOpsRandomTwins:
+    """Seeded-random twin batteries: every op recomputed independently in
+    CPython/NumPy over a corpus large enough to exercise collisions,
+    ties, and unicode — exact equality, not tolerances."""
+
+    def test_bm25_random_corpus_exact(self, spark):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        rng = np.random.RandomState(23)
+        vocab = ["join", "scan", "dup", "röw", "批", "x9"]
+        rows = []
+        for i in range(30):
+            n = int(rng.randint(0, 12))
+            rows.append((i, " ".join(vocab[j] for j in rng.randint(0, 6, n))))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = ["dup", "röw", "批"]
+        got = [
+            (r.doc_id, r.score, r.rank)
+            for r in bm25_topk(d, terms=terms, k=30).orderBy("rank").collect()
+        ]
+        toks = {i: t.split() for i, t in rows}
+        n_docs = sum(1 for t in toks.values())
+        total = sum(len(t) for t in toks.values())
+        k1, b = 1.5, 0.75
+        scores = {}
+        for i, t in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = float(t.count(term))
+                df = float(sum(1 for tt in toks.values() if term in tt))
+                idf = (float(n_docs) - df + 0.5) / (df + 0.5)
+                dlnorm = float(len(t) * n_docs) / float(total)
+                s = s + (idf * (tf * (k1 + 1.0))) / (
+                    tf + k1 * ((1.0 - b) + b * dlnorm)
+                )
+            scores[i] = s
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got == [
+            (doc, s, rk + 1) for rk, (doc, s) in enumerate(exp)
+        ]
+
+    def test_pq_random_vectors_exact_ranks(self, spark):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.operators import pq_topk
+
+        rng = np.random.RandomState(31)
+        n, dim, m, stride, k = 60, 16, 4, 9, 12
+        vecs = rng.standard_normal((n, dim)).astype("float32")
+        d = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        q = d.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        got = sorted(
+            (r.query_id, r.vec_id, r.pq_rank)
+            for r in pq_topk(d, q, k=k, m=m, stride=stride, dim=dim).collect()
+        )
+
+        width = dim // m
+        pivots = [i for i in range(n) if i % stride == 0]
+        v64 = vecs.astype("float64")
+
+        def l2sq(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+            return acc
+
+        codes = {}
+        for i in range(n):
+            codes[i] = []
+            for s in range(m):
+                sl = slice(s * width, (s + 1) * width)
+                best = min(
+                    (l2sq(v64[i][sl], v64[p][sl]), p) for p in pivots
+                )
+                codes[i].append(best[1])
+        exp = []
+        for qi in range(2):
+            adcs = []
+            for i in range(n):
+                a = 0.0
+                for s in range(m):
+                    sl = slice(s * width, (s + 1) * width)
+                    a = a + l2sq(v64[qi][sl], v64[codes[i][s]][sl])
+                adcs.append((a, i))
+            adcs.sort()
+            exp.extend((qi, vid, rk + 1) for rk, (_, vid) in enumerate(adcs[:k]))
+        assert got == sorted(exp)
+
+    def test_hll_random_tokens_exact(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from rust_geo_booleanop_spark.operators import hll_sketch
+
+        rng = np.random.RandomState(41)
+        words = [
+            f"w{int(x)}" if x % 3 else f"ünï{int(x)}"
+            for x in rng.randint(0, 10_000, 600)
+        ]
+        d = spark.createDataFrame(
+            [(i, " ".join(words[i * 60 : (i + 1) * 60])) for i in range(10)],
+            "doc_id long, text string",
+        )
+        got = {r.register: r.max_rank for r in hll_sketch(d, p=8).collect()}
+        exp: dict = {}
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            bits = int(h[2:18], 16)
+            rank = 65 if bits == 0 else 64 - bits.bit_length() + 1
+            reg = h[:2]
+            exp[reg] = max(exp.get(reg, 0), rank)
+        assert got == exp
