@@ -1000,23 +1000,32 @@ def token_freq_score(
     Output: (doc_id, n_tokens, freq_sum, score). Empty docs: n_tokens 0,
     score NULL.
 
-    100 TB shape: ONE explode -> global (token) hash agg with map-side
-    partials (vocabulary-sized, not corpus-sized) -> broadcast-sized
-    total -> equi-join tokens back to the unigram table -> per-doc sum.
+    100 TB shape: everything derives from ONE (doc, token) count
+    aggregate `tfd` (token repeats collapse map-side BEFORE any join, so
+    the corpus-granularity rows are shuffled once, never joined raw);
+    its Exchange is shared via AQE ReuseExchange, leaving at most TWO
+    text scans in the final plan (pinned by
+    test_token_freq_score_plan_reuses_tfd; persist tfd to cut to one on
+    a very large corpus). unigram is vocabulary-sized; total is a
+    broadcast scalar; freq_sum = sum(c_dw * c_w) over the tfd x unigram
+    equi-join — identical integers to joining raw occurrences.
     Engine requirement; no reference counterpart.
     """
     tk = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
     toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tk).alias("w"))
-    unigram = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = unigram.agg(F.sum("c").alias("total"))
+    tfd = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c_dw"))
+    unigram = tfd.groupBy("w").agg(F.sum("c_dw").alias("c"))
+    # total over tfd, not unigram: same integer, but the lineage is the
+    # SAME tfd exchange the other branches consume, so it reuses too
+    total = tfd.agg(F.sum("c_dw").alias("total"))
     per_doc = (
-        toks.join(unigram, "w")
+        tfd.join(unigram, "w")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("c").alias("freq_sum"),
+            F.sum("c_dw").alias("n_tokens"),
+            F.sum(F.col("c_dw") * F.col("c")).alias("freq_sum"),
         )
     )
     # docs whose every token was filtered out (or empty) re-enter with 0

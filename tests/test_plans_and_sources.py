@@ -253,3 +253,23 @@ class TestTileAreaWeights:
         )
         rows = tile_area_weights(geoms, level=4).collect()
         assert len(rows) == 1 and rows[0].weight == 1.0
+
+
+def test_token_freq_score_plan_reuses_tfd(spark):
+    """t19's every branch derives from the shared (doc, token) count
+    aggregate: after AQE the final plan must reuse that Exchange and
+    scan the text column at most twice (the naive raw-token-join shape
+    scanned/exploded the corpus per branch — 4+ text scans)."""
+    import re
+
+    from rust_geo_booleanop_spark.operators import token_freq_score
+
+    df = token_freq_score(
+        spark.read.parquet(f"{TESTDATA}/documents.parquet")
+    )
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1
+    text_scans = len(re.findall(r"ReadSchema: struct<[^>]*text", final))
+    assert text_scans <= 2, final
