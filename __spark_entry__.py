@@ -2529,7 +2529,7 @@ def oracle_sql() -> dict[str, str]:
         "t18_bm25_search": """
             WITH tk AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                       list_filter(string_split_regex(lower(TRIM(COALESCE(text, ''))), '\\s+'),
                                    x -> x != '') AS t
                 FROM documents
             ), per AS (

@@ -922,8 +922,11 @@ def bm25_topk(
     """
     if not terms or len(set(terms)) != len(terms):
         raise ValueError("terms must be a non-empty list of distinct tokens")
+    # NULL text scores like an empty doc (0.0) instead of propagating
+    # NULL sizes into engine-divergent NULL ordering
     tk = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
     )
     per = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -1558,3 +1558,14 @@ class TestNewOpsRandomTwins:
             reg = h[:2]
             exp[reg] = max(exp.get(reg, 0), rank)
         assert got == exp
+
+    def test_bm25_null_text_scores_zero(self, spark):
+        from rust_geo_booleanop_spark.operators import bm25_topk
+
+        d = spark.createDataFrame(
+            [(0, "dup join"), (1, None), (2, "join")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in bm25_topk(d, terms=["dup"], k=3).collect()}
+        assert got[1].score == 0.0
+        assert got[0].rank == 1
