@@ -957,6 +957,41 @@ def _g21_shape_stats(spark, sf_dir):
     return shape_stats(geoms).drop("geom_json")
 
 
+def _g22_compactness(spark, sf_dir):
+    """Polsby-Popper compactness per corpus geometry
+    (operators/measures.py::shape_compactness): 4*pi*A/P^2 over the
+    bit-exact g21 shape folds. Oracle: the g21 twin fixture with the
+    identical multiply-chain + division recomputed in SQL (the g19
+    division pattern), restricted to the live scale via the doc join."""
+    from rust_geo_booleanop_spark.operators import extract_geometries, shape_compactness
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir)).select(
+        "case_id", "role", "geom_json"
+    )
+    return shape_compactness(geoms).select("case_id", "role", "compactness")
+
+
+def _r23_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (the general form of r14 rollup / r20
+    cube): per (returnflag, linestatus), per returnflag, and grand-total
+    revenue over lineitem — decimal-exact sums cast once to double,
+    grouping_id disambiguates the null-key rows. Same ANSI text runs on
+    both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+                   AS gid,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
 def _d11_edit_clusters(spark, sf_dir):
     """Edit-distance dedup collapse: the d10 verified pair relation ->
     connected components (the d04 min-label/pointer-doubling stage) ->
@@ -1555,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g19_iou": _g19_iou,
         "g20_tile_weights": _g20_tile_weights,
         "g21_shape_stats": _g21_shape_stats,
+        "g22_compactness": _g22_compactness,
         # --- never driver-graded: dedup / text / similarity / media ---
         "d01_minhash_pairs": _d01_minhash_pairs,
         "d02_simhash_pairs": _d02_simhash_pairs,
@@ -1584,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s08_pq_topk": _s08_pq_topk,
         "t19_token_freq_score": _t19_token_freq_score,
         "h08_cm_sketch": _h08_cm_sketch,
+        "r23_grouping_sets": _r23_grouping_sets,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2169,6 +2206,39 @@ def oracle_sql() -> dict[str, str]:
                    f.centroid_y, f.perimeter
             FROM read_parquet('{fixdir}/g21_shape_sf01.parquet') f
             JOIN docroles USING (case_id, role)
+        """,
+        # g22: the g21 twin fixture with the identical multiply chain +
+        # division recomputed in SQL (g19 pattern). Literals MUST be cast
+        # to DOUBLE: bare 3.141592653589793 parses as DECIMAL(16,15) in
+        # DuckDB and the decimal-folded 4*pi is 1 ULP off the double
+        # product, which shifted 4557/5000 fixture rows by an ULP.
+        "g22_compactness": f"""
+            WITH docroles AS (
+                SELECT doc_id // 2 AS case_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'subject' ELSE 'clipping' END AS role
+                FROM documents
+            )
+            SELECT f.case_id, f.role,
+                   CASE WHEN f.perimeter > 0.0
+                        THEN ((CAST(4.0 AS DOUBLE) * CAST(3.141592653589793 AS DOUBLE))
+                              * f.region_area)
+                             / (f.perimeter * f.perimeter)
+                        ELSE NULL END AS compactness
+            FROM read_parquet('{fixdir}/g21_shape_sf01.parquet') f
+            JOIN docroles USING (case_id, role)
+        """,
+        # r23: same ANSI text as the Spark query (decimal-exact revenue,
+        # r01 pattern; GROUPING bits disambiguate null-key rows)
+        "r23_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+                       AS gid,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

@@ -95,6 +95,8 @@ def main():
         ("s08_pq_topk", "PQ ANN: broadcast stride codebooks, one scan x pivot pass with map-side-partial min(struct) argmin encode (shuffle carries one row per vector), ADC via 4 broadcast code-distance joins, per-query window top-k"),
         ("t19_token_freq_score", "corpus-frequency quality score: ONE explode, vocabulary-sized unigram hash agg (map-side partials), broadcast total, token->unigram equi-join, per-doc integer sum + one division"),
         ("h08_cm_sketch", "count-min sketch: token explode x depth rows -> map-side-partial SUM over at most depth*4096 cells - constant-size shuffle regardless of corpus size"),
+        ("g22_compactness", "Polsby-Popper compactness: the g21 codegen folds + one multiply chain and division - still one scan, no shuffle, no Python"),
+        ("r23_grouping_sets", "GROUPING SETS: ONE expand + map-side-partial hash agg over the three sets - no per-set re-scan"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

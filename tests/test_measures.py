@@ -310,3 +310,44 @@ class TestShapeStats:
             for k, v in exp.items():
                 got = getattr(r, k)
                 assert got == v and repr(got) == repr(v), (r.case_id, r.role, k)
+
+
+class TestShapeCompactness:
+    def _one(self, spark, geom):
+        from rust_geo_booleanop_spark.operators import shape_compactness
+
+        gj = json.dumps(geom, separators=(",", ":"))
+        df = spark.createDataFrame([(gj,)], "geom_json string")
+        return shape_compactness(df).collect()[0]
+
+    def test_square_is_pi_over_4(self, spark):
+        import math
+
+        r = self._one(spark, UNIT_SQUARE)
+        # 4*pi*16 / 16^2 == pi/4 up to the exact op order
+        exp = ((4.0 * math.pi) * 16.0) / (16.0 * 16.0)
+        assert r.compactness == exp
+        assert abs(r.compactness - math.pi / 4.0) < 1e-15
+
+    def test_sliver_scores_lower_than_square(self, spark):
+        sliver = {
+            "type": "MultiPolygon",
+            "coordinates": [
+                [[[0.0, 0.0], [100.0, 0.0], [100.0, 0.1], [0.0, 0.1], [0.0, 0.0]]]
+            ],
+        }
+        sq = self._one(spark, UNIT_SQUARE)
+        sl = self._one(spark, sliver)
+        assert sl.compactness < sq.compactness
+
+    def test_degenerate_line_ring_is_zero(self, spark):
+        line = {
+            "type": "MultiPolygon",
+            "coordinates": [[[[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]]],
+        }
+        r = self._one(spark, line)
+        assert r.compactness == 0.0
+
+    def test_empty_geometry_null(self, spark):
+        r = self._one(spark, {"type": "MultiPolygon", "coordinates": []})
+        assert r.compactness is None
