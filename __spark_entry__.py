@@ -567,6 +567,36 @@ def _r16_sessionize(spark, sf_dir):
     )
 
 
+def _r24_interval_join(spark, sf_dir):
+    """Interval (range-overlap) join via the bucketed equi-join operator
+    (operators/temporal.py::interval_join): every event of a user within
+    the half-open 30-minute window after that user's error events — the
+    incident-correlation shape. Spark would plan the theta form as a
+    BroadcastNestedLoopJoin; the operator turns it into a (user, slot)
+    equi-join with bounded interval replication. Timestamp arithmetic is
+    exact integer micros on both engines."""
+    from rust_geo_booleanop_spark.operators import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    points = e.select("event_id", "user_id", "ts")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t_end"),
+    )
+    out = interval_join(
+        points, incidents,
+        point_time="ts", start_col="t_start", end_col="t_end",
+        key_col="user_id", bucket_seconds=1800,
+    )
+    return out.select(
+        F.col("i_incident_id").alias("incident_id"),
+        F.col("p_event_id").alias("event_id"),
+        F.col("p_user_id").alias("user_id"),
+    )
+
+
 def _r17_scalar_subquery(spark, sf_dir):
     """Correlated scalar subquery (Catalyst decorrelates to an aggregate
     join); integer-only so the value hash is exact across engines."""
@@ -1621,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_token_freq_score": _t19_token_freq_score,
         "h08_cm_sketch": _h08_cm_sketch,
         "r23_grouping_sets": _r23_grouping_sets,
+        "r24_interval_join": _r24_interval_join,
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2239,6 +2270,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        # r24: DuckDB recomputes the interval join as the plain theta
+        # form — the semantics the bucketed equi-join must reproduce
+        # exactly (half-open window, integer-micros timestamp arithmetic)
+        "r24_interval_join": """
+            SELECT i.event_id AS incident_id,
+                   p.event_id AS event_id,
+                   p.user_id AS user_id
+            FROM events p
+            JOIN (SELECT event_id, user_id, ts AS t_start,
+                         ts + INTERVAL 30 MINUTE AS t_end
+                  FROM events WHERE event_type = 'error') i
+              ON p.user_id = i.user_id
+             AND p.ts >= i.t_start AND p.ts < i.t_end
         """,
         "s06_ivf_kmeans": f"""
             SELECT query_id, vec_id, sim_rank

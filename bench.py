@@ -116,6 +116,7 @@ def main():
         exact_dedup,
         exact_quantiles,
         incremental_new_keys,
+        interval_join,
         extract_geometries,
         gopher_quality_filter,
         iou_per_case,
@@ -211,6 +212,7 @@ def main():
         "zonal_stats": 2.7,
         "asof_join": 4.8,
         "sessionize": 1.3,
+        "interval_join": 1.3,
         "exact_dedup": 1.2,
         "minhash_dedup": 3.1,
         "ngram_jaccard": 9.0,
@@ -405,6 +407,19 @@ def main():
     timed(
         "sessionize",
         lambda: sessionize(events.select("user_id", "ts", "event_id")).count(),
+    )
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"), "user_id",
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t_end"),
+    )
+    timed(
+        "interval_join",
+        lambda: interval_join(
+            events.select("event_id", "user_id", "ts"), incidents,
+            point_time="ts", start_col="t_start", end_col="t_end",
+            key_col="user_id", bucket_seconds=1800,
+        ).count(),
     )
 
     # --- training-data pipeline ops ---

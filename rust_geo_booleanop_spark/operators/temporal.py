@@ -1,4 +1,4 @@
-"""Temporal operators: as-of join and gap sessionization.
+"""Temporal operators: as-of join, gap sessionization, interval join.
 
 Spark has no native AS OF join (DuckDB/kdb do). The scalable pattern
 implemented here is the union-sort trick: tag both sides, union, window
@@ -11,8 +11,16 @@ Sessionization is the classic lag -> gap flag -> cumulative-sum pattern:
 two window passes over the same (key, time) partitioning, no extra
 shuffle between them.
 
-Both are pure built-in window/aggregate plans (whole-stage codegen, no
-Python), and both have exact ANSI-SQL oracles in __spark_entry__.py.
+Spark also has no native INTERVAL (range-overlap) join: expressed as a
+theta join it plans a BroadcastNestedLoopJoin — all-pairs per key, a
+scale-killer. `interval_join` buckets time into fixed-width slots,
+explodes each interval to the slots it covers (bounded replication =
+ceil(length/width)+1), equi-joins point slots against interval slots,
+and re-applies the exact predicate. Each match surfaces exactly once
+because a point lives in exactly one slot.
+
+All are pure built-in window/aggregate/join plans (whole-stage codegen,
+no Python), with exact ANSI-SQL oracles in __spark_entry__.py.
 """
 
 from __future__ import annotations
@@ -71,6 +79,72 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns],
         *[F.col("_asof").getField(c).alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start_col: str,
+    end_col: str,
+    key_col: str | None = None,
+    bucket_seconds: int = 3600,
+    point_prefix: str = "p_",
+    interval_prefix: str = "i_",
+) -> DataFrame:
+    """Inner interval join: every (point, interval) pair with
+    ``start <= point_time < end`` (half-open, the standard convention),
+    optionally restricted to equal `key_col` on both sides.
+
+    Scale shape: time is cut into `bucket_seconds` slots on exact integer
+    microseconds. Each interval explodes to the slots it covers — bounded
+    replication, ceil(length/width)+1 rows — each point maps to its ONE
+    slot, and the join is a plain equi-join on (key, slot) followed by the
+    exact micros predicate. No theta join, no BroadcastNestedLoopJoin, no
+    per-key cross product: shuffle keys are (key, slot), so even a hot
+    user key spreads across its time slots. Pick `bucket_seconds` near the
+    typical interval length; a pathological slot (everything in one hour)
+    can still be salted with operators/skew.py like any equi-join.
+
+    Output columns: points prefixed `point_prefix`, intervals prefixed
+    `interval_prefix` (both sides keep every column; prefixes avoid
+    collisions). Empty intervals (end <= start) match nothing.
+    """
+    w_us = F.lit(int(bucket_seconds) * 1_000_000).cast("long")
+    p_us = F.unix_micros(F.col(point_time).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    p = points.select(
+        *[F.col(c).alias(f"{point_prefix}{c}") for c in points.columns],
+        F.floor(p_us / w_us).alias("_slot"),
+        p_us.alias("_pt_us"),
+    )
+    # half-open end: the last covered slot is floor((end-1)/width); the
+    # e>s guard drops empty intervals before sequence() could reverse
+    i = (
+        intervals.select(
+            *[F.col(c).alias(f"{interval_prefix}{c}") for c in intervals.columns],
+            F.floor(s_us / w_us).alias("_b0"),
+            F.floor((e_us - F.lit(1).cast("long")) / w_us).alias("_b1"),
+            s_us.alias("_s_us"),
+            e_us.alias("_e_us"),
+        )
+        .filter(F.col("_e_us") > F.col("_s_us"))
+        .select(
+            "*", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_slot")
+        )
+        .drop("_b0", "_b1")
+    )
+    on = [p["_slot"] == i["_slot"]]
+    if key_col is not None:
+        on.append(
+            F.col(f"{point_prefix}{key_col}") == F.col(f"{interval_prefix}{key_col}")
+        )
+    joined = p.join(i, on, "inner").filter(
+        (F.col("_pt_us") >= F.col("_s_us")) & (F.col("_pt_us") < F.col("_e_us"))
+    )
+    return joined.drop("_slot", "_pt_us", "_s_us", "_e_us")
 
 
 def sessionize(

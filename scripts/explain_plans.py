@@ -97,6 +97,7 @@ def main():
         ("h08_cm_sketch", "count-min sketch: token explode x depth rows -> map-side-partial SUM over at most depth*4096 cells - constant-size shuffle regardless of corpus size"),
         ("g22_compactness", "Polsby-Popper compactness: the g21 codegen folds + one multiply chain and division - still one scan, no shuffle, no Python"),
         ("r23_grouping_sets", "GROUPING SETS: ONE expand + map-side-partial hash agg over the three sets - no per-set re-scan"),
+        ("r24_interval_join", "interval join: bounded interval->slot explode, (user, slot) equi-join + exact micros predicate - no BroadcastNestedLoopJoin"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

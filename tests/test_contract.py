@@ -38,7 +38,8 @@ def test_every_query_is_oracle_backed():
     assert {"g01_boolean_pipeline", "g09_fixture_suite", "g15_tile_pyramid",
             "g21_shape_stats", "h07_hll_sketch", "t18_bm25_search",
             "s08_pq_topk", "t19_token_freq_score", "h08_cm_sketch",
-            "g22_compactness", "r23_grouping_sets"} <= graded
+            "g22_compactness", "r23_grouping_sets",
+            "r24_interval_join"} <= graded
     r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
     r3 = json.load(open(r3_path))
     r3_green = {k for k, v in r3.items() if v.get("hash_match")}

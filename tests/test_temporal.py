@@ -1,10 +1,10 @@
-"""As-of join and sessionization operators (operators/temporal.py)."""
+"""As-of join, sessionization, and interval join (operators/temporal.py)."""
 
 import datetime as dt
 
 import pytest
 
-from rust_geo_booleanop_spark.operators import asof_join, sessionize
+from rust_geo_booleanop_spark.operators import asof_join, interval_join, sessionize
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -113,3 +113,85 @@ class TestSessionize:
         e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
         out = {r.event_id: r.session_seq for r in sessionize(e, gap_seconds=1800).collect()}
         assert out == {0: 1, 1: 1}
+
+
+class TestIntervalJoin:
+    def _naive(self, points, intervals, keyed):
+        out = set()
+        for pid, pk, pt in points:
+            for iid, ik, s, e in intervals:
+                if keyed and pk != ik:
+                    continue
+                if s <= pt < e:
+                    out.add((pid, iid))
+        return out
+
+    def _run(self, spark, points, intervals, keyed, bucket_seconds):
+        pdf = spark.createDataFrame(points, "pid long, user_id long, ts timestamp")
+        idf = spark.createDataFrame(
+            intervals, "iid long, user_id long, t_start timestamp, t_end timestamp"
+        )
+        out = interval_join(
+            pdf, idf, point_time="ts", start_col="t_start", end_col="t_end",
+            key_col="user_id" if keyed else None, bucket_seconds=bucket_seconds,
+        )
+        return {(r.p_pid, r.i_iid) for r in out.collect()}
+
+    def test_boundaries_half_open(self, spark):
+        points = [(0, 1, _ts(0)), (1, 1, _ts(30)), (2, 1, _ts(60))]
+        intervals = [(10, 1, _ts(0), _ts(60))]
+        got = self._run(spark, points, intervals, keyed=True, bucket_seconds=600)
+        # start inclusive, end exclusive
+        assert got == {(0, 10), (1, 10)}
+
+    def test_empty_interval_matches_nothing(self, spark):
+        points = [(0, 1, _ts(5))]
+        intervals = [(10, 1, _ts(5), _ts(5)), (11, 1, _ts(9), _ts(6))]
+        assert self._run(spark, points, intervals, keyed=True, bucket_seconds=60) == set()
+
+    def test_multi_slot_interval_yields_each_pair_once(self, spark):
+        # interval spans many 60s slots; every matching pair must appear once
+        points = [(i, 1, _ts(i)) for i in range(0, 20)]
+        intervals = [(10, 1, _ts(3), _ts(17))]
+        pdf = spark.createDataFrame(points, "pid long, user_id long, ts timestamp")
+        idf = spark.createDataFrame(
+            intervals, "iid long, user_id long, t_start timestamp, t_end timestamp"
+        )
+        rows = interval_join(
+            pdf, idf, "ts", "t_start", "t_end", key_col="user_id", bucket_seconds=60
+        ).collect()
+        pairs = [(r.p_pid, r.i_iid) for r in rows]
+        assert sorted(pairs) == [(i, 10) for i in range(3, 17)]
+
+    @pytest.mark.parametrize("keyed", [True, False])
+    @pytest.mark.parametrize("bucket_seconds", [60, 3600, 86400])
+    def test_matches_naive_theta_join(self, spark, keyed, bucket_seconds):
+        import random
+
+        rng = random.Random(4)
+        points = [
+            (i, rng.randrange(4), T0 + dt.timedelta(seconds=rng.randrange(0, 86400)))
+            for i in range(120)
+        ]
+        intervals = []
+        for i in range(40):
+            s = T0 + dt.timedelta(seconds=rng.randrange(0, 86400))
+            intervals.append(
+                (i, rng.randrange(4), s, s + dt.timedelta(seconds=rng.randrange(0, 7200)))
+            )
+        got = self._run(spark, points, intervals, keyed, bucket_seconds)
+        assert got == self._naive(
+            [(p, k, t) for p, k, t in points], intervals, keyed
+        )
+
+    def test_plan_has_no_nested_loop_join(self, spark):
+        pdf = spark.createDataFrame([(0, 1, _ts(0))], "pid long, user_id long, ts timestamp")
+        idf = spark.createDataFrame(
+            [(0, 1, _ts(0), _ts(9))],
+            "iid long, user_id long, t_start timestamp, t_end timestamp",
+        )
+        plan = (
+            interval_join(pdf, idf, "ts", "t_start", "t_end", key_col="user_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
