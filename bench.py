@@ -115,6 +115,8 @@ def main():
         apply_boolean_ops,
         exact_dedup,
         exact_quantiles,
+        focal_sum,
+        group_median,
         incremental_new_keys,
         interval_join,
         extract_geometries,
@@ -213,6 +215,8 @@ def main():
         "asof_join": 4.8,
         "sessionize": 1.3,
         "interval_join": 1.3,
+        "group_median": 1.3,
+        "focal_sum": 1.0,
         "exact_dedup": 1.2,
         "minhash_dedup": 3.1,
         "ngram_jaccard": 9.0,
@@ -421,6 +425,22 @@ def main():
             key_col="user_id", bucket_seconds=1800,
         ).count(),
     )
+    timed(
+        "group_median",
+        lambda: group_median(
+            events.select("event_type", "value", "event_id"),
+            "event_type", "value", "event_id",
+        ).count(),
+    )
+    grid_cells = (
+        events.select(
+            F.expr("(event_id % 997) DIV 50").alias("gx"),
+            F.expr("((event_id * 31) % 983) DIV 50").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    timed("focal_sum", lambda: focal_sum(grid_cells, radius=1).count())
 
     # --- training-data pipeline ops ---
     section_sentinels["dedup"] = _sentinel_reading()

@@ -168,3 +168,48 @@ def exact_quantiles(
             ))
     spark = df.sparkSession
     return spark.createDataFrame(out, "q double, value double")
+
+
+def group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Exact per-group median: the classic two-central-ranks selection.
+
+    Rank rows inside each group by (value, tie) — the tie column makes
+    the order total, so the selected rows are deterministic — then keep
+    the 1-based ranks (n+1) DIV 2 and (n+2) DIV 2 (equal for odd n) and
+    aggregate: median = SUM(selected) / COUNT(selected). For odd n that
+    is one IEEE division by 1.0 (exact identity); for even n it is one
+    addition of two doubles (commutative, so aggregation order cannot
+    matter) and one division by 2.0 — an ANSI-SQL oracle reproduces the
+    double bit-for-bit.
+
+    Scale shape: ONE shuffle on the group key; row_number and the group
+    count share the same window partitioning, then the filtered frame
+    (<= 2 rows per group) feeds a tiny hash aggregate. The window needs
+    a whole group sorted in one task, so a single pathologically hot
+    group should use `exact_quantiles` over that group's slice instead
+    (bounded passes, no per-group sort); for the normal
+    many-groups-per-executor layout this is the cheapest exact form.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col), F.asc(tie_col))
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    picked = ranked.filter(
+        (F.col("_rn") == F.expr("(_n + 1) DIV 2"))
+        | (F.col("_rn") == F.expr("(_n + 2) DIV 2"))
+    )
+    return picked.groupBy(group_col).agg(
+        (F.sum("_v") / F.count(F.lit(1)).cast("double")).alias("median"),
+        F.max("_n").alias("n_rows"),
+    )

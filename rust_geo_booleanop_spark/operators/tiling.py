@@ -354,3 +354,45 @@ def tile_area_weights(
         )
         .select("case_id", "tile_id", "clip_area", "geom_area", "weight")
     )
+
+
+def focal_sum(
+    cells: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val_col: str = "n",
+    radius: int = 1,
+) -> DataFrame:
+    """Sparse raster focal (neighborhood) sum — the grid-convolution
+    primitive behind heatmap smoothing, density surfaces, and kernel
+    feature maps: for every grid cell, the sum of `val_col` over the
+    (2r+1) x (2r+1) window centered on it.
+
+    Input is the SPARSE raster (one row per nonzero cell, integer cell
+    coordinates); output keeps sparse semantics — exactly the cells whose
+    window touches a nonzero input cell appear. A windowed/self-join
+    formulation needs a shuffle per neighbor or a range join; here each
+    input cell map-side EXPLODES to its (2r+1)^2 contribution targets
+    (a bounded constant factor) and ONE hash aggregate sums per target —
+    partial aggregation collapses contributions before the shuffle, so
+    skew in the input never amplifies. Integer-exact when `val_col` is
+    integral (counts), making the op oracle-checkable bit-for-bit.
+    """
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    contrib = cells.select(
+        F.col(x_col), F.col(y_col), F.col(val_col),
+        F.explode(offsets).alias("_o"),
+    )
+    return (
+        contrib.groupBy(
+            (F.col(x_col) + F.col("_o.dx")).alias(x_col),
+            (F.col(y_col) + F.col("_o.dy")).alias(y_col),
+        )
+        .agg(F.sum(val_col).alias("focal_sum"))
+    )

@@ -50,7 +50,8 @@ def main():
     from rust_geo_booleanop_spark.plans import get_spark
 
     spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=8)
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(getattr(entrymod, "STAGED_QUERIES", {}))
 
     picks = [
         ("r01_pricing_summary", "filter pushdown + partial aggregation"),
@@ -98,6 +99,8 @@ def main():
         ("g22_compactness", "Polsby-Popper compactness: the g21 codegen folds + one multiply chain and division - still one scan, no shuffle, no Python"),
         ("r23_grouping_sets", "GROUPING SETS: ONE expand + map-side-partial hash agg over the three sets - no per-set re-scan"),
         ("r24_interval_join", "interval join: bounded interval->slot explode, (user, slot) equi-join + exact micros predicate - no BroadcastNestedLoopJoin"),
+        ("h09_group_median", "per-group exact median: ONE shuffle on the group key (row_number + count share the partitioning), <=2-rows-per-group tail aggregate"),
+        ("g23_focal_heatmap", "focal sum: map-side 9-way explode + one hash agg with map-side partials - no self-join, no window over neighbors"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

@@ -38,8 +38,14 @@ def test_every_query_is_oracle_backed():
     assert {"g01_boolean_pipeline", "g09_fixture_suite", "g15_tile_pyramid",
             "g21_shape_stats", "h07_hll_sketch", "t18_bm25_search",
             "s08_pq_topk", "t19_token_freq_score", "h08_cm_sketch",
-            "g22_compactness", "r23_grouping_sets",
-            "r24_interval_join"} <= graded
+            "g22_compactness",
+            "r24_interval_join", "h09_group_median",
+            "g23_focal_heatmap"} <= graded
+    # staged queries must not collide with registered ones, and each
+    # staged query needs its oracle (they're graded by check_oracles.py)
+    assert set(entry.STAGED_QUERIES) == set(entry.STAGED_ORACLE_SQL)
+    assert not set(entry.STAGED_QUERIES) & set(qs)
+    assert "r23_grouping_sets" in entry.STAGED_QUERIES
     r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
     r3 = json.load(open(r3_path))
     r3_green = {k for k, v in r3.items() if v.get("hash_match")}

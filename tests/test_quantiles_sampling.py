@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from rust_geo_booleanop_spark.operators import (
     exact_quantiles,
+    group_median,
     sample_predicate,
     stratified_sample,
 )
@@ -245,3 +246,47 @@ class TestBalancedSample:
                 balanced_sample(df, "lang", "doc_id").collect()
                 if r.sample_rank <= 5}
         assert {(r.lang, r.doc_id) for r in got} == auto
+
+
+class TestGroupMedian:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "g string, v double, id long")
+        out = group_median(df, "g", "v", "id")
+        return {r.g: (r.median, r.n_rows) for r in out.collect()}
+
+    def test_odd_group_is_exact_middle(self, spark):
+        rows = [("a", 5.0, 0), ("a", 1.0, 1), ("a", 3.0, 2)]
+        assert self._run(spark, rows) == {"a": (3.0, 3)}
+
+    def test_even_group_is_mean_of_two_middles(self, spark):
+        rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 10.0, 2), ("a", 100.0, 3)]
+        # (2.0 + 10.0) / 2.0 with the exact op order
+        assert self._run(spark, rows) == {"a": ((2.0 + 10.0) / 2.0, 4)}
+
+    def test_single_row_group(self, spark):
+        rows = [("a", 7.25, 0), ("b", -1.5, 1)]
+        assert self._run(spark, rows) == {"a": (7.25, 1), "b": (-1.5, 1)}
+
+    def test_ties_at_boundary_are_stable(self, spark):
+        # four equal central values: either pick gives the same sum
+        rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 2.0, 2), ("a", 9.0, 3)]
+        assert self._run(spark, rows) == {"a": (2.0, 4)}
+
+    def test_matches_statistics_median_random(self, spark):
+        import random
+        import statistics
+
+        rng = random.Random(9)
+        rows = []
+        expected = {}
+        for g in ("p", "q", "r"):
+            vals = [round(rng.uniform(-100, 100), 2) for _ in range(rng.randrange(1, 40))]
+            rows += [(g, v, i) for i, v in enumerate(vals)]
+            sv = sorted(vals)
+            n = len(sv)
+            expected[g] = (
+                sv[n // 2] if n % 2 else (sv[n // 2 - 1] + sv[n // 2]) / 2.0,
+                n,
+            )
+        got = self._run(spark, rows)
+        assert got == expected

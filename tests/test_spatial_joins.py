@@ -17,6 +17,7 @@ from rust_geo_booleanop_spark.functions.cells import (
 )
 from rust_geo_booleanop_spark.kernel.pip import point_in_multipolygon
 from rust_geo_booleanop_spark.operators import (
+    focal_sum,
     candidate_pairs,
     knn_join,
     point_in_polygon_join,
@@ -290,3 +291,39 @@ class TestCandidatePairs:
         )
         rows = candidate_pairs(big, small).collect()
         assert len(rows) == 1
+
+
+class TestFocalSum:
+    def _run(self, spark, cells, radius=1):
+        df = spark.createDataFrame(cells, "gx long, gy long, n long")
+        out = focal_sum(df, radius=radius)
+        return {(r.gx, r.gy): r.focal_sum for r in out.collect()}
+
+    def test_single_cell_spreads_to_nine(self, spark):
+        got = self._run(spark, [(5, 5, 7)])
+        assert got == {(5 + dx, 5 + dy): 7 for dx in (-1, 0, 1) for dy in (-1, 0, 1)}
+
+    def test_matches_naive_convolution(self, spark):
+        import random
+
+        rng = random.Random(3)
+        cells = {(rng.randrange(8), rng.randrange(8)): rng.randrange(1, 50)
+                 for _ in range(30)}
+        rows = [(x, y, n) for (x, y), n in cells.items()]
+        for radius in (1, 2):
+            expected = {}
+            for (x, y), n in cells.items():
+                for dx in range(-radius, radius + 1):
+                    for dy in range(-radius, radius + 1):
+                        k = (x + dx, y + dy)
+                        expected[k] = expected.get(k, 0) + n
+            assert self._run(spark, rows, radius=radius) == expected
+
+    def test_radius_zero_is_identity(self, spark):
+        rows = [(1, 2, 3), (4, 5, 6)]
+        assert self._run(spark, rows, radius=0) == {(1, 2): 3, (4, 5): 6}
+
+    def test_plan_is_one_aggregate_no_join(self, spark):
+        df = spark.createDataFrame([(1, 1, 1)], "gx long, gy long, n long")
+        plan = focal_sum(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Generate" in plan
