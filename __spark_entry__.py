@@ -2325,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value, event_id) AS rn,
                        COUNT(*) OVER (PARTITION BY event_type) AS n
                 FROM events
+                WHERE value IS NOT NULL
             )
             SELECT event_type,
                    SUM(v) / CAST(COUNT(*) AS DOUBLE) AS median,

@@ -197,6 +197,11 @@ def group_median(
     """
     from pyspark.sql.window import Window
 
+    # NULL values are excluded up front (median over the non-null set,
+    # the SQL-aggregate convention). Relying on sort placement instead
+    # would be engine-dependent: Spark orders NULLs first ascending,
+    # DuckDB last — a silent rank shift between engine and oracle.
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(F.asc(value_col), F.asc(tie_col))
     wn = Window.partitionBy(group_col)
     ranked = df.select(

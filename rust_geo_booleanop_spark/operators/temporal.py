@@ -110,26 +110,33 @@ def interval_join(
     `interval_prefix` (both sides keep every column; prefixes avoid
     collisions). Empty intervals (end <= start) match nothing.
     """
-    w_us = F.lit(int(bucket_seconds) * 1_000_000).cast("long")
+    w_us = int(bucket_seconds) * 1_000_000
     p_us = F.unix_micros(F.col(point_time).cast("timestamp"))
     s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
     e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
 
+    # Slot assignment is EXACT integer DIV, never double division: a
+    # long/long `/` in Spark is a double divide, and past 2^53 micros
+    # (or near slot boundaries at extreme magnitudes) a 1-ULP rounding
+    # could put a boundary point one slot below its interval's coverage
+    # and silently drop a true match. DIV truncates toward zero (not
+    # floor), which is still correct: any monotonic non-decreasing
+    # integer mapping applied identically to both sides keeps every
+    # point slot inside its interval's [slot(start), slot(end-1)] range.
     p = points.select(
         *[F.col(c).alias(f"{point_prefix}{c}") for c in points.columns],
-        F.floor(p_us / w_us).alias("_slot"),
         p_us.alias("_pt_us"),
-    )
-    # half-open end: the last covered slot is floor((end-1)/width); the
-    # e>s guard drops empty intervals before sequence() could reverse
+    ).withColumn("_slot", F.expr(f"_pt_us DIV {w_us}"))
+    # half-open end: the last covered slot is slot(end-1); the e>s guard
+    # drops empty intervals before sequence() could reverse
     i = (
         intervals.select(
             *[F.col(c).alias(f"{interval_prefix}{c}") for c in intervals.columns],
-            F.floor(s_us / w_us).alias("_b0"),
-            F.floor((e_us - F.lit(1).cast("long")) / w_us).alias("_b1"),
             s_us.alias("_s_us"),
             e_us.alias("_e_us"),
         )
+        .withColumn("_b0", F.expr(f"_s_us DIV {w_us}"))
+        .withColumn("_b1", F.expr(f"(_e_us - 1) DIV {w_us}"))
         .filter(F.col("_e_us") > F.col("_s_us"))
         .select(
             "*", F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("_slot")

@@ -272,6 +272,13 @@ class TestGroupMedian:
         rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 2.0, 2), ("a", 9.0, 3)]
         assert self._run(spark, rows) == {"a": (2.0, 4)}
 
+    def test_null_values_are_excluded(self, spark):
+        rows = [("a", None, 0), ("a", 2.0, 1), ("a", None, 2), ("a", 4.0, 3)]
+        df = spark.createDataFrame(rows, "g string, v double, id long")
+        out = {r.g: (r.median, r.n_rows)
+               for r in group_median(df, "g", "v", "id").collect()}
+        assert out == {"a": ((2.0 + 4.0) / 2.0, 2)}
+
     def test_matches_statistics_median_random(self, spark):
         import random
         import statistics

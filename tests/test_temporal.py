@@ -184,6 +184,18 @@ class TestIntervalJoin:
             [(p, k, t) for p, k, t in points], intervals, keyed
         )
 
+    def test_pre_epoch_negative_micros(self, spark):
+        # truncating DIV (not floor) is fine as long as both sides share
+        # it; pin that claim on negative unix micros
+        t0 = dt.datetime(1969, 12, 31, 23, 0, 0)
+        points = [(i, 1, t0 + dt.timedelta(minutes=20 * i)) for i in range(9)]
+        intervals = [(7, 1, t0 + dt.timedelta(minutes=30),
+                      t0 + dt.timedelta(minutes=150))]
+        got = self._run(spark, points, intervals, keyed=True, bucket_seconds=3600)
+        expected = {(pid, 7) for pid, _, pt in points
+                    if intervals[0][2] <= pt < intervals[0][3]}
+        assert got == expected and expected  # non-vacuous
+
     def test_plan_has_no_nested_loop_join(self, spark):
         pdf = spark.createDataFrame([(0, 1, _ts(0))], "pid long, user_id long, ts timestamp")
         idf = spark.createDataFrame(
