@@ -727,6 +727,30 @@ def _h09_group_median(spark, sf_dir):
     return group_median(e, "event_type", "value", "event_id")
 
 
+def _h10_skyline(spark, sf_dir):
+    """Pareto frontier of documents under (minimize n_tokens, maximize
+    n_distinct) — the "most lexical diversity for the least token
+    budget" curation frontier (operators/skyline.py::pareto_frontier).
+    Metrics reuse t10's proven-parity token expressions (trim/coalesce/
+    whitespace split/drop-empties; distinct via array_distinct ==
+    DuckDB list_distinct), all exact integers, so the NOT EXISTS
+    dominance oracle hashes bit-for-bit. Ties (equal metric pairs) are
+    mutually non-dominating and ALL survive on both sides."""
+    from rust_geo_booleanop_spark.operators import pareto_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    metrics = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    return pareto_frontier(metrics, "n_tokens", "n_distinct", minimize_x=True)
+
+
 def _g23_focal_heatmap(spark, sf_dir):
     """Sparse raster focal sum (operators/tiling.py::focal_sum): 3x3
     neighborhood smoothing of the integer point-grid histogram — the
@@ -3651,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
 # scripts/check_oracles.py grades these alongside the registered set.
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r23_grouping_sets": _r23_grouping_sets,
+    "h10_skyline": _h10_skyline,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -3666,5 +3691,26 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    # h10: t10's exact-integer token expressions (string_split_regex +
+    # list_filter == Spark split + filter; list_distinct ==
+    # array_distinct) feed a textbook NOT EXISTS dominance test —
+    # quadratic is fine for the oracle (it is the definition), the
+    # Spark side uses the distributive partial-frontier fold.
+    "h10_skyline": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                                     x -> x != '') AS tk
+                  FROM documents)
+        )
+        SELECT a.doc_id, a.n_tokens, a.n_distinct FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.n_tokens <= a.n_tokens AND b.n_distinct >= a.n_distinct
+              AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct))
     """,
 }

@@ -128,6 +128,7 @@ def main():
         minhash_dedup,
         ngram_jaccard_pairs,
         pair_candidates,
+        pareto_frontier,
         point_in_polygon_join,
         remove_boilerplate_lines,
         sessionize,
@@ -229,6 +230,7 @@ def main():
         "cm_sketch": 1.5,
         "boilerplate_lines": 0.5,
         "quality_filter": 0.8,
+        "skyline": 1.0,
         "url_dedup": 0.5,
         "exact_quantiles": 2.5,
         "stratified_sample": 0.5,
@@ -499,6 +501,21 @@ def main():
         "quality_filter",
         lambda: gopher_quality_filter(
             documents, min_tokens=40, min_stopwords=1, min_distinct_frac=0.45
+        ).count(),
+    )
+    doc_toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    doc_metrics = documents.select(
+        "doc_id",
+        F.size(doc_toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(doc_toks)).cast("long").alias("n_distinct"),
+    )
+    timed(
+        "skyline",
+        lambda: pareto_frontier(
+            doc_metrics, "n_tokens", "n_distinct", minimize_x=True
         ).count(),
     )
     urls = documents.withColumn(

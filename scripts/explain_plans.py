@@ -101,6 +101,7 @@ def main():
         ("r24_interval_join", "interval join: bounded interval->slot explode, (user, slot) equi-join + exact micros predicate - no BroadcastNestedLoopJoin"),
         ("h09_group_median", "per-group exact median: ONE shuffle on the group key (row_number + count share the partitioning), <=2-rows-per-group tail aggregate"),
         ("g23_focal_heatmap", "focal sum: map-side 9-way explode + one hash agg with map-side partials - no self-join, no window over neighbors"),
+        ("h10_skyline", "Pareto frontier: codegen token metrics -> per-partition partial-frontier MapInPandas (batch-incremental fold, working set = frontier size) -> repartition(1) merge of frontiers only - no global sort, no window, nothing quadratic"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

@@ -46,6 +46,7 @@ def test_every_query_is_oracle_backed():
     assert set(entry.STAGED_QUERIES) == set(entry.STAGED_ORACLE_SQL)
     assert not set(entry.STAGED_QUERIES) & set(qs)
     assert "r23_grouping_sets" in entry.STAGED_QUERIES
+    assert "h10_skyline" in entry.STAGED_QUERIES
     r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
     r3 = json.load(open(r3_path))
     r3_green = {k for k, v in r3.items() if v.get("hash_match")}
