@@ -3668,6 +3668,82 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# --- Round-5 staged callables (see STAGED_QUERIES note below) -----------
+
+
+def _h11_group_quantiles(spark, sf_dir):
+    """Exact per-group quantile_disc at integer percents
+    (operators/quantiles.py::group_quantiles): rank = GREATEST(1,
+    (pct*n + 99) DIV 100) under the total (value, event_id) order — the
+    rank math is pure int64 and the output value is an untouched column
+    element (no interpolation), so the SQL oracle reproduces every byte."""
+    from rust_geo_booleanop_spark.operators import group_quantiles
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    return group_quantiles(e, "event_type", "value", "event_id", [25, 50, 75, 90])
+
+
+def _h12_group_mode(spark, sf_dir):
+    """Exact per-group mode with the (count DESC, value ASC) total
+    tie-break (operators/quantiles.py::group_mode): per-user most frequent
+    event_type. Two map-side-partial hash aggregates + a window over each
+    group's distinct values only; counts exact int64."""
+    from rust_geo_booleanop_spark.operators import group_mode
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return group_mode(e, "user_id", "event_type")
+
+
+def _r25_rank_functions(spark, sf_dir):
+    """Ranking-function family coverage in ONE window pass: rank,
+    dense_rank, percent_rank, cume_dist per event within its event_type,
+    ordered by value alone so tie semantics (gaps, peer groups) are
+    actually exercised. percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers/n are each ONE IEEE division of exact int64
+    counts — bit-reproducible on any engine. NULL values are filtered
+    up front (Spark sorts NULLs first ascending, DuckDB last)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"))
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def _r26_full_outer_join(spark, sf_dir):
+    """FULL OUTER join semantics (the one join family r03-r08 left
+    uncovered): per-customer order aggregate vs a filtered customer dim,
+    preserving unmatched rows on BOTH sides. Revenue is the r01
+    decimal-exact accumulation cast once to double; the COALESCEd key and
+    NULL passthroughs hash identically cross-engine."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total_price"),
+        )
+    )
+    j = cust.join(agg, cust["c_custkey"] == agg["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_name",
+        "c_mktsegment",
+        "n_orders",
+        "total_price",
+    )
+
+
 # --- Staged queries: oracle-verified locally, awaiting a driver budget
 # slot (the gate grades exactly 50 entries per round and every
 # past-the-cut query must carry a committed hash-green row from the
@@ -3676,6 +3752,10 @@ def oracle_sql() -> dict[str, str]:
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r23_grouping_sets": _r23_grouping_sets,
     "h10_skyline": _h10_skyline,
+    "h11_group_quantiles": _h11_group_quantiles,
+    "h12_group_mode": _h12_group_mode,
+    "r25_rank_functions": _r25_rank_functions,
+    "r26_full_outer_join": _r26_full_outer_join,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -3712,5 +3792,59 @@ STAGED_ORACLE_SQL: dict[str, str] = {
             SELECT 1 FROM m b
             WHERE b.n_tokens <= a.n_tokens AND b.n_distinct >= a.n_distinct
               AND (b.n_tokens < a.n_tokens OR b.n_distinct > a.n_distinct))
+    """,
+    # h11: the identical pure-integer rank selection (no quantile builtin
+    # on either side — DuckDB's quantile_disc interpolation convention is
+    # irrelevant because both engines run the same rank formula). `//` is
+    # DuckDB integer division == Spark DIV on BIGINT.
+    "h11_group_quantiles": """
+        WITH ranked AS (
+            SELECT event_type, value AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value ASC, event_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events WHERE value IS NOT NULL)
+        SELECT event_type, p.pct AS pct, v AS value, n AS n_rows
+        FROM ranked, (SELECT UNNEST([25, 50, 75, 90]) AS pct) p
+        WHERE rn = GREATEST(1, (p.pct * n + 99) // 100)
+    """,
+    # h12: same (count DESC, value ASC) total tie-break; SUM-free so no
+    # HUGEINT trap.
+    "h12_group_mode": """
+        SELECT user_id, event_type AS mode_value, n_occurrences
+        FROM (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY user_id, event_type)
+        WHERE rn = 1
+    """,
+    # r25: ANSI ranking functions share their definitions across engines;
+    # percent_rank/cume_dist are one IEEE division of exact counts each.
+    "r25_rank_functions": """
+        SELECT event_id, event_type, value,
+               RANK() OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk,
+               PERCENT_RANK() OVER w AS prnk,
+               CUME_DIST() OVER w AS cume
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC)
+    """,
+    # r26: decimal-exact revenue (r01 pattern); COUNT is BIGINT on both
+    # engines; NULLs from unmatched sides pass through untouched.
+    "r26_full_outer_join": """
+        WITH cust AS (
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey % 3 = 0),
+        agg AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price
+            FROM orders GROUP BY o_custkey)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               c_name, c_mktsegment, n_orders, total_price
+        FROM cust FULL OUTER JOIN agg ON c_custkey = o_custkey
     """,
 }

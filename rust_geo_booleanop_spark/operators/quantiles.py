@@ -170,6 +170,111 @@ def exact_quantiles(
     return spark.createDataFrame(out, "q double, value double")
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    pcts: list[int],
+) -> DataFrame:
+    """Exact per-group `quantile_disc` at integer percents.
+
+    For each group and each p in `pcts` (integer percent, 1..100) the
+    selected element is the 1-based rank max(1, ceil(p*n/100)) under the
+    total (value, tie) order — computed as the pure-integer expression
+    GREATEST(1, (p*n + 99) DIV 100), so there is ZERO floating point in
+    the rank math and the output VALUE is an untouched element of the
+    column (no interpolation, no FP ops at all): an ANSI-SQL oracle
+    reproduces every byte.
+
+    Plan shape: one shuffle on the group key (row_number + group count
+    share the window partitioning), then each row keeps only the percents
+    whose target rank equals its own row number (an in-row array filter +
+    explode — rows matching no percent vanish map-side). Like
+    group_median, a single pathologically hot group should route through
+    `exact_quantiles` on its slice; for the many-groups layout this is
+    the cheapest exact form.
+    """
+    from pyspark.sql.window import Window
+
+    for p in pcts:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError(f"pcts must be integer percents in 1..100: {p!r}")
+    # NULLs out up front (engine NULL sort order differs; see group_median)
+    df = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col), F.asc(tie_col))
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pct"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"({p} * _n + 99) DIV 100"),
+                ).alias("rank"),
+            )
+            for p in pcts
+        ]
+    )
+    hits = F.filter(targets, lambda t: t["rank"] == F.col("_rn"))
+    return (
+        ranked.select(
+            F.col(group_col),
+            F.explode(hits).alias("_t"),
+            F.col("_v"),
+            F.col("_n"),
+        )
+        .select(
+            F.col(group_col),
+            F.col("_t.pct").alias("pct"),
+            F.col("_v").alias("value"),
+            F.col("_n").alias("n_rows"),
+        )
+    )
+
+
+def group_mode(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (smallest value).
+
+    Two hash aggregates + a per-group window over the group's DISTINCT
+    values: groupBy(group, value).count() runs with map-side partials, so
+    the shuffle carries (group, value) partial counts, never rows; the
+    row_number window then ranks only distinct values inside each group
+    by (count DESC, value ASC) — a total order, so ties are resolved
+    identically on any engine. Output counts are exact int64.
+
+    Scale note: the window sorts one group's distinct-value set in one
+    task. That is the mode problem's irreducible state; a group whose
+    distinct-value cardinality alone overflows a task should use heavy
+    hitters (operators/sketch.py) to pre-shrink the candidate set.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc(value_col)
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(group_col),
+            F.col(value_col).alias("mode_value"),
+            "n_occurrences",
+        )
+    )
+
+
 def group_median(
     df: DataFrame,
     group_col: str,

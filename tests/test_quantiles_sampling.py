@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from rust_geo_booleanop_spark.operators import (
     exact_quantiles,
     group_median,
+    group_mode,
+    group_quantiles,
     sample_predicate,
     stratified_sample,
 )
@@ -297,3 +299,88 @@ class TestGroupMedian:
             )
         got = self._run(spark, rows)
         assert got == expected
+
+
+class TestGroupQuantiles:
+    def _run(self, spark, rows, pcts):
+        df = spark.createDataFrame(rows, "g string, v double, id long")
+        out = group_quantiles(df, "g", "v", "id", pcts)
+        return {(r.g, r.pct): (r.value, r.n_rows) for r in out.collect()}
+
+    def test_matches_rank_definition_random(self, spark):
+        import math
+        import random
+
+        rng = random.Random(17)
+        pcts = [1, 25, 50, 75, 90, 100]
+        rows, expected = [], {}
+        for g in ("p", "q", "r", "s"):
+            vals = [round(rng.uniform(-50, 50), 3) for _ in range(rng.randrange(1, 60))]
+            rows += [(g, v, i) for i, v in enumerate(vals)]
+            sv = sorted(vals)
+            n = len(sv)
+            for p in pcts:
+                rank = max(1, math.ceil(p * n / 100))
+                expected[(g, p)] = (sv[rank - 1], n)
+        assert self._run(spark, rows, pcts) == expected
+
+    def test_single_row_group_all_pcts(self, spark):
+        rows = [("a", 3.5, 0)]
+        got = self._run(spark, rows, [1, 50, 100])
+        assert got == {("a", 1): (3.5, 1), ("a", 50): (3.5, 1), ("a", 100): (3.5, 1)}
+
+    def test_nulls_excluded(self, spark):
+        rows = [("a", None, 0), ("a", 1.0, 1), ("a", 9.0, 2)]
+        got = self._run(spark, rows, [50, 100])
+        assert got == {("a", 50): (1.0, 2), ("a", 100): (9.0, 2)}
+
+    def test_duplicate_ranks_emit_one_row_per_pct(self, spark):
+        # n=1: every pct hits rank 1 -> one output row per pct, same value
+        rows = [("a", 2.0, 0), ("b", 1.0, 0), ("b", 4.0, 1)]
+        got = self._run(spark, rows, [25, 50])
+        assert got == {
+            ("a", 25): (2.0, 1), ("a", 50): (2.0, 1),
+            ("b", 25): (1.0, 2), ("b", 50): (1.0, 2),
+        }
+
+    def test_rejects_non_integer_pcts(self, spark):
+        df = spark.createDataFrame([("a", 1.0, 0)], "g string, v double, id long")
+        with pytest.raises(ValueError):
+            group_quantiles(df, "g", "v", "id", [0.5])
+        with pytest.raises(ValueError):
+            group_quantiles(df, "g", "v", "id", [0])
+
+
+class TestGroupMode:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "g string, v string")
+        out = group_mode(df, "g", "v")
+        return {r.g: (r.mode_value, r.n_occurrences) for r in out.collect()}
+
+    def test_plain_majority(self, spark):
+        rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+        assert self._run(spark, rows) == {"a": ("x", 2), "b": ("z", 1)}
+
+    def test_tie_breaks_to_smallest_value(self, spark):
+        rows = [("a", "y"), ("a", "x"), ("a", "x"), ("a", "y")]
+        assert self._run(spark, rows) == {"a": ("x", 2)}
+
+    def test_nulls_excluded(self, spark):
+        rows = [("a", None), ("a", None), ("a", "w")]
+        assert self._run(spark, rows) == {"a": ("w", 1)}
+
+    def test_matches_counter_random(self, spark):
+        import random
+        from collections import Counter
+
+        rng = random.Random(23)
+        rows, expected = [], {}
+        for g in ("p", "q", "r"):
+            vals = [rng.choice("abcdef") for _ in range(rng.randrange(1, 80))]
+            rows += [(g, v) for v in vals]
+            c = Counter(vals)
+            # deterministic tie-break: max count, then smallest value
+            top = max(c.values())
+            mode = min(v for v, n in c.items() if n == top)
+            expected[g] = (mode, top)
+        assert self._run(spark, rows) == expected
