@@ -3744,6 +3744,28 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _t20_oov_rate(spark, sf_dir):
+    """Per-document OOV rate vs the corpus's own top-K vocabulary
+    (operators/text.py::oov_rate): exact int64 token/OOV counts + ONE
+    IEEE division. The top-K vocab cut is total under (count DESC,
+    token ASC), so the member set — and with it every count — is
+    deterministic. K=10 here so the synthetic corpus's ~40-word
+    vocabulary actually produces nonzero OOV mass."""
+    from rust_geo_booleanop_spark.operators import oov_rate
+
+    return oov_rate(_t(spark, sf_dir, "documents"), vocab_size=10)
+
+
+def _t21_sequence_packing(spark, sf_dir):
+    """Training sequence packing (operators/text.py::pack_sequences):
+    per-language concatenated token stream chunked into 512-token bins;
+    each doc's (bin_id, bin_offset, start_offset) coordinates. Pure
+    int64 window cumsum under the total (lang, doc_id) order."""
+    from rust_geo_booleanop_spark.operators import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
+
+
 # --- Staged queries: oracle-verified locally, awaiting a driver budget
 # slot (the gate grades exactly 50 entries per round and every
 # past-the-cut query must carry a committed hash-green row from the
@@ -3756,6 +3778,8 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h12_group_mode": _h12_group_mode,
     "r25_rank_functions": _r25_rank_functions,
     "r26_full_outer_join": _r26_full_outer_join,
+    "t20_oov_rate": _t20_oov_rate,
+    "t21_sequence_packing": _t21_sequence_packing,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -3846,5 +3870,54 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         SELECT COALESCE(c_custkey, o_custkey) AS custkey,
                c_name, c_mktsegment, n_orders, total_price
         FROM cust FULL OUTER JOIN agg ON c_custkey = o_custkey
+    """,
+    # t20: the d03/d09/h03 lower+whitespace tokenization (proven-parity),
+    # a total (count DESC, token ASC) top-K vocab cut, exact BIGINT
+    # counts (DuckDB SUM(int) is HUGEINT -> CAST), one double division.
+    "t20_oov_rate": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(
+                       string_split_regex(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+                ORDER BY c DESC, tok ASC LIMIT 10)),
+        per AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov
+            FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens, n_oov,
+               CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        FROM per
+    """,
+    # t21: the t10-proven token-count expression, a ROWS-frame running
+    # sum (doc_id unique -> RANGE==ROWS, but ROWS is explicit anyway),
+    # CAST to BIGINT (window SUM(int) is HUGEINT in DuckDB), integer
+    # DIV/% identical on nonnegative ints.
+    "t21_sequence_packing": r"""
+        WITH m AS (
+            SELECT lang, doc_id,
+                   CAST(len(list_filter(
+                       string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                       x -> x != '')) AS BIGINT) AS n_tokens
+            FROM documents),
+        c AS (
+            SELECT lang, doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum
+            FROM m)
+        SELECT lang, doc_id, n_tokens,
+               cum - n_tokens AS start_offset,
+               (cum - n_tokens) // 512 AS bin_id,
+               (cum - n_tokens) % 512 AS bin_offset
+        FROM c
     """,
 }

@@ -1049,3 +1049,119 @@ def token_freq_score(
         .otherwise(F.lit(None).cast("double"))
         .alias("score"),
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-`vocab_size` vocabulary — the classic "does this page speak the
+    corpus's language" quality signal (high OOV = boilerplate, code dumps,
+    non-prose).
+
+    Tokenization is the divergence-proof lower+whitespace split shared
+    with d03/d09/h03. The vocabulary is the top `vocab_size` tokens by
+    (count DESC, token ASC) — the tie-break makes the cut total, so the
+    member set is deterministic. Counts are exact int64; oov_rate is ONE
+    IEEE division of them (bit-reproducible cross-engine). Zero-token
+    documents vanish (no exploded rows), matching the SQL oracle.
+
+    100 TB shape: token explode is map-side and linear; the vocab agg runs
+    map-side partials and its top-K is a TakeOrderedAndProject (never a
+    global sort); the vocab (vocab_size rows) broadcasts to the per-token
+    membership join; the per-document agg is map-side partial again. Two
+    passes over the exploded tokens, zero quadratic terms.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    toks = docs.select(F.col(id_col), F.explode(tk).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for training: concatenate each stratum's documents
+    (in `id_col` order) into one token stream and chunk it into bins of
+    `capacity` tokens — every document gets its (bin, offset) coordinates
+    in the packed stream. This is the document-spanning packing used by
+    LLM pretraining loaders (a doc whose tokens straddle a boundary starts
+    in `bin_id` at `bin_offset` and spills into the next bin).
+
+    All arithmetic is int64: a running SUM window under the total
+    (stratum, id) order, then DIV/% against the capacity. Zero-token
+    documents keep a row (their start offset is well-defined; they occupy
+    no tokens).
+
+    100 TB shape: ONE shuffle on the stratum key; the window's running sum
+    needs each stratum sorted in one task — strata are languages/sources
+    (dozens to thousands), so a single hot stratum should be pre-split by
+    a coarse md5(id) prefix into sub-strata (packing within sub-strata is
+    still valid packing — bins never mix strata either way). No collects,
+    no Python.
+    """
+    from pyspark.sql.window import Window
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: {capacity}")
+    # NULL text occupies zero tokens (COALESCE before counting) — unlike
+    # token_count_col, which propagates NULL; a packed stream must assign
+    # every document a coordinate, so missing text means "empty doc here",
+    # not "no row".
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    n_tokens = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.filter(F.split(trimmed, r"\s+"), lambda x: x != ""))
+    )
+    base = docs.select(
+        F.col(strat_col),
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strat_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    start = F.col("_cum") - F.col("n_tokens")
+    return with_cum.select(
+        strat_col,
+        id_col,
+        "n_tokens",
+        start.alias("start_offset"),
+        F.expr(f"(_cum - n_tokens) DIV {int(capacity)}").alias("bin_id"),
+        (start % F.lit(int(capacity))).alias("bin_offset"),
+    )

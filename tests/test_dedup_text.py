@@ -1569,3 +1569,97 @@ class TestNewOpsRandomTwins:
         got = {r.doc_id: r for r in bm25_topk(d, terms=["dup"], k=3).collect()}
         assert got[1].score == 0.0
         assert got[0].rank == 1
+
+
+class TestOovRate:
+    def test_counts_against_known_vocab(self, spark):
+        from rust_geo_booleanop_spark.operators import oov_rate
+
+        # corpus: 'a' x6, 'b' x3, 'c' x1 -> top-2 vocab = {a, b}
+        rows = [
+            (1, "a a a b"),       # 4 tokens, 0 oov
+            (2, "A b b c"),       # lowercased: a b b c -> 1 oov
+            (3, "a a"),           # 0 oov
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+               for r in oov_rate(df, vocab_size=2).collect()}
+        assert got == {
+            1: (4, 0, 0.0),
+            2: (4, 1, 1.0 / 4.0),
+            3: (2, 0, 0.0),
+        }
+
+    def test_vocab_tie_break_is_token_ascending(self, spark):
+        from rust_geo_booleanop_spark.operators import oov_rate
+
+        # 'x' and 'y' both appear twice; vocab_size=1 must pick 'x'
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "y x")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.n_oov for r in oov_rate(df, vocab_size=1).collect()}
+        assert got == {1: 1, 2: 1}  # 'y' is OOV in both docs
+
+    def test_empty_and_null_text_drop_out(self, spark):
+        from rust_geo_booleanop_spark.operators import oov_rate
+
+        df = spark.createDataFrame(
+            [(1, "a a"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id for r in oov_rate(df, vocab_size=5).collect()}
+        assert got == {1}
+
+
+class TestPackSequences:
+    def test_bins_and_offsets(self, spark):
+        from rust_geo_booleanop_spark.operators import pack_sequences
+
+        rows = [
+            ("en", 1, "t " * 3),   # 3 tokens: start 0, bin 0, off 0
+            ("en", 2, "t " * 4),   # start 3, bin 0, off 3
+            ("en", 3, "t " * 2),   # start 7, bin 1, off 2
+            ("de", 10, "t " * 6),  # independent stratum: start 0
+        ]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id, r.bin_offset)
+               for r in pack_sequences(df, capacity=5).collect()}
+        assert got == {
+            1: (3, 0, 0, 0),
+            2: (4, 3, 0, 3),
+            3: (2, 7, 1, 2),
+            10: (6, 0, 0, 0),
+        }
+
+    def test_zero_token_docs_keep_rows(self, spark):
+        from rust_geo_booleanop_spark.operators import pack_sequences
+
+        rows = [("en", 1, "a b"), ("en", 2, ""), ("en", 3, None), ("en", 4, "c")]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.start_offset)
+               for r in pack_sequences(df, capacity=10).collect()}
+        assert got == {1: (2, 0), 2: (0, 2), 3: (0, 2), 4: (1, 2)}
+
+    def test_deterministic_across_partitioning(self, spark):
+        from rust_geo_booleanop_spark.operators import pack_sequences
+
+        rows = [("en", i, "w " * (i % 7 + 1)) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+        a = sorted(map(tuple, pack_sequences(df, capacity=16).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(13), capacity=16).collect()))
+        assert a == b
+        # packed stream is gapless: start offsets are the prefix sums
+        cum = 0
+        for lang, doc_id, n, start, b_id, b_off in a:
+            assert start == cum
+            assert b_id == start // 16 and b_off == start % 16
+            cum += n
+
+    def test_rejects_nonpositive_capacity(self, spark):
+        import pytest as _pytest
+
+        from rust_geo_booleanop_spark.operators import pack_sequences
+
+        df = spark.createDataFrame([("en", 1, "a")], "lang string, doc_id long, text string")
+        with _pytest.raises(ValueError):
+            pack_sequences(df, capacity=0)
