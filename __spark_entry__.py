@@ -3744,6 +3744,59 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _s09_hamming_topk(spark, sf_dir):
+    """Binary-quantization ANN (operators/similarity.py::hamming_topk):
+    sign-bit signatures in two int64 halves, Hamming top-5 per query via
+    XOR+POPCNT — exact integers end-to-end, oracle generated from the
+    same bit layout (_s09_sig_sql)."""
+    from rust_geo_booleanop_spark.operators import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hamming_topk(emb, queries, k=5, dim=64)
+
+
+def _s09_sig_sql(lo: int, hi: int) -> str:
+    """DuckDB twin of similarity.binary_signature_cols' half expression:
+    strict `> 0` per component (NULL/NaN -> 0 via CASE ELSE on both
+    engines), bit weight 2^(i-lo) as a BIGINT literal, 1-based list
+    indexing on the DuckDB side. GENERATED from the same layout constants
+    as the operator — do not hand-edit the emitted SQL."""
+    terms = [
+        f"(CASE WHEN embedding[{i + 1}] > 0 THEN CAST({1 << (i - lo)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(lo, hi)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _s09_hamming_sql() -> str:
+    lo_expr = _s09_sig_sql(0, 32)
+    hi_expr = _s09_sig_sql(32, 64)
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, {lo_expr} AS sig_lo, {hi_expr} AS sig_hi
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+            FROM sig WHERE vec_id < 5),
+        scored AS (
+            SELECT q.query_id, sig.vec_id,
+                   CAST(bit_count(xor(sig.sig_lo, q.q_lo))
+                        + bit_count(xor(sig.sig_hi, q.q_hi)) AS INTEGER)
+                       AS hamming
+            FROM sig, q),
+        ranked AS (
+            SELECT query_id, vec_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming ASC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def _t20_oov_rate(spark, sf_dir):
     """Per-document OOV rate vs the corpus's own top-K vocabulary
     (operators/text.py::oov_rate): exact int64 token/OOV counts + ONE
@@ -3780,6 +3833,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r26_full_outer_join": _r26_full_outer_join,
     "t20_oov_rate": _t20_oov_rate,
     "t21_sequence_packing": _t21_sequence_packing,
+    "s09_hamming_topk": _s09_hamming_topk,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -3920,4 +3974,6 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                (cum - n_tokens) % 512 AS bin_offset
         FROM c
     """,
+    # s09: generated from the operator's bit layout (see _s09_sig_sql)
+    "s09_hamming_topk": _s09_hamming_sql(),
 }

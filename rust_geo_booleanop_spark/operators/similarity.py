@@ -576,3 +576,74 @@ def pq_topk(
         .filter(F.col("pq_rank") <= k)
         .select("query_id", "vec_id", "pq_rank")
     )
+
+
+def binary_signature_cols(vec_col: str = "embedding", dim: int = 64):
+    """(sig_lo, sig_hi) Columns: the vector's sign bits packed into two
+    int64 halves — bit j of sig_lo is set iff component j (0-based,
+    j < 32) is strictly positive; sig_hi covers components 32..dim-1.
+
+    This is binary quantization (the 1-bit embedding compression used by
+    retrieval systems): 64 floats become 8 bytes, and similarity becomes
+    a Hamming distance — two XORs + two POPCNTs per candidate instead of
+    a 64-float dot product. Exact integer arithmetic end-to-end (distinct
+    powers of two summed — order-free), so an ANSI-SQL oracle reproduces
+    the signatures byte-for-byte. -0.0, NaN, and NULL components all
+    clear the strict `> 0` test to bit 0 on both engines.
+
+    Two 32-bit halves rather than one 64-bit word: bit 63 would need the
+    int64 sign bit, and a SUM reaching 2**63 overflows BIGINT on the
+    oracle side — the halves keep every intermediate comfortably inside
+    int64 on both engines."""
+    if not (1 <= dim <= 64):
+        raise ValueError(f"dim must be in 1..64: {dim}")
+    v = F.col(vec_col)
+
+    def half(lo: int, hi: int):
+        acc = F.lit(0).cast("long")
+        for i in range(lo, min(hi, dim)):
+            acc = acc + F.when(
+                v[i] > F.lit(0.0), F.lit(1 << (i - lo)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return half(0, 32).alias("sig_lo"), half(32, 64).alias("sig_hi")
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k nearest corpus vectors per query under Hamming distance of
+    sign-quantized signatures (binary-quantization ANN).
+
+    Plan shape mirrors cosine_topk — broadcast the (tiny) query
+    signatures, score map-side, ONE shuffle for the per-query top-k — but
+    the per-candidate cost is two XOR+POPCNT int ops instead of a
+    dim-float dot product, which is the whole point of the quantization:
+    at 100 TB the scoring stage is memory-bandwidth-bound, not FPU-bound.
+    Distances are exact integers; ties break on id, so the result is
+    deterministic and byte-reproducible by the SQL oracle.
+    """
+    lo, hi = binary_signature_cols(vec_col, dim)
+    corpus = embeddings.select(F.col(id_col), lo, hi)
+    qlo, qhi = binary_signature_cols(qvec_col, dim)
+    qsig = queries.select(F.col(qid_col), qlo.alias("q_lo"), qhi.alias("q_hi"))
+    crossed = corpus.crossJoin(F.broadcast(qsig))
+    hamming = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    w = Window.partitionBy(qid_col).orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        crossed.withColumn("hamming", hamming)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "hamming", "rank")
+    )

@@ -1663,3 +1663,65 @@ class TestPackSequences:
         df = spark.createDataFrame([("en", 1, "a")], "lang string, doc_id long, text string")
         with _pytest.raises(ValueError):
             pack_sequences(df, capacity=0)
+
+
+class TestHammingTopk:
+    def _sig(self, vec, lo, hi):
+        s = 0
+        for i in range(lo, min(hi, len(vec))):
+            x = vec[i]
+            if x is not None and x == x and x > 0:  # strict >0; NaN/None -> 0
+                s |= 1 << (i - lo)
+        return s
+
+    def test_matches_numpy_brute_force(self, spark):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.operators import hamming_topk
+
+        rng = np.random.RandomState(11)
+        vecs = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(60)]
+        # inject adversarial components: zeros, -0.0, NaN
+        vecs[3][1][0] = 0.0
+        vecs[3][1][1] = -0.0
+        vecs[4][1][63] = float("nan")
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        queries = df.filter("vec_id < 4").selectExpr(
+            "vec_id AS query_id", "embedding AS query_vec"
+        )
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.hamming)
+            for r in hamming_topk(df, queries, k=3, dim=64).collect()
+        }
+        # brute-force twin over FLOAT32-rounded values (the table stores
+        # float, so signs must come from the rounded value)
+        f32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs}
+        sigs = {i: (self._sig(v, 0, 32), self._sig(v, 32, 64)) for i, v in f32.items()}
+        for qid in range(4):
+            qlo, qhi = sigs[qid]
+            scored = sorted(
+                (bin(lo ^ qlo).count("1") + bin(hi ^ qhi).count("1"), i)
+                for i, (lo, hi) in sigs.items()
+            )
+            for rank, (d, i) in enumerate(scored[:3], start=1):
+                assert got[(qid, rank)] == (i, d), (qid, rank)
+
+    def test_self_is_rank_one_at_distance_zero(self, spark):
+        import numpy as np
+
+        from rust_geo_booleanop_spark.operators import hamming_topk
+
+        rng = np.random.RandomState(5)
+        vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(10)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id = 7").selectExpr("vec_id AS query_id", "embedding AS query_vec")
+        rows = hamming_topk(df, q, k=1, dim=16).collect()
+        assert len(rows) == 1 and rows[0].vec_id == 7 and rows[0].hamming == 0
+
+    def test_rejects_bad_dim(self, spark):
+        from rust_geo_booleanop_spark.operators import binary_signature_cols
+
+        with pytest.raises(ValueError):
+            binary_signature_cols(dim=0)
+        with pytest.raises(ValueError):
+            binary_signature_cols(dim=65)
