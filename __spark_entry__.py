@@ -3744,6 +3744,75 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _g24_morton_blocks(spark, sf_dir):
+    """Z-order (Morton) curve index over the event points
+    (functions/cells.py::morton_expr): the locality-preserving 1-D sort
+    key behind Delta/Iceberg Z-ORDER clustering and z-range pruning.
+    Points get 32-bit morton keys (pure shift/AND/OR codegen); the query
+    summarizes each 1024-key prefix block — the block stats are exactly
+    the min/max z-ranges a scan planner would prune against. Oracle SQL
+    is GENERATED from the same MORTON_ROUNDS table (morton_sql)."""
+    from rust_geo_booleanop_spark.functions import morton_expr
+
+    e = _t(spark, sf_dir, "events")
+    m = morton_expr(F.col("event_id") % 997, (F.col("event_id") * 31) % 983)
+    return (
+        e.select(m.alias("morton"))
+        .groupBy(F.shiftright(F.col("morton"), 10).alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("morton").alias("min_morton"),
+            F.max("morton").alias("max_morton"),
+        )
+    )
+
+
+def _g25_nn_distance(spark, sf_dir):
+    """Exact nearest-neighbor distance per sampled point: the
+    point-pattern statistic behind Clark-Evans clustering tests and
+    sensor-coverage audits. Spark side runs the PRODUCTION cell-bucketed
+    kNN (operators/spatial_join.py::knn_join_bucketed, k=2 then drop
+    self) — never the quadratic scan; the oracle IS the quadratic
+    definition. Coordinates are integer-valued doubles, so squared
+    distances are exact and (dist, point_id) ties resolve identically."""
+    from rust_geo_booleanop_spark.operators import knn_join_bucketed
+
+    points = _points(spark, sf_dir).select("point_id", "x", "y")
+    queries = points.filter(F.col("point_id") % 20 == 0).select(
+        F.col("point_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    knn = knn_join_bucketed(points, queries, k=2)
+    nonself = knn.filter(F.col("point_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+    return (
+        nonself.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("point_id").alias("nn_id"),
+            F.col("dist").alias("nn_dist2"),
+        )
+    )
+
+
+def _g24_morton_sql() -> str:
+    from rust_geo_booleanop_spark.functions import morton_sql
+
+    m = morton_sql(
+        "CAST(event_id % 997 AS BIGINT)", "CAST((event_id * 31) % 983 AS BIGINT)"
+    )
+    return f"""
+        WITH m AS (SELECT {m} AS morton FROM events)
+        SELECT morton >> 10 AS z_block,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               MIN(morton) AS min_morton,
+               MAX(morton) AS max_morton
+        FROM m GROUP BY 1
+    """
+
+
 def _s09_hamming_topk(spark, sf_dir):
     """Binary-quantization ANN (operators/similarity.py::hamming_topk):
     sign-bit signatures in two int64 halves, Hamming top-5 per query via
@@ -3834,6 +3903,8 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t20_oov_rate": _t20_oov_rate,
     "t21_sequence_packing": _t21_sequence_packing,
     "s09_hamming_topk": _s09_hamming_topk,
+    "g24_morton_blocks": _g24_morton_blocks,
+    "g25_nn_distance": _g25_nn_distance,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -3976,4 +4047,28 @@ STAGED_ORACLE_SQL: dict[str, str] = {
     """,
     # s09: generated from the operator's bit layout (see _s09_sig_sql)
     "s09_hamming_topk": _s09_hamming_sql(),
+    # g24: generated from functions/cells.py MORTON_ROUNDS (morton_sql)
+    "g24_morton_blocks": _g24_morton_sql(),
+    # g25: the quadratic NN definition — (a-b)*(a-b) forms, never pow;
+    # integer-valued doubles so every distance is exact; ties resolve on
+    # the same (dist, point_id) total order the Spark window uses.
+    "g25_nn_distance": """
+        WITH p AS (
+            SELECT event_id AS point_id,
+                   CAST(event_id % 997 AS DOUBLE) AS x,
+                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
+            FROM events),
+        q AS (SELECT * FROM p WHERE point_id % 20 = 0),
+        d AS (
+            SELECT q.point_id AS query_id, p.point_id AS nn_id,
+                   (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                       AS nn_dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.point_id
+                       ORDER BY (p.x - q.x) * (p.x - q.x)
+                                + (p.y - q.y) * (p.y - q.y) ASC,
+                                p.point_id ASC) AS rn
+            FROM q JOIN p ON p.point_id != q.point_id)
+        SELECT query_id, nn_id, nn_dist2 FROM d WHERE rn = 1
+    """,
 }

@@ -5,6 +5,8 @@ from .cells import (
     cell_size,
     decode_cell,
     encode_cells,
+    morton_expr,
+    morton_sql,
     parent_cell,
     point_cells,
     LEVEL0_SIZE,
@@ -17,6 +19,8 @@ __all__ = [
     "cell_size",
     "decode_cell",
     "encode_cells",
+    "morton_expr",
+    "morton_sql",
     "parent_cell",
     "point_cells",
     "LEVEL0_SIZE",

@@ -105,3 +105,60 @@ def bbox_cover_cells_batch(xmin, ymin, xmax, ymax, level: int):
         bbox_cover_cells(a, b, c, d, level)
         for a, b, c, d in zip(xmin, ymin, xmax, ymax)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) curve — the locality-preserving 1-D key used for
+# file/layout clustering (Delta/Iceberg Z-ORDER) and for z-range pruning
+# of spatial predicates: one integer sort key whose prefix blocks are
+# spatial blocks.
+# ---------------------------------------------------------------------------
+
+# Bit-spread rounds for one 16-bit coordinate (classic magic-number
+# interleave). SINGLE source of truth: both the Spark Column expression
+# and the generated DuckDB SQL twin are built from this table — a change
+# here changes both engines in lockstep.
+MORTON_ROUNDS = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+_MORTON_COORD_MASK = 0xFFFF  # 16-bit coordinates -> 32-bit morton keys
+
+
+def morton_expr(ix, iy):
+    """JVM Column: 32-bit Morton key of two 16-bit integer Columns.
+
+    morton = spread(ix & 0xFFFF) | (spread(iy & 0xFFFF) << 1) where
+    spread() inserts a zero bit between consecutive coordinate bits via
+    MORTON_ROUNDS. Pure shift/AND/OR integer codegen — no UDF, no Python.
+    """
+    from pyspark.sql import functions as F
+
+    def spread(col):
+        # force int64 lanes: spread(iy) << 1 reaches 0xAAAAAAAA, which
+        # overflows a 32-bit lane if the input Column was IntegerType
+        acc = col.cast("long").bitwiseAND(F.lit(_MORTON_COORD_MASK).cast("long"))
+        for shift, mask in MORTON_ROUNDS:
+            acc = acc.bitwiseOR(F.shiftleft(acc, shift)).bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+        return acc
+
+    return spread(ix).bitwiseOR(F.shiftleft(spread(iy), 1))
+
+
+def morton_sql(ix_sql: str, iy_sql: str) -> str:
+    """DuckDB SQL twin of `morton_expr`, GENERATED from MORTON_ROUNDS —
+    do not hand-edit the emitted text. `ix_sql`/`iy_sql` are integer SQL
+    expressions (BIGINT-safe: every literal is CAST to BIGINT so the
+    shift/AND chain never touches INT32)."""
+
+    def spread(expr: str) -> str:
+        acc = f"(({expr}) & CAST({_MORTON_COORD_MASK} AS BIGINT))"
+        for shift, mask in MORTON_ROUNDS:
+            acc = f"(({acc} | ({acc} << {shift})) & CAST({mask} AS BIGINT))"
+        return acc
+
+    return f"({spread(ix_sql)} | ({spread(iy_sql)} << 1))"

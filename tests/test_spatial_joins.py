@@ -327,3 +327,94 @@ class TestFocalSum:
         df = spark.createDataFrame([(1, 1, 1)], "gx long, gy long, n long")
         plan = focal_sum(df)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "Generate" in plan
+
+
+class TestMorton:
+    @staticmethod
+    def _py_morton(x, y):
+        def spread(v):
+            v &= 0xFFFF
+            v = (v | (v << 8)) & 0x00FF00FF
+            v = (v | (v << 4)) & 0x0F0F0F0F
+            v = (v | (v << 2)) & 0x33333333
+            v = (v | (v << 1)) & 0x55555555
+            return v
+
+        return spread(x) | (spread(y) << 1)
+
+    def test_spark_expr_matches_reference(self, spark):
+        from rust_geo_booleanop_spark.functions import morton_expr
+
+        rows = [(x, y) for x in (0, 1, 2, 255, 256, 996, 65535)
+                for y in (0, 1, 3, 128, 982, 65535)]
+        df = spark.createDataFrame(rows, "x int, y int")  # int on purpose:
+        # morton_expr must survive 32-bit input columns (internal long cast)
+        got = {(r.x, r.y): r.m
+               for r in df.select("x", "y",
+                                  morton_expr(F.col("x"), F.col("y")).alias("m")
+                                  ).collect()}
+        for (x, y), m in got.items():
+            assert m == self._py_morton(x, y), (x, y)
+
+    def test_locality_prefix_blocks_are_spatial(self, spark):
+        # all points of one 32x32 tile share the morton >> 10 prefix
+        from rust_geo_booleanop_spark.functions import morton_expr
+
+        rows = [(x, y) for x in range(32, 64) for y in range(64, 96)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        blocks = (
+            df.select(F.shiftright(morton_expr(F.col("x"), F.col("y")), 10)
+                      .alias("b")).distinct().collect()
+        )
+        assert len(blocks) == 1
+
+    def test_sql_twin_matches_expr(self, spark):
+        import duckdb
+
+        from rust_geo_booleanop_spark.functions import morton_expr, morton_sql
+
+        rng = np.random.RandomState(3)
+        rows = [(int(a), int(b)) for a, b in rng.randint(0, 65536, size=(300, 2))]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = sorted(
+            (r.x, r.y, r.m)
+            for r in df.select("x", "y",
+                               morton_expr(F.col("x"), F.col("y")).alias("m")
+                               ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(con.execute(
+            f"SELECT x, y, {morton_sql('x', 'y')} FROM t").fetchall())
+        assert got == want
+
+
+class TestNnDistance:
+    def test_bucketed_knn_nn_matches_brute_force(self, spark):
+        from rust_geo_booleanop_spark.operators import knn_join_bucketed
+
+        rng = np.random.RandomState(29)
+        pts = [(i, float(x), float(y))
+               for i, (x, y) in enumerate(rng.randint(0, 400, size=(250, 2)))]
+        points = spark.createDataFrame(pts, "point_id long, x double, y double")
+        queries = points.filter("point_id % 5 = 0").selectExpr(
+            "point_id AS query_id", "x AS qx", "y AS qy")
+        knn = knn_join_bucketed(points, queries, k=2)
+        nonself = knn.filter(F.col("point_id") != F.col("query_id"))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+        got = {
+            r.query_id: (r.point_id, r.dist)
+            for r in nonself.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").collect()
+        }
+        arr = np.array([(x, y) for _, x, y in pts])
+        ids = np.array([i for i, _, _ in pts])
+        for qi, qx, qy in pts:
+            if qi % 5:
+                continue
+            d2 = (arr[:, 0] - qx) ** 2 + (arr[:, 1] - qy) ** 2
+            order = sorted((float(d), int(i)) for d, i in zip(d2, ids) if i != qi)
+            assert got[qi] == (order[0][1], order[0][0]), qi
