@@ -3744,6 +3744,87 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _h13_funnel(spark, sf_dir):
+    """Ordered conversion funnel (operators/temporal.py::funnel_steps):
+    users who did view, then click strictly after their first view, then
+    purchase strictly after that. Per-step MIN timestamps via filtered
+    map-side-partial aggregates + user-key equi-joins — no windows over
+    user history. Strict '>' ordering makes same-timestamp pairs
+    non-advancing, so the oracle is a plain CTE chain."""
+    from rust_geo_booleanop_spark.operators import funnel_steps
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_steps(e, ["view", "click", "purchase"])
+
+
+def _r27_posexplode(spark, sf_dir):
+    """posexplode / UNNEST WITH ORDINALITY coverage: each document's
+    first three tokens with their 0-based position (the lateral-view
+    shape). Spark's posexplode emits (pos, tok); the oracle rebuilds the
+    ordinals from a tiny index relation (h03's zip-unnest pattern)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("pos") < 3)
+        .select("doc_id", "pos", "tok")
+    )
+
+
+def _r28_exists_join(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS coverage (the subquery spelling of
+    r07 semi / r08 anti): orders that contain a line item with quantity
+    >= 49 but no returned ('R') line item. Catalyst rewrites both
+    predicates into one semi + one anti hash join — same ANSI text on
+    both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+    """)
+
+
+def _r29_string_functions(spark, sf_dir):
+    """Scalar string-function battery over customer names: substring /
+    pad / replace / reverse / position / repeat / case mapping — each
+    chosen for byte-identical semantics on an ASCII corpus across
+    engines (1-based positions, 0-if-absent strpos, space-padding).
+    levenshtein rides along (d10 proved the cross-engine parity)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(name, 22, ".").alias("padded"),
+        F.regexp_replace(name, "0", "#").alias("zero_masked"),
+        F.reverse(name).alias("reversed_name"),
+        F.instr(name, "1").alias("pos_one"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("tripled"),
+        F.length(name).alias("name_len"),
+        F.levenshtein(name, F.reverse(name)).alias("dist_to_reverse"),
+    )
+
+
+def _t22_token_novelty(spark, sf_dir):
+    """Per-document vocabulary novelty (operators/text.py::token_novelty):
+    fraction of the doc's distinct tokens first introduced to the corpus
+    by this doc (first appearance = MIN doc_id over containing docs).
+    Exact int64 counts + one IEEE division."""
+    from rust_geo_booleanop_spark.operators import token_novelty
+
+    return token_novelty(_t(spark, sf_dir, "documents"))
+
+
 def _g24_morton_blocks(spark, sf_dir):
     """Z-order (Morton) curve index over the event points
     (functions/cells.py::morton_expr): the locality-preserving 1-D sort
@@ -3905,6 +3986,11 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s09_hamming_topk": _s09_hamming_topk,
     "g24_morton_blocks": _g24_morton_blocks,
     "g25_nn_distance": _g25_nn_distance,
+    "h13_funnel": _h13_funnel,
+    "r27_posexplode": _r27_posexplode,
+    "r28_exists_join": _r28_exists_join,
+    "r29_string_functions": _r29_string_functions,
+    "t22_token_novelty": _t22_token_novelty,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4070,5 +4156,82 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                                 p.point_id ASC) AS rn
             FROM q JOIN p ON p.point_id != q.point_id)
         SELECT query_id, nn_id, nn_dist2 FROM d WHERE rn = 1
+    """,
+    # h13: per-step MIN-chain CTEs; strict '>' so same-ts pairs never
+    # advance; COUNT is BIGINT on both engines.
+    "h13_funnel": """
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+        SELECT 1 AS step_index, 'view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    # r27: ordinals rebuilt from a 3-row index relation (h03 zip-unnest
+    # pattern); DuckDB lists are 1-based, Spark posexplode 0-based.
+    "r27_posexplode": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                               x -> x != '') AS tk
+            FROM documents WHERE doc_id < 200)
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS tok
+        FROM m, (SELECT UNNEST([1, 2, 3]) AS i)
+        WHERE i <= len(tk)
+    """,
+    # r28: same ANSI text as the Spark query
+    "r28_exists_join": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+    """,
+    # r29: ASCII-safe battery; strpos == instr (1-based, 0 absent);
+    # levenshtein parity proven by d10.
+    "r29_string_functions": """
+        SELECT c_custkey,
+               UPPER(c_name) AS upper_name,
+               SUBSTRING(c_name, 1, 8) AS prefix8,
+               LPAD(c_name, 22, '.') AS padded,
+               REGEXP_REPLACE(c_name, '0', '#', 'g') AS zero_masked,
+               REVERSE(c_name) AS reversed_name,
+               CAST(STRPOS(c_name, '1') AS INTEGER) AS pos_one,
+               REPEAT(SUBSTRING(c_name, 1, 2), 3) AS tripled,
+               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+               CAST(LEVENSHTEIN(c_name, REVERSE(c_name)) AS INTEGER)
+                   AS dist_to_reverse
+        FROM customer WHERE c_custkey <= 300
+    """,
+    # t22: d03-family tokenization; MIN-of-ids first appearance; BIGINT
+    # casts (DuckDB SUM(int) is HUGEINT); one double division.
+    "t22_token_novelty": r"""
+        WITH per_tok AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(list_filter(
+                       string_split_regex(LOWER(TRIM(COALESCE(text, ''))), '\s+'),
+                       x -> x != ''))) AS tok
+            FROM documents),
+        first AS (SELECT tok, MIN(doc_id) AS first_doc FROM per_tok GROUP BY tok),
+        per AS (
+            SELECT p.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM per_tok p JOIN first f USING (tok)
+            GROUP BY p.doc_id)
+        SELECT doc_id, n_distinct, n_novel,
+               CAST(n_novel AS DOUBLE) / CAST(n_distinct AS DOUBLE) AS novelty
+        FROM per
     """,
 }

@@ -188,3 +188,61 @@ def sessionize(
     return sessioned.withColumn(
         "event_in_session", F.row_number().over(w_in)
     ).drop("_new_session")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed step 1, then
+    step 2 STRICTLY after their first step 1, then step 3 strictly after
+    that, ... — the product-analytics conversion funnel.
+
+    Semantics: per user, t_1 = MIN(ts of step-1 events); t_k = MIN(ts of
+    step-k events with ts > t_{k-1}). A user counts toward step k iff t_k
+    exists. Strict ordering (">") means a same-timestamp pair does NOT
+    advance the funnel — deterministic regardless of intra-timestamp
+    event order, which also makes the SQL oracle trivial to state.
+
+    Scale shape: one filtered aggregate + one equi-join per step, every
+    aggregate a map-side-partial MIN on the user key; join keys all the
+    same column, so AQE coalesces the exchanges. Never a window over a
+    user's full history and never a sort — at 100 TB each step touches
+    only that step's event type.
+
+    Returns (step_index int, step string, n_users bigint), one row per
+    step, n_users non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    spark = events.sparkSession
+    prev = None
+    counts = []
+    for idx, step in enumerate(steps, start=1):
+        cur = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if prev is None:
+            agg = cur.groupBy("_u").agg(F.min("_t").alias("_reached"))
+        else:
+            agg = (
+                cur.join(prev, on="_u")
+                .filter(F.col("_t") > F.col("_reached"))
+                .groupBy("_u")
+                .agg(F.min("_t").alias("_reached"))
+            )
+        prev = agg
+        counts.append(
+            agg.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).alias("step_index"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1165,3 +1165,52 @@ def pack_sequences(
         F.expr(f"(_cum - n_tokens) DIV {int(capacity)}").alias("bin_id"),
         (start % F.lit(int(capacity))).alias("bin_offset"),
     )
+
+
+def token_novelty(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document vocabulary novelty: the fraction of a document's
+    DISTINCT tokens whose first corpus appearance (minimum `id_col` over
+    all documents containing the token) is this document. A
+    dedup-adjacent curation signal — near-zero novelty late in the
+    corpus means the document re-treads existing vocabulary.
+
+    Tokenization is the d03/d09/h03 lower+whitespace split; counts exact
+    int64; novelty is ONE IEEE division. Ties are impossible by
+    construction (MIN over ids is unique per token).
+
+    100 TB shape: distinct-token explode is map-side (array_distinct
+    inside the row), the first-appearance MIN agg and the per-doc rollup
+    both run map-side partials, the join is a token-key equi-join; no
+    windows, no collects. Zero-token documents vanish (no rows), like
+    the SQL oracle.
+    """
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    per_tok = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tk)).alias("tok")
+    )
+    first = per_tok.groupBy("tok").agg(F.min(id_col).alias("_first_doc"))
+    per_doc = (
+        per_tok.join(first, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("_first_doc") == F.col(id_col), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_distinct",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_distinct").cast("double")).alias(
+            "novelty"
+        ),
+    )

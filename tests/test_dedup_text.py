@@ -1725,3 +1725,37 @@ class TestHammingTopk:
             binary_signature_cols(dim=0)
         with pytest.raises(ValueError):
             binary_signature_cols(dim=65)
+
+
+class TestTokenNovelty:
+    def test_first_introduction_wins(self, spark):
+        from rust_geo_booleanop_spark.operators import token_novelty
+
+        rows = [
+            (1, "a b c"),      # introduces a, b, c -> 3/3
+            (2, "b c d"),      # introduces d -> 1/3
+            (3, "A b"),        # lowercased: a b, nothing new -> 0/2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_distinct, r.n_novel, r.novelty)
+               for r in token_novelty(df).collect()}
+        assert got == {
+            1: (3, 3, 1.0),
+            2: (3, 1, 1.0 / 3.0),
+            3: (2, 0, 0.0),
+        }
+
+    def test_duplicate_tokens_counted_once(self, spark):
+        from rust_geo_booleanop_spark.operators import token_novelty
+
+        df = spark.createDataFrame([(1, "x x x y")], "doc_id long, text string")
+        got = token_novelty(df).collect()[0]
+        assert (got.n_distinct, got.n_novel) == (2, 2)
+
+    def test_empty_docs_vanish(self, spark):
+        from rust_geo_booleanop_spark.operators import token_novelty
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        assert {r.doc_id for r in token_novelty(df).collect()} == {1}

@@ -207,3 +207,71 @@ class TestIntervalJoin:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestFunnelSteps:
+    def _run(self, spark, rows, steps):
+        from rust_geo_booleanop_spark.operators import funnel_steps
+
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        out = funnel_steps(df, steps)
+        return {r.step_index: (r.step, r.n_users) for r in out.collect()}
+
+    def test_strictly_ordered_progression(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            # user 1 completes the funnel in order
+            (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+            # user 2 clicks BEFORE viewing -> stops at view
+            (2, t(5), "view"), (2, t(4), "click"),
+            # user 3 views only
+            (3, t(1), "view"),
+            # user 4 never views (click+purchase don't count)
+            (4, t(1), "click"), (4, t(2), "purchase"),
+        ]
+        got = self._run(spark, rows, ["view", "click", "purchase"])
+        assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+
+    def test_same_timestamp_does_not_advance(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        rows = [(1, t(1), "view"), (1, t(1), "click"), (1, t(2), "click")]
+        got = self._run(spark, rows, ["view", "click"])
+        # the t(1) click ties the first view -> only the t(2) click counts
+        assert got == {1: ("view", 1), 2: ("click", 1)}
+
+    def test_min_first_event_is_the_anchor(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+        # second view at t5 is irrelevant: click at t3 > first view t1
+        rows = [(1, t(1), "view"), (1, t(5), "view"), (1, t(3), "click")]
+        got = self._run(spark, rows, ["view", "click"])
+        assert got == {1: ("view", 1), 2: ("click", 1)}
+
+    def test_counts_non_increasing_random(self, spark):
+        import datetime as dt
+        import random
+
+        rng = random.Random(31)
+        types = ["view", "click", "purchase"]
+        rows = [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(10000)),
+             rng.choice(types + ["error"]))
+            for u in range(40) for _ in range(rng.randrange(0, 12))
+        ]
+        got = self._run(spark, rows, types)
+        ns = [got[i][1] for i in (1, 2, 3)]
+        assert ns[0] >= ns[1] >= ns[2]
+
+    def test_empty_steps_raises(self, spark):
+        import pytest as _pytest
+
+        from rust_geo_booleanop_spark.operators import funnel_steps
+
+        df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+        with _pytest.raises(ValueError):
+            funnel_steps(df, [])
