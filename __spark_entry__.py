@@ -3744,6 +3744,25 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _m06_audio_energy(spark, sf_dir):
+    """Integer-exact audio frame features
+    (operators/multimodal.py::audio_energy): per-clip totals of
+    sum-of-squares energy (int64) and zero crossings over 100 ms frames.
+    Oracle: per-frame rows from the committed operator-pandas fixture
+    (scripts/gen_media_oracle_fixtures.py), aggregation recomputed in SQL
+    — the m02 pattern, but every feature is an exact integer."""
+    from rust_geo_booleanop_spark.operators import audio_energy, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    frames = audio_energy(media, frame_ms=100, max_frames=8)
+    return frames.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("n_zc").alias("total_zc"),
+    )
+
+
 def _h13_funnel(spark, sf_dir):
     """Ordered conversion funnel (operators/temporal.py::funnel_steps):
     users who did view, then click strictly after their first view, then
@@ -3991,6 +4010,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r28_exists_join": _r28_exists_join,
     "r29_string_functions": _r29_string_functions,
     "t22_token_novelty": _t22_token_novelty,
+    "m06_audio_energy": _m06_audio_energy,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4233,5 +4253,21 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_distinct, n_novel,
                CAST(n_novel AS DOUBLE) / CAST(n_distinct AS DOUBLE) AS novelty
         FROM per
+    """,
+    # m06: m02's fixture-join pattern; Spark SUM(long) stays BIGINT but
+    # DuckDB SUM(BIGINT) is HUGEINT -> CAST both sums.
+    "m06_audio_energy": """
+        WITH urls AS (
+            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
+            FROM documents
+        )
+        SELECT f.url,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(f.energy) AS BIGINT) AS total_energy,
+               CAST(SUM(f.n_zc) AS BIGINT) AS total_zc
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m06_audio_energy_sf01.parquet') f
+        JOIN urls USING (url)
+        GROUP BY f.url
     """,
 }

@@ -386,3 +386,45 @@ def sample_audio_frames(media: DataFrame, frame_ms: int = 100, max_frames: int =
             yield sample_audio_frames_pdf(pdf, frame_ms, max_frames)
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def audio_energy_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -> pd.DataFrame:
+    """Pure pandas body of audio_energy (shared with the oracle-fixture
+    generator). Per frame: ENERGY = sum of squared int16 samples in exact
+    int64 (max ~5e12 for a 100 ms 48 kHz frame — far inside int64) and
+    N_ZC = zero crossings counted as sign-class transitions with the
+    nonnegative/negative split (s >= 0 vs s < 0), both pure integers so
+    the fixture oracle reproduces every byte. Framing mirrors
+    sample_audio_frames_pdf exactly."""
+    out = {"url": [], "frame_no": [], "energy": [], "n_zc": []}
+    for url, payload, sr in zip(pdf["url"], pdf["media"], pdf["sample_rate"]):
+        samples = _decode_audio(payload)
+        frame_len = int(int(sr) * frame_ms / 1000)
+        n_frames = min(max_frames, max(1, len(samples) // frame_len))
+        for fi in range(n_frames):
+            frame = samples[fi * frame_len : (fi + 1) * frame_len].astype(np.int64)
+            if len(frame) == 0:
+                continue
+            nonneg = frame >= 0
+            out["url"].append(url)
+            out["frame_no"].append(fi)
+            out["energy"].append(int((frame * frame).sum()))
+            out["n_zc"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+    return pd.DataFrame(out)
+
+
+AUDIO_ENERGY_SCHEMA = "url string, frame_no int, energy long, n_zc int"
+
+
+def audio_energy(media: DataFrame, frame_ms: int = 100, max_frames: int = 16) -> DataFrame:
+    """Per-frame audio energy + zero-crossing features — the integer-exact
+    companion of sample_audio_frames (RMS/peak): same mapInPandas batch
+    shape, one output row per (clip, frame), all-integer features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield audio_energy_pdf(pdf, frame_ms, max_frames)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_ENERGY_SCHEMA
+    )

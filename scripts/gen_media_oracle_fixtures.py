@@ -1,4 +1,4 @@
-"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04).
+"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04/m05/m06).
 
 Generated-oracle pattern (like d02): the fixtures are computed WITHOUT
 Spark by the operators' own module-level pandas bodies
@@ -37,12 +37,14 @@ def media_fixture_frames(doc_ids):
     Returns (m01_rows, m02_rows, m03_rows, m04_rows):
       m01: (url, width, height, phash)                # per image
       m02: (url, frame_no, peak)                      # per audio frame
+      m06: (url, frame_no, energy, n_zc)              # per audio frame
       m03: (url, frame_no, ts_ms)                     # per video frame
       m04: (url, out_width, out_height, thumb_md5)    # per image
     """
     import pandas as pd
 
     from rust_geo_booleanop_spark.operators.multimodal import (
+        audio_energy_pdf,
         image_features_pdf,
         resize_images_pdf,
         sample_audio_frames_pdf,
@@ -63,6 +65,9 @@ def media_fixture_frames(doc_ids):
     af = sample_audio_frames_pdf(aud2, frame_ms=100, max_frames=8)
     m02 = list(zip(af["url"], af["frame_no"], af["peak"]))
 
+    ae = audio_energy_pdf(aud2, frame_ms=100, max_frames=8)
+    m06 = list(zip(ae["url"], ae["frame_no"], ae["energy"], ae["n_zc"]))
+
     vid3 = media3[media3["kind"] == "video"]
     vf = sample_video_frames_pdf(vid3, every_ms=1000, max_frames=8)
     m03 = list(zip(vf["url"], vf["frame_no"], vf["ts_ms"]))
@@ -76,7 +81,7 @@ def media_fixture_frames(doc_ids):
             (hashlib.md5(b).hexdigest() for b in th["thumb"]),
         )
     )
-    return m01, m02, m03, m04
+    return m01, m02, m03, m04, m06
 
 
 N_GROUPS = 200  # m05's dedup-group key space: doc_id % 200
@@ -107,7 +112,7 @@ def main():
     import pyarrow.parquet as pq
 
     os.makedirs(FIXDIR, exist_ok=True)
-    m01, m02, m03, m04 = media_fixture_frames(range(N_DOCS))
+    m01, m02, m03, m04, m06 = media_fixture_frames(range(N_DOCS))
     m05 = m05_fixture_rows()
 
     pq.write_table(
@@ -149,6 +154,18 @@ def main():
     pq.write_table(
         pa.table(
             {
+                "url": pa.array([r[0] for r in m06], pa.string()),
+                "frame_no": pa.array([int(r[1]) for r in m06], pa.int32()),
+                "energy": pa.array([int(r[2]) for r in m06], pa.int64()),
+                "n_zc": pa.array([int(r[3]) for r in m06], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "m06_audio_energy_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
                 "url": pa.array([r[0] for r in m03], pa.string()),
                 "frame_no": pa.array([int(r[1]) for r in m03], pa.int32()),
                 "ts_ms": pa.array([int(r[2]) for r in m03], pa.int32()),
@@ -171,6 +188,7 @@ def main():
     )
     print(
         f"m01: {len(m01)} images, m02: {len(m02)} audio frames, "
+        f"m06: {len(m06)} energy frames, "
         f"m03: {len(m03)} video frames, m04: {len(m04)} thumbs, "
         f"m05: {len(m05)} group pixel hashes -> {FIXDIR}"
     )

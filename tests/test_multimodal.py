@@ -356,3 +356,53 @@ def test_pixel_hash_is_content_not_container(spark):
     )
     out = pixel_hash_pdf(pdf)
     assert out["pixel_md5"][0] == out["pixel_md5"][1]
+
+
+def test_audio_energy_matches_wav_twin(spark):
+    """audio_energy's integer features recomputed from the decoded WAV
+    bytes directly (independent framing + arithmetic)."""
+    import numpy as np
+
+    from rust_geo_booleanop_spark.functions.codecs import decode_wav_pcm16
+    from rust_geo_booleanop_spark.operators import audio_energy
+
+    media = synth_media(spark, _docs(spark))
+    got = {
+        (r.url, r.frame_no): (r.energy, r.n_zc)
+        for r in audio_energy(media, frame_ms=100, max_frames=4).collect()
+    }
+    assert got
+    rows = media.filter("kind = 'audio'").select("url", "media", "sample_rate").collect()
+    want = {}
+    for r in rows:
+        samples, sr = decode_wav_pcm16(bytes(r.media))
+        assert sr == r.sample_rate
+        flen = int(r.sample_rate * 100 / 1000)
+        nf = min(4, max(1, len(samples) // flen))
+        for fi in range(nf):
+            fr = np.asarray(samples[fi * flen : (fi + 1) * flen], dtype=np.int64)
+            if len(fr) == 0:
+                continue
+            nn = fr >= 0
+            want[(r.url, fi)] = (int((fr * fr).sum()), int((nn[1:] != nn[:-1]).sum()))
+    assert got == want
+
+
+def test_audio_energy_zero_crossing_definition():
+    """ZC counts sign-CLASS transitions ((s>=0) vs (s<0)): a zero sample
+    sits in the nonnegative class, so +1,0,-1 crosses ONCE (at 0 -> -1)."""
+    import numpy as np
+    import pandas as pd
+
+    from rust_geo_booleanop_spark.functions.codecs import encode_wav_pcm16
+    from rust_geo_booleanop_spark.operators.multimodal import audio_energy_pdf
+
+    samples = np.array([1, 0, -1, -2, 3, 0], dtype=np.int16)
+    payload = encode_wav_pcm16(samples, 60)  # 60 Hz, 100ms frame = 6 samples
+    pdf = pd.DataFrame(
+        {"url": ["u"], "media": [payload], "sample_rate": [60], "duration_ms": [100]}
+    )
+    out = audio_energy_pdf(pdf, frame_ms=100, max_frames=1)
+    assert out["energy"].tolist() == [1 + 0 + 1 + 4 + 9 + 0]
+    # transitions: 0->-1 (cross), -2->3 (cross), 3->0 stays nonneg = 2
+    assert out["n_zc"].tolist() == [2]

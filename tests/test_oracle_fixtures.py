@@ -265,6 +265,15 @@ class TestMediaFixturesFresh:
             (u, int(f), int(p)) for u, f, p in regenerated[1]
         )
 
+    def test_m06_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m06_audio_energy_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(f), int(e), int(z)) for u, f, e, z in regenerated[4]
+        )
+
     def test_m03_sample_fresh(self, regenerated):
         urls = self._sample_urls()
         committed = sorted(
