@@ -3744,6 +3744,94 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _g26_grid_clusters(spark, sf_dir):
+    """Density-connected hotspot clustering over the point grid
+    (operators/tiling.py::grid_clusters): cells with >= 25 points,
+    8-neighbor adjacency, connected components via the d04 min-label
+    propagation. Cluster reps are minimum packed cell ids — all integer,
+    so the recursive-CTE oracle reproduces the labels exactly."""
+    from rust_geo_booleanop_spark.operators import grid_clusters
+
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr("(event_id % 997) DIV 50").alias("gx"),
+            F.expr("((event_id * 31) % 983) DIV 50").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid_clusters(cells, min_val=25)
+
+
+def _h14_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (the product-analytics retention matrix):
+    cohort = epoch-week of the user's first event, one row per
+    (cohort_week, week_offset) with the distinct active users. Weeks are
+    pure integer arithmetic — days-since-epoch DIV 7 — sidestepping
+    engine week-truncation conventions entirely."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_day"),
+    )
+    first = e.groupBy("user_id").agg(
+        F.expr("MIN(_day) DIV 7").alias("cohort_week")
+    )
+    weeks = e.select("user_id", F.expr("_day DIV 7").alias("_week")).distinct()
+    return (
+        weeks.join(first, on="user_id")
+        .groupBy(
+            "cohort_week", (F.col("_week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def _r30_calendar_fill(spark, sf_dir):
+    """Gap-filled calendar aggregation (generate_series/sequence explode +
+    left join): every day between the first and last order date appears,
+    zero-order days included — the time-series densification every
+    dashboard needs. No collect: the date sequence explodes from the
+    single-row min/max aggregate."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    )
+    bounds = o.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    counts = o.groupBy("day").agg(F.count(F.lit(1)).alias("_n"))
+    return cal.join(counts, on="day", how="left").select(
+        "day", F.coalesce(F.col("_n"), F.lit(0)).alias("n_orders")
+    )
+
+
+def _r31_setops_all(spark, sf_dir):
+    """Multiset set-operation semantics (INTERSECT ALL / EXCEPT ALL — the
+    bag forms r09's distinct set ops left uncovered), over the
+    customer/supplier nation multisets; per-key multiplicities aggregated
+    so the bag semantics land in the value hash."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    ia = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    ea = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return ia.unionByName(ea).select("op", "nationkey", "multiplicity")
+
+
 def _m06_audio_energy(spark, sf_dir):
     """Integer-exact audio frame features
     (operators/multimodal.py::audio_energy): per-clip totals of
@@ -4011,6 +4099,10 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r29_string_functions": _r29_string_functions,
     "t22_token_novelty": _t22_token_novelty,
     "m06_audio_energy": _m06_audio_energy,
+    "g26_grid_clusters": _g26_grid_clusters,
+    "h14_retention_cohorts": _h14_retention_cohorts,
+    "r30_calendar_fill": _r30_calendar_fill,
+    "r31_setops_all": _r31_setops_all,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4269,5 +4361,78 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('/root/repo/tests/oracle_fixtures/m06_audio_energy_sf01.parquet') f
         JOIN urls USING (url)
         GROUP BY f.url
+    """,
+    # g26: same dense-cell relation + packed cid arithmetic; components
+    # via the d04 recursive-CTE pattern; isolated dense cells COALESCE to
+    # themselves on both sides.
+    "g26_grid_clusters": """
+        WITH RECURSIVE cells AS (
+            SELECT (event_id % 997) // 50 AS gx,
+                   ((event_id * 31) % 983) // 50 AS gy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        dense AS (
+            SELECT gx, gy, n,
+                   (gx + 268435456) * 536870912 + (gy + 268435456) AS cid
+            FROM cells WHERE n >= 25),
+        edges0 AS (
+            SELECT a.cid AS src, b.cid AS dst
+            FROM dense a JOIN dense b
+              ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+             AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+             AND a.cid < b.cid),
+        edges AS (
+            SELECT src, dst FROM edges0
+            UNION ALL SELECT dst, src FROM edges0),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, w.r FROM reach w JOIN edges e ON e.dst = w.id),
+        comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id)
+        SELECT d.gx, d.gy, d.n,
+               CAST(COALESCE(c.rep, d.cid) AS BIGINT) AS cluster_rep
+        FROM dense d LEFT JOIN comp c ON c.id = d.cid
+    """,
+    # h14: integer epoch-week arithmetic on both sides (no week-trunc
+    # conventions); COUNT over a distinct (user, week) relation.
+    "h14_retention_cohorts": """
+        WITH e AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+            FROM events),
+        first AS (SELECT user_id, MIN(d) // 7 AS cohort_week FROM e GROUP BY user_id),
+        weeks AS (SELECT DISTINCT user_id, d // 7 AS w FROM e)
+        SELECT f.cohort_week, w.w - f.cohort_week AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM weeks w JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    # r30: generate_series densification; DuckDB's date series yields
+    # DATEs for DATE bounds + day interval; zero-days COALESCE to 0.
+    "r30_calendar_fill": """
+        WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM o),
+        cal AS (
+            SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds),
+        counts AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY day)
+        SELECT cal.day, COALESCE(counts.n, 0) AS n_orders
+        FROM cal LEFT JOIN counts USING (day)
+    """,
+    # r31: ANSI INTERSECT ALL / EXCEPT ALL bag semantics, multiplicities
+    # made hash-visible by the per-key rollup.
+    "r31_setops_all": """
+        WITH c AS (SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer),
+        s AS (SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier),
+        ia AS (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s),
+        ea AS (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+        SELECT 'intersect_all' AS op, nationkey,
+               CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM ia GROUP BY nationkey
+        UNION ALL
+        SELECT 'except_all', nationkey, CAST(COUNT(*) AS BIGINT)
+        FROM ea GROUP BY nationkey
     """,
 }

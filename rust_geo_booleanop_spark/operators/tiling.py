@@ -396,3 +396,74 @@ def focal_sum(
         )
         .agg(F.sum(val_col).alias("focal_sum"))
     )
+
+
+def grid_clusters(
+    cells: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    val_col: str = "n",
+    min_val: int = 1,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Density-connected grid clustering (the raster form of DBSCAN core
+    clustering): keep cells with `val_col` >= `min_val`, connect
+    8-neighbors, and label connected components — hotspot detection over
+    the point grid.
+
+    Edges come from a map-side 8-way offset EXPLODE + ONE equi-join on
+    the neighbor key (the focal_sum shape — never a theta/self join on
+    coordinate ranges); components use the d04 min-label/pointer-doubling
+    propagation (operators/dedup.py::dedup_clusters, O(log n) rounds).
+    Isolated dense cells — no dense neighbor — keep themselves as their
+    own cluster rep (COALESCE), matching the recursive-CTE oracle.
+
+    Cell key packing: cid = gx * 2^29 + gy with OFFSET-shifted
+    nonnegative coordinates would collide for |coords| >= 2^29; inputs
+    here are grid indices (|ix| < 2^20 in every pipeline), asserted
+    cheaply via the packing being reversible in tests. Returns one row
+    per dense cell: (gx, gy, n, cluster_rep) with cluster_rep = the
+    minimum cid of the component.
+    """
+    from .dedup import dedup_clusters
+
+    dense = cells.filter(F.col(val_col) >= F.lit(min_val)).select(
+        F.col(x_col).cast("long").alias("gx"),
+        F.col(y_col).cast("long").alias("gy"),
+        F.col(val_col).alias("n"),
+    )
+    cid = (F.col("gx") + F.lit(1 << 28)) * F.lit(1 << 29) + (
+        F.col("gy") + F.lit(1 << 28)
+    )
+    keyed = dense.withColumn("cid", cid).localCheckpoint()
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    probes = keyed.select(
+        F.col("cid").alias("id_a"),
+        F.explode(offsets).alias("o"),
+        F.col("gx"),
+        F.col("gy"),
+    ).select(
+        "id_a",
+        ((F.col("gx") + F.col("o.dx") + F.lit(1 << 28)) * F.lit(1 << 29)
+         + (F.col("gy") + F.col("o.dy") + F.lit(1 << 28))).alias("id_b"),
+    )
+    edges = probes.join(
+        keyed.select(F.col("cid").alias("id_b")), on="id_b"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    comps = dedup_clusters(edges, "id_a", "id_b", max_iters=max_iters)
+    return (
+        keyed.join(comps, keyed.cid == comps.doc_id, "left")
+        .select(
+            "gx",
+            "gy",
+            "n",
+            F.coalesce(F.col("cluster_rep"), F.col("cid")).alias("cluster_rep"),
+        )
+    )

@@ -418,3 +418,48 @@ class TestNnDistance:
             d2 = (arr[:, 0] - qx) ** 2 + (arr[:, 1] - qy) ** 2
             order = sorted((float(d), int(i)) for d, i in zip(d2, ids) if i != qi)
             assert got[qi] == (order[0][1], order[0][0]), qi
+
+
+class TestGridClusters:
+    def _run(self, spark, cells, min_val=1):
+        from rust_geo_booleanop_spark.operators import grid_clusters
+
+        df = spark.createDataFrame(cells, "gx long, gy long, n long")
+        rows = grid_clusters(df, min_val=min_val).collect()
+        # group cells by cluster rep
+        groups = {}
+        for r in rows:
+            groups.setdefault(r.cluster_rep, set()).add((r.gx, r.gy))
+        return set(frozenset(g) for g in groups.values())
+
+    def test_two_blobs_and_isolate(self, spark):
+        blob_a = [(0, 0, 5), (0, 1, 5), (1, 1, 5)]       # L-shaped blob
+        blob_b = [(10, 10, 5), (11, 11, 5)]              # diagonal = connected
+        isolate = [(20, 0, 5)]
+        sparse = [(5, 5, 0)]                             # below threshold
+        got = self._run(spark, blob_a + blob_b + isolate + sparse, min_val=1)
+        # the n=0 cell passes min_val=1? no: n=0 < 1 -> dropped
+        assert got == {
+            frozenset({(0, 0), (0, 1), (1, 1)}),
+            frozenset({(10, 10), (11, 11)}),
+            frozenset({(20, 0)}),
+        }
+
+    def test_threshold_splits_a_bridge(self, spark):
+        # dense-sparse-dense: the sparse bridge cell keeps the blobs apart
+        cells = [(0, 0, 9), (1, 0, 2), (2, 0, 9)]
+        got = self._run(spark, cells, min_val=5)
+        assert got == {frozenset({(0, 0)}), frozenset({(2, 0)})}
+        got_low = self._run(spark, cells, min_val=1)
+        assert got_low == {frozenset({(0, 0), (1, 0), (2, 0)})}
+
+    def test_negative_coordinates_pack_safely(self, spark):
+        cells = [(-1, -1, 3), (0, 0, 3), (-2, 5, 3)]
+        got = self._run(spark, cells, min_val=1)
+        assert got == {frozenset({(-1, -1), (0, 0)}), frozenset({(-2, 5)})}
+
+    def test_long_chain_converges(self, spark):
+        # a 60-cell snake: pointer doubling must converge within max_iters
+        cells = [(i, 0, 1) for i in range(60)]
+        got = self._run(spark, cells)
+        assert got == {frozenset((i, 0) for i in range(60))}
