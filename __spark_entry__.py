@@ -3744,6 +3744,122 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _t23_corpus_composition(spark, sf_dir):
+    """Dataset-card composition report: per (lang, source) document and
+    token counts plus each stratum's share of corpus tokens. Counts are
+    exact int64 (t10-parity tokenization); the grand total rides a
+    broadcast single-row cross join (never an unpartitioned window);
+    share is ONE IEEE division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    per = d.select("lang", "source", F.size(toks).cast("long").alias("_n")).groupBy(
+        "lang", "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_n").alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total").cast("double")).alias(
+            "token_share"
+        ),
+    )
+
+
+def _s10_range_search(spark, sf_dir):
+    """Cosine RANGE search (all corpus vectors with cosine >= tau per
+    query — the similarity-radius complement of s01's top-k): broadcast
+    queries, JVM fold cosine, threshold filter; id pairs only (the s05
+    convention — cosine doubles never enter the hash)."""
+    from rust_geo_booleanop_spark.operators.similarity import _cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    crossed = emb.crossJoin(F.broadcast(queries))
+    return (
+        crossed.withColumn("cosine", _cosine(F.col("embedding"), F.col("query_vec")))
+        .filter(F.col("cosine") >= 0.2)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+
+def _h15_transition_matrix(spark, sf_dir):
+    """Per-user event-type Markov transition counts: lag under the total
+    (ts, event_id) order inside each user, then the (prev -> cur) count
+    matrix with row-conditional probabilities — exact int64 counts + ONE
+    division per cell."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    trans = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_type"), F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("_row_total")
+    )
+    return trans.join(row_total, on="prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.col("_row_total").cast("double")
+        ).alias("prob"),
+    )
+
+
+def _r32_latest_per_key(spark, sf_dir):
+    """Latest-row-per-key compaction (operators/temporal.py::
+    latest_snapshot): each user's most recent event under the total
+    (ts, event_id) order — the SCD-1/CDC snapshot shape, planned as a
+    map-side WindowGroupLimit."""
+    from rust_geo_booleanop_spark.operators import latest_snapshot
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return latest_snapshot(e, "user_id", "ts", "event_id")
+
+
+def _g27_trajectory_hops(spark, sf_dir):
+    """Per-user trajectory hops: consecutive event points (total
+    (ts, event_id) order) with the squared hop distance — the movement
+    decomposition under integer-exact arithmetic ((a-b)*(a-b), never
+    pow; integer-valued doubles so sums of two squares are exact)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") % 997).cast("double").alias("x"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hops = (
+        e.withColumn("_px", F.lag("x").over(w))
+        .withColumn("_py", F.lag("y").over(w))
+        .withColumn("_hop", F.row_number().over(w) - 1)
+        .filter(F.col("_px").isNotNull())
+    )
+    dx = F.col("x") - F.col("_px")
+    dy = F.col("y") - F.col("_py")
+    return hops.select(
+        "user_id",
+        F.col("_hop").alias("hop_no"),
+        F.col("event_id").alias("to_event"),
+        (dx * dx + dy * dy).alias("hop_dist2"),
+    )
+
+
 def _g26_grid_clusters(spark, sf_dir):
     """Density-connected hotspot clustering over the point grid
     (operators/tiling.py::grid_clusters): cells with >= 25 points,
@@ -4103,6 +4219,11 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h14_retention_cohorts": _h14_retention_cohorts,
     "r30_calendar_fill": _r30_calendar_fill,
     "r31_setops_all": _r31_setops_all,
+    "t23_corpus_composition": _t23_corpus_composition,
+    "s10_range_search": _s10_range_search,
+    "h15_transition_matrix": _h15_transition_matrix,
+    "r32_latest_per_key": _r32_latest_per_key,
+    "g27_trajectory_hops": _g27_trajectory_hops,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4434,5 +4555,77 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT 'except_all', nationkey, CAST(COUNT(*) AS BIGINT)
         FROM ea GROUP BY nationkey
+    """,
+    # t23: t10-parity tokens, BIGINT casts, grand total via CTE scalar
+    # (same single value the broadcast join carries), one division.
+    "t23_corpus_composition": r"""
+        WITH per AS (
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                       string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                       x -> x != ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang, source),
+        total AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per)
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS token_share
+        FROM per, total
+    """,
+    # s10: s05's pair-id convention with the shared zero-norm guard.
+    "s10_range_search": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec
+            FROM embeddings WHERE vec_id % 100 = 7)
+        SELECT q.query_id, e.vec_id
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id
+          AND ({_cos_sql("e.embedding", "q.query_vec")}) >= 0.2
+    """,
+    # h15: lag under the (ts, event_id) total order; BIGINT casts; one
+    # division per matrix cell.
+    "h15_transition_matrix": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) AS prev
+            FROM events),
+        trans AS (
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev IS NOT NULL
+            GROUP BY 1, 2),
+        rt AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+               FROM trans GROUP BY prev_type)
+        SELECT t.prev_type, t.next_type, t.n_transitions,
+               CAST(t.n_transitions AS DOUBLE) / CAST(r.row_total AS DOUBLE)
+                   AS prob
+        FROM trans t JOIN rt r USING (prev_type)
+    """,
+    # r32: the same rank-1 selection under the DESC total order.
+    "r32_latest_per_key": """
+        SELECT user_id, ts, event_id, event_type, value
+        FROM (
+            SELECT user_id, ts, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    # g27: lag + (a-b)*(a-b) forms; hop_no from the same row_number - 1.
+    "g27_trajectory_hops": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   CAST(event_id % 997 AS DOUBLE) AS x,
+                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
+            FROM events),
+        seq AS (
+            SELECT user_id, event_id,
+                   LAG(x) OVER w AS px, LAG(y) OVER w AS py, x, y,
+                   ROW_NUMBER() OVER w - 1 AS hop_no
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT user_id, CAST(hop_no AS INTEGER) AS hop_no,
+               event_id AS to_event,
+               (x - px) * (x - px) + (y - py) * (y - py) AS hop_dist2
+        FROM seq WHERE px IS NOT NULL
     """,
 }

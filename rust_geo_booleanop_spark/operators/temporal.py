@@ -246,3 +246,29 @@ def funnel_steps(
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def latest_snapshot(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Latest-row-per-key compaction (the SCD-1 / upsert-log snapshot):
+    keep exactly one row per key — the maximum (time, tie) row under a
+    TOTAL order, so equal timestamps resolve deterministically.
+
+    ONE shuffle on the key; Spark plans the rank-1 window as a
+    WindowGroupLimit (map-side per-partition top-1 BEFORE the exchange),
+    so the shuffle carries one candidate row per (partition, key), not
+    the log. This is the compaction a 100 TB CDC/event log needs: cost
+    scales with keys, not history length.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(time_col), F.desc(tie_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -275,3 +275,37 @@ class TestFunnelSteps:
         df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
         with _pytest.raises(ValueError):
             funnel_steps(df, [])
+
+
+class TestLatestSnapshot:
+    def test_ties_resolve_by_tie_col(self, spark):
+        import datetime as dt
+
+        from rust_geo_booleanop_spark.operators import latest_snapshot
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [(1, t, 10, "a"), (1, t, 11, "b"), (2, t, 5, "c")]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v string")
+        got = {(r.k): (r.id, r.v)
+               for r in latest_snapshot(df, "k", "ts", "id").collect()}
+        assert got == {1: (11, "b"), 2: (5, "c")}
+
+    def test_latest_time_wins(self, spark):
+        import datetime as dt
+
+        from rust_geo_booleanop_spark.operators import latest_snapshot
+
+        rows = [(1, dt.datetime(2024, 1, d), d, "x") for d in (3, 1, 2)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, id long, v string")
+        got = latest_snapshot(df, "k", "ts", "id").collect()
+        assert len(got) == 1 and got[0].id == 3
+
+    def test_plan_uses_window_group_limit(self, spark):
+        from rust_geo_booleanop_spark.operators import latest_snapshot
+
+        df = spark.createDataFrame(
+            [(1, 1, 1)], "k long, ts long, id long"
+        )
+        plan = latest_snapshot(df, "k", "ts", "id")._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "WindowGroupLimit" in plan
