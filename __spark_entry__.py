@@ -3744,6 +3744,100 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _r33_null_semantics(spark, sf_dir):
+    """NULL-semantics battery: three-valued comparisons vs IS [NOT]
+    DISTINCT FROM, COALESCE/NULLIF chains, NULL-safe aggregation counts —
+    the SQL-correctness corner every engine port gets subtly wrong once.
+    Same ANSI text both engines; events.props is NULL-free so NULLIF
+    manufactures the NULLs deterministically."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH e AS (
+            SELECT event_id,
+                   NULLIF(event_type, 'error') AS et,
+                   NULLIF(event_id % 5, 0) AS k
+            FROM events)
+        SELECT COUNT(*) AS n_rows,
+               COUNT(et) AS n_et_nonnull,
+               COUNT(DISTINCT et) AS n_et_distinct,
+               SUM(CASE WHEN et IS DISTINCT FROM 'view' THEN 1 ELSE 0 END)
+                   AS n_not_view_incl_null,
+               SUM(CASE WHEN et != 'view' THEN 1 ELSE 0 END)
+                   AS n_not_view_3vl,
+               SUM(COALESCE(k, 0)) AS sum_k_coalesced,
+               SUM(CASE WHEN k IS NULL AND et IS NULL THEN 1 ELSE 0 END)
+                   AS n_both_null
+        FROM e
+    """)
+
+
+def _h16_gini(spark, sf_dir):
+    """Gini concentration of per-user event counts — the corpus-balance /
+    traffic-inequality statistic — via the TIE-GROUPED rank-sum identity:
+    users are never individually ranked (no global window over users);
+    instead the distinct-count relation (c, m_c) carries a prefix sum S_c
+    over counts, and each tie block contributes c*(m*S + m*(m+1)/2) to
+    the rank-weighted sum exactly. All int64 until the single final
+    division. The prefix window runs over DISTINCT count values only —
+    bounded by the count range, not the user population."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    by_count = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy(F.asc("c")).rowsBetween(Window.unboundedPreceding, -1)
+    blocks = by_count.withColumn("s", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    agg = blocks.agg(
+        F.sum(F.col("m")).alias("n"),
+        F.sum(F.col("c") * F.col("m")).alias("t"),
+        F.sum(
+            F.col("c")
+            * (F.col("m") * F.col("s") + F.expr("(m * (m + 1)) DIV 2"))
+        ).alias("a"),
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("t").alias("total_events"),
+        (
+            (2 * F.col("a") - (F.col("n") + 1) * F.col("t")).cast("double")
+            / (F.col("n") * F.col("t")).cast("double")
+        ).alias("gini"),
+    )
+
+
+def _t24_dup_rate_by_source(spark, sf_dir):
+    """Per-source duplication diagnostics: documents vs distinct
+    normalized-text keys (the t01 dedup key), dup rate as ONE division.
+    NULL-text docs are excluded (they carry no comparable content —
+    exact_dedup keeps them all for the same reason)."""
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = d.select("source", normalized_text_key("text").alias("k")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("k").alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def _g28_reverse_nn_degree(spark, sf_dir):
+    """Reverse-NN degree distribution: how many sampled points chose each
+    point as their nearest neighbor, histogrammed — the hub-detection
+    statistic of the NN graph (hubs = sampling/density artifacts). Pure
+    derivation over the g25 relation: two more exact-integer hash aggs."""
+    nn = _g25_nn_distance(spark, sf_dir)
+    deg = nn.groupBy("nn_id").agg(F.count(F.lit(1)).alias("nn_degree"))
+    return deg.groupBy("nn_degree").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def _t23_corpus_composition(spark, sf_dir):
     """Dataset-card composition report: per (lang, source) document and
     token counts plus each stratum's share of corpus tokens. Counts are
@@ -4192,6 +4286,29 @@ def _t21_sequence_packing(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+# g25's oracle (the quadratic NN definition) — shared with g28, which
+# derives the reverse-NN degree histogram from the same relation.
+_G25_NN_SQL = """
+        WITH p AS (
+            SELECT event_id AS point_id,
+                   CAST(event_id % 997 AS DOUBLE) AS x,
+                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
+            FROM events),
+        q AS (SELECT * FROM p WHERE point_id % 20 = 0),
+        d AS (
+            SELECT q.point_id AS query_id, p.point_id AS nn_id,
+                   (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+                       AS nn_dist2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.point_id
+                       ORDER BY (p.x - q.x) * (p.x - q.x)
+                                + (p.y - q.y) * (p.y - q.y) ASC,
+                                p.point_id ASC) AS rn
+            FROM q JOIN p ON p.point_id != q.point_id)
+        SELECT query_id, nn_id, nn_dist2 FROM d WHERE rn = 1
+    """
+
+
 # --- Staged queries: oracle-verified locally, awaiting a driver budget
 # slot (the gate grades exactly 50 entries per round and every
 # past-the-cut query must carry a committed hash-green row from the
@@ -4224,6 +4341,10 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h15_transition_matrix": _h15_transition_matrix,
     "r32_latest_per_key": _r32_latest_per_key,
     "g27_trajectory_hops": _g27_trajectory_hops,
+    "r33_null_semantics": _r33_null_semantics,
+    "h16_gini": _h16_gini,
+    "t24_dup_rate_by_source": _t24_dup_rate_by_source,
+    "g28_reverse_nn_degree": _g28_reverse_nn_degree,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4371,25 +4492,7 @@ STAGED_ORACLE_SQL: dict[str, str] = {
     # g25: the quadratic NN definition — (a-b)*(a-b) forms, never pow;
     # integer-valued doubles so every distance is exact; ties resolve on
     # the same (dist, point_id) total order the Spark window uses.
-    "g25_nn_distance": """
-        WITH p AS (
-            SELECT event_id AS point_id,
-                   CAST(event_id % 997 AS DOUBLE) AS x,
-                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
-            FROM events),
-        q AS (SELECT * FROM p WHERE point_id % 20 = 0),
-        d AS (
-            SELECT q.point_id AS query_id, p.point_id AS nn_id,
-                   (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
-                       AS nn_dist2,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.point_id
-                       ORDER BY (p.x - q.x) * (p.x - q.x)
-                                + (p.y - q.y) * (p.y - q.y) ASC,
-                                p.point_id ASC) AS rn
-            FROM q JOIN p ON p.point_id != q.point_id)
-        SELECT query_id, nn_id, nn_dist2 FROM d WHERE rn = 1
-    """,
+    "g25_nn_distance": _G25_NN_SQL,
     # h13: per-step MIN-chain CTEs; strict '>' so same-ts pairs never
     # advance; COUNT is BIGINT on both engines.
     "h13_funnel": """
@@ -4627,5 +4730,75 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                event_id AS to_event,
                (x - px) * (x - px) + (y - py) * (y - py) AS hop_dist2
         FROM seq WHERE px IS NOT NULL
+    """,
+    # r33: same ANSI text; COUNT/SUM BIGINT casts for the HUGEINT trap.
+    "r33_null_semantics": """
+        WITH e AS (
+            SELECT event_id,
+                   NULLIF(event_type, 'error') AS et,
+                   NULLIF(event_id % 5, 0) AS k
+            FROM events)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(et) AS BIGINT) AS n_et_nonnull,
+               CAST(COUNT(DISTINCT et) AS BIGINT) AS n_et_distinct,
+               CAST(SUM(CASE WHEN et IS DISTINCT FROM 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_not_view_incl_null,
+               CAST(SUM(CASE WHEN et != 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_not_view_3vl,
+               CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k_coalesced,
+               CAST(SUM(CASE WHEN k IS NULL AND et IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both_null
+        FROM e
+    """,
+    # h16: identical tie-grouped rank-sum identity; explicit parentheses
+    # around (m*(m+1)) DIV 2 so associativity can't diverge; prefix sum
+    # over DISTINCT counts only.
+    "h16_gini": """
+        WITH per_user AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id),
+        by_count AS (
+            SELECT c, CAST(COUNT(*) AS BIGINT) AS m
+            FROM per_user GROUP BY c),
+        blocks AS (
+            SELECT c, m,
+                   CAST(COALESCE(SUM(m) OVER (
+                       ORDER BY c ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS s
+            FROM by_count),
+        agg AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS n,
+                   CAST(SUM(c * m) AS BIGINT) AS t,
+                   CAST(SUM(c * (m * s + (m * (m + 1)) // 2)) AS BIGINT) AS a
+            FROM blocks)
+        SELECT n AS n_users, t AS total_events,
+               CAST(2 * a - (n + 1) * t AS DOUBLE)
+                   / CAST(n * t AS DOUBLE) AS gini
+        FROM agg
+    """,
+    # t24: the t01 dedup key; NULL text excluded on both sides.
+    "t24_dup_rate_by_source": r"""
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT md5(lower(TRIM(
+                       regexp_replace(text, '\s+', ' ', 'g'))))) AS BIGINT)
+                       AS n_unique
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY source)
+        SELECT source, n_docs, n_unique,
+               CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS dup_rate
+        FROM per
+    """,
+    # g28: two exact-integer rollups over the shared g25 NN relation.
+    "g28_reverse_nn_degree": f"""
+        WITH nn AS ({_G25_NN_SQL}),
+        deg AS (
+            SELECT nn_id, CAST(COUNT(*) AS BIGINT) AS nn_degree
+            FROM nn GROUP BY nn_id)
+        SELECT nn_degree, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM deg GROUP BY nn_degree
     """,
 }

@@ -116,7 +116,16 @@ def main():
         exact_dedup,
         exact_quantiles,
         focal_sum,
+        funnel_steps,
+        grid_clusters,
         group_median,
+        group_mode,
+        group_quantiles,
+        hamming_topk,
+        latest_snapshot,
+        oov_rate,
+        pack_sequences,
+        token_novelty,
         incremental_new_keys,
         interval_join,
         extract_geometries,
@@ -682,6 +691,62 @@ def main():
         )
         .agg(F.sum("region_area"), F.sum("perimeter"))
         .collect(),
+    )
+
+    # --- round-4 late additions (staged for the round-5 contract) ---
+    section_sentinels["staged"] = _sentinel_reading()
+    timed(
+        "group_quantiles",
+        lambda: group_quantiles(
+            events.select("event_type", "value", "event_id"),
+            "event_type", "value", "event_id", [25, 50, 75, 90],
+        ).count(),
+    )
+    timed(
+        "group_mode",
+        lambda: group_mode(
+            events.select("user_id", "event_type"), "user_id", "event_type"
+        ).count(),
+    )
+    timed(
+        "funnel",
+        lambda: funnel_steps(
+            events.select("user_id", "ts", "event_type"),
+            ["view", "click", "purchase"],
+        ).count(),
+    )
+    timed(
+        "latest_snapshot",
+        lambda: latest_snapshot(
+            events.select("user_id", "ts", "event_id", "event_type", "value"),
+            "user_id", "ts", "event_id",
+        ).count(),
+    )
+    timed(
+        "hamming_topk",
+        lambda: hamming_topk(embeddings, emb_queries, k=10, dim=64).count(),
+    )
+    timed("oov_rate", lambda: oov_rate(documents, vocab_size=1000).count())
+    timed(
+        "sequence_packing",
+        lambda: pack_sequences(documents, capacity=2048).count(),
+    )
+    timed("token_novelty", lambda: token_novelty(documents).count())
+    timed(
+        "grid_clusters",
+        lambda: grid_clusters(grid_cells, min_val=25).count(),
+    )
+    from rust_geo_booleanop_spark.functions import morton_expr
+
+    timed(
+        "morton_blocks",
+        lambda: events.select(
+            morton_expr(F.col("event_id") % 997, (F.col("event_id") * 31) % 983)
+            .alias("m")
+        )
+        .groupBy(F.shiftright(F.col("m"), 10))
+        .count()
+        .count(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]

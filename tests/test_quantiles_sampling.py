@@ -384,3 +384,49 @@ class TestGroupMode:
             mode = min(v for v, n in c.items() if n == top)
             expected[g] = (mode, top)
         assert self._run(spark, rows) == expected
+
+
+class TestGiniIdentity:
+    """The h16 tie-grouped rank-sum identity vs the textbook sorted-rank
+    Gini formula (G = (2*sum(i*c_i) - (n+1)*sum(c)) / (n*sum(c)))."""
+
+    def _spark_gini(self, spark, counts):
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        # build a fake events frame with the given per-user event counts
+        rows = []
+        eid = 0
+        for u, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, u))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, user_id long")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+            (row,) = entry.STAGED_QUERIES["h16_gini"](spark, td).collect()
+        return row.n_users, row.total_events, row.gini
+
+    def test_matches_textbook_formula(self, spark):
+        import random
+
+        rng = random.Random(41)
+        counts = [rng.randrange(1, 30) for _ in range(60)]
+        n, t, gini = self._spark_gini(spark, counts)
+        sc = sorted(counts)
+        a = sum((i + 1) * c for i, c in enumerate(sc))
+        want = float(2 * a - (len(sc) + 1) * sum(sc)) / float(len(sc) * sum(sc))
+        assert (n, t) == (len(counts), sum(counts))
+        assert gini == want
+
+    def test_uniform_counts_give_zero(self, spark):
+        n, t, gini = self._spark_gini(spark, [7] * 20)
+        assert gini == 0.0
+
+    def test_total_concentration_approaches_limit(self, spark):
+        # one heavy user among minimal users: G = (n-1)/n * (c-1)*... just
+        # sanity: heavily skewed -> gini well above uniform
+        _, _, gini = self._spark_gini(spark, [1] * 19 + [100])
+        assert gini > 0.7
