@@ -3744,6 +3744,120 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _t25_dup_ngram_stats(spark, sf_dir):
+    """Within-document duplicated-3-gram coverage
+    (operators/text.py::dup_ngram_stats) — the Gopher template-text
+    signal; exact int64 position counts + one division."""
+    from rust_geo_booleanop_spark.operators import dup_ngram_stats
+
+    return dup_ngram_stats(_t(spark, sf_dir, "documents"), n=3)
+
+
+def _r34_unpivot(spark, sf_dir):
+    """UNPIVOT/melt coverage (the inverse of r18's pivot): per-event-type
+    value-band counts widened by conditional aggregation, then melted
+    back to (event_type, band, n) long form with Spark's unpivot; the
+    oracle states the same relation as a UNION ALL of the three bands."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wide = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).alias("low"),
+        F.sum(
+            F.when((F.col("value") >= 10) & (F.col("value") < 100), 1).otherwise(0)
+        ).alias("mid"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).alias("high"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["low", "mid", "high"],
+        variableColumnName="band",
+        valueColumnName="n",
+    )
+
+
+def _r35_window_frames(spark, sf_dir):
+    """Explicit window-FRAME coverage beyond r19's RANGE window:
+    first_value / last_value / nth_value over asymmetric ROWS frames and
+    a 3-row moving sum, all under the total (value, event_id) order.
+    The moving sum runs over an int column so every aggregate is exact;
+    first/last/nth return untouched column elements."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.col("event_id") % 100).cast("long").alias("v_int"),
+        )
+    )
+    order = [F.asc("value"), F.asc("event_id")]
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fut = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_mov = (
+        Window.partitionBy("event_type").orderBy(*order).rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.first_value("event_id").over(w_run).alias("first_id"),
+        F.last_value("event_id").over(w_fut).alias("last_id"),
+        F.nth_value("event_id", 3).over(w_all).alias("third_id"),
+        F.sum("v_int").over(w_mov).alias("moving_sum3"),
+    )
+
+
+def _h17_lag_correlation(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event count series (h05's
+    exact-integer Pearson machinery): consecutive-day pairs via an
+    equi-join on day+1 (never a global window over days), integer
+    sufficient statistics, fixed-tree final doubles."""
+    e = _t(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_day")
+    )
+    daily = e.groupBy("_day").agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(F.col("_day").alias("d"), F.col("c").alias("x"))
+    b = daily.select((F.col("_day") - 1).alias("d"), F.col("c").alias("y"))
+    pairs = a.join(b, on="d")
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (denx == 0) | (deny == 0), F.lit(None).cast("double")
+    ).otherwise(
+        num.cast("double")
+        / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double")))
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.col("sx").alias("sum_today"),
+        F.col("sy").alias("sum_next"),
+        corr.alias("lag1_corr"),
+    )
+
+
 def _r33_null_semantics(spark, sf_dir):
     """NULL-semantics battery: three-valued comparisons vs IS [NOT]
     DISTINCT FROM, COALESCE/NULLIF chains, NULL-safe aggregation counts —
@@ -4345,6 +4459,10 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h16_gini": _h16_gini,
     "t24_dup_rate_by_source": _t24_dup_rate_by_source,
     "g28_reverse_nn_degree": _g28_reverse_nn_degree,
+    "t25_dup_ngram_stats": _t25_dup_ngram_stats,
+    "r34_unpivot": _r34_unpivot,
+    "r35_window_frames": _r35_window_frames,
+    "h17_lag_correlation": _h17_lag_correlation,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -4800,5 +4918,95 @@ STAGED_ORACLE_SQL: dict[str, str] = {
             FROM nn GROUP BY nn_id)
         SELECT nn_degree, CAST(COUNT(*) AS BIGINT) AS n_points
         FROM deg GROUP BY nn_degree
+    """,
+    # t25: h03's zip-unnest 3-grams per doc; >= n-token filter both
+    # sides; BIGINT casts; one division.
+    "t25_dup_ngram_stats": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(LOWER(TRIM(COALESCE(text, ''))),
+                                                  '\s+'),
+                               x -> x != '') AS t
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   unnest(t[1:len(t)-2]) || ' ' || unnest(t[2:len(t)-1])
+                       || ' ' || unnest(t[3:len(t)]) AS gram
+            FROM m WHERE len(t) >= 3),
+        pg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+               FROM g GROUP BY doc_id, gram),
+        per AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                       AS n_dup_positions
+            FROM pg GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_dup_positions,
+               CAST(n_dup_positions AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                   AS dup_frac
+        FROM per
+    """,
+    # r34: the melt as explicit UNION ALL of the three band columns.
+    "r34_unpivot": """
+        WITH wide AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low,
+                   CAST(SUM(CASE WHEN value >= 10 AND value < 100 THEN 1
+                            ELSE 0 END) AS BIGINT) AS mid,
+                   CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type)
+        SELECT event_type, 'low' AS band, low AS n FROM wide
+        UNION ALL SELECT event_type, 'mid', mid FROM wide
+        UNION ALL SELECT event_type, 'high', high FROM wide
+    """,
+    # r35: identical frames under the same total order; moving sum over
+    # ints (HUGEINT cast); first/last/nth return untouched elements.
+    "r35_window_frames": """
+        SELECT event_id, event_type,
+               FIRST_VALUE(event_id) OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS first_id,
+               LAST_VALUE(event_id) OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS last_id,
+               NTH_VALUE(event_id, 3) OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS third_id,
+               CAST(SUM(event_id % 100) OVER (
+                   PARTITION BY event_type ORDER BY value ASC, event_id ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS moving_sum3
+        FROM events WHERE value IS NOT NULL
+    """,
+    # h17: consecutive-day equi-join + h05's integer sufficient stats.
+    "h17_lag_correlation": """
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+        pairs AS (
+            SELECT a.c AS x, b.c AS y
+            FROM daily a JOIN daily b ON b.d - 1 = a.d),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs)
+        SELECT n AS n_pairs, sx AS sum_today, sy AS sum_next,
+               CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS lag1_corr
+        FROM s
     """,
 }

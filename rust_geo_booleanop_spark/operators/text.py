@@ -1214,3 +1214,61 @@ def token_novelty(
             "novelty"
         ),
     )
+
+
+def dup_ngram_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document duplicated-n-gram coverage (the Gopher "fraction
+    of characters in duplicated n-grams" family, token-position form):
+    per document, the number of token n-gram POSITIONS whose gram occurs
+    at least twice in the same document, over all n-gram positions.
+    High duplication = TEMPLATE/boilerplate text that t10's single
+    top-bigram signal can miss.
+
+    Grams build in-row from the lower+whitespace token split (the
+    d03/h03 tokenization) via a transform(sequence) window — no
+    cross-document state; the (doc, gram) hash aggregate runs map-side
+    partials, and the per-doc rollup sums exact int64 counts. dup_frac
+    is ONE IEEE division. Documents with fewer than n tokens vanish
+    (no gram positions), matching the SQL oracle.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = docs.select(F.col(id_col), tk.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    joins = ", ".join(
+        f"element_at(_toks, i + {k})" for k in range(n)
+    )
+    grams = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(_toks) - {n - 1}), "
+                f"i -> concat_ws(' ', {joins}))"
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_grams"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_dup_positions"
+        ),
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_dup_positions",
+        (
+            F.col("n_dup_positions").cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("dup_frac"),
+    )

@@ -1759,3 +1759,41 @@ class TestTokenNovelty:
             [(1, "a"), (2, ""), (3, None)], "doc_id long, text string"
         )
         assert {r.doc_id for r in token_novelty(df).collect()} == {1}
+
+
+class TestDupNgramStats:
+    def test_counts_positions_of_duplicated_grams(self, spark):
+        from rust_geo_booleanop_spark.operators import dup_ngram_stats
+
+        rows = [
+            (1, "a b c a b c a b"),  # grams: abc bca cab abc bca cab ... let's verify below
+            (2, "x y z w"),          # 2 grams, all unique
+            (3, "q q q q"),          # 'q q q' x2 -> both positions duplicated
+            (4, "s t"),              # < 3 tokens -> no row
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_grams, r.n_dup_positions, r.dup_frac)
+               for r in dup_ngram_stats(df, n=3).collect()}
+        # doc 1: 6 positions: abc bca cab abc bca cab? tokens a b c a b c a b
+        #   grams: (a b c)(b c a)(c a b)(a b c)(b c a)(c a b) = each x2 -> 6 dup
+        assert got[1] == (6, 6, 1.0)
+        assert got[2] == (2, 0, 0.0)
+        assert got[3] == (2, 2, 1.0)
+        assert 4 not in got
+
+    def test_case_folding_merges_grams(self, spark):
+        from rust_geo_booleanop_spark.operators import dup_ngram_stats
+
+        df = spark.createDataFrame(
+            [(1, "A b C a B c")], "doc_id long, text string"
+        )
+        got = dup_ngram_stats(df, n=3).collect()[0]
+        # lowercased: a b c a b c -> (a b c)(b c a)(c a b)(a b c): 'a b c' x2
+        assert (got.n_grams, got.n_dup_positions) == (4, 2)
+
+    def test_rejects_small_n(self, spark):
+        from rust_geo_booleanop_spark.operators import dup_ngram_stats
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dup_ngram_stats(df, n=1)
