@@ -3744,6 +3744,107 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _m07_image_stats(spark, sf_dir):
+    """Integer-exact image brightness statistics
+    (operators/multimodal.py::image_stats): decoded-pixel sum/min/max and
+    dark/bright clipping counts — zero floating point. Oracle: the
+    committed operator-pandas fixture (m06 pattern), columns passed
+    through untouched so the whole decode+fold is pinned per image."""
+    from rust_geo_booleanop_spark.operators import image_stats, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    return image_stats(media)
+
+
+def _g29_grid_jaccard(spark, sf_dir):
+    """Spatial-occupancy Jaccard between two event populations: the grid
+    cells occupied by clicks vs purchases, |A∩B| / |A∪B| — the cheap
+    "do these layers cover the same places" audit. One hash aggregate
+    over (cell, flags), exact int64 counts, ONE division."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cells = e.select(
+        F.expr("(event_id % 997) DIV 50").alias("gx"),
+        F.expr("((event_id * 31) % 983) DIV 50").alias("gy"),
+        (F.col("event_type") == "click").cast("int").alias("is_a"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_b"),
+    )
+    occ = cells.groupBy("gx", "gy").agg(
+        F.max("is_a").alias("a"), F.max("is_b").alias("b")
+    )
+    agg = occ.agg(
+        F.sum("a").alias("n_a"),
+        F.sum("b").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        (F.col("n_both").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def _g30_hop_directions(spark, sf_dir):
+    """Movement-direction histogram over the g27 trajectory hops: each
+    hop classified by (sign(dx), sign(dy)) into the 9 compass classes —
+    drift/anisotropy detection in one integer histogram."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") % 997).alias("x"),
+        ((F.col("event_id") * 31) % 983).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hops = (
+        e.withColumn("_px", F.lag("x").over(w))
+        .withColumn("_py", F.lag("y").over(w))
+        .filter(F.col("_px").isNotNull())
+    )
+    return hops.groupBy(
+        F.signum((F.col("x") - F.col("_px")).cast("double"))
+        .cast("int")
+        .alias("dx_sign"),
+        F.signum((F.col("y") - F.col("_py")).cast("double"))
+        .cast("int")
+        .alias("dy_sign"),
+    ).agg(F.count(F.lit(1)).alias("n_hops"))
+
+
+def _s11_hamming_recall(spark, sf_dir):
+    """Quantization-quality audit as a query: per-query recall@5 of the
+    s09 binary-signature Hamming top-k against the exact cosine top-k —
+    the measurement that decides whether 1-bit compression is usable for
+    a corpus. Exact integer match counts + ONE division; the oracle
+    composes the same two relations in SQL."""
+    from rust_geo_booleanop_spark.operators import cosine_topk, hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ham = hamming_topk(emb, queries, k=5, dim=64).select("query_id", "vec_id")
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    matches = ham.join(exact, on=["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+    base = queries.select("query_id")
+    return base.join(matches, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_matches"), F.lit(0)).alias("n_matches"),
+        (F.coalesce(F.col("n_matches"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall_at_5"
+        ),
+    )
+
+
 def _t25_dup_ngram_stats(spark, sf_dir):
     """Within-document duplicated-3-gram coverage
     (operators/text.py::dup_ngram_stats) — the Gopher template-text
@@ -4463,6 +4564,10 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r34_unpivot": _r34_unpivot,
     "r35_window_frames": _r35_window_frames,
     "h17_lag_correlation": _h17_lag_correlation,
+    "m07_image_stats": _m07_image_stats,
+    "g29_grid_jaccard": _g29_grid_jaccard,
+    "g30_hop_directions": _g30_hop_directions,
+    "s11_hamming_recall": _s11_hamming_recall,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -5008,5 +5113,92 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                             * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
                END AS lag1_corr
         FROM s
+    """,
+    # s11: the s09 signature relation + the s01 exact-cosine ranking,
+    # composed; integer matches, one division of CAST doubles.
+    "s11_hamming_recall": f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   {_s09_sig_sql(0, 32)} AS sig_lo,
+                   {_s09_sig_sql(32, 64)} AS sig_hi
+            FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS query_vec,
+                     sig_lo AS q_lo, sig_hi AS q_hi
+              FROM sig WHERE vec_id < 5),
+        ham AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, s.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY bit_count(xor(s.sig_lo, q.q_lo))
+                                    + bit_count(xor(s.sig_hi, q.q_hi)) ASC,
+                                    s.vec_id ASC) AS r
+                FROM sig s, q) WHERE r <= 5),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_cos_sql("e.embedding", "q.query_vec")}
+                                    DESC NULLS LAST, e.vec_id ASC) AS r
+                FROM embeddings e, q) WHERE r <= 5),
+        matches AS (
+            SELECT h.query_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM ham h JOIN exact x
+              ON x.query_id = h.query_id AND x.vec_id = h.vec_id
+            GROUP BY h.query_id)
+        SELECT q.query_id,
+               COALESCE(m.n_matches, 0) AS n_matches,
+               CAST(COALESCE(m.n_matches, 0) AS DOUBLE) / CAST(5 AS DOUBLE)
+                   AS recall_at_5
+        FROM q LEFT JOIN matches m USING (query_id)
+    """,
+    # m07: fixture columns passed through untouched (pure integers).
+    "m07_image_stats": """
+        WITH urls AS (
+            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
+            FROM documents
+        )
+        SELECT f.url, f.n_pixels, f.pixel_sum, f.min_pixel, f.max_pixel,
+               f.n_dark, f.n_bright
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m07_image_stats_sf01.parquet') f
+        JOIN urls USING (url)
+    """,
+    # g29: same occupancy relation; MAX flags; one division.
+    "g29_grid_jaccard": """
+        WITH cells AS (
+            SELECT (event_id % 997) // 50 AS gx,
+                   ((event_id * 31) % 983) // 50 AS gy,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b
+            FROM events WHERE event_type IN ('click', 'purchase')),
+        occ AS (
+            SELECT gx, gy, MAX(is_a) AS a, MAX(is_b) AS b
+            FROM cells GROUP BY gx, gy)
+        SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+               CAST(SUM(b) AS BIGINT) AS n_b,
+               CAST(SUM(a * b) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS n_union,
+               CAST(SUM(a * b) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard
+        FROM occ
+    """,
+    # g30: sign classes via CASE (== Spark signum of the integer diff).
+    "g30_hop_directions": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   event_id % 997 AS x, (event_id * 31) % 983 AS y
+            FROM events),
+        seq AS (
+            SELECT user_id, x, y,
+                   LAG(x) OVER w AS px, LAG(y) OVER w AS py
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT CAST(CASE WHEN x > px THEN 1 WHEN x < px THEN -1 ELSE 0 END
+                    AS INTEGER) AS dx_sign,
+               CAST(CASE WHEN y > py THEN 1 WHEN y < py THEN -1 ELSE 0 END
+                    AS INTEGER) AS dy_sign,
+               CAST(COUNT(*) AS BIGINT) AS n_hops
+        FROM seq WHERE px IS NOT NULL
+        GROUP BY 1, 2
     """,
 }

@@ -428,3 +428,44 @@ def audio_energy(media: DataFrame, frame_ms: int = 100, max_frames: int = 16) ->
     return media.filter(F.col("kind") == "audio").mapInPandas(
         batches, schema=AUDIO_ENERGY_SCHEMA
     )
+
+
+def image_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pure pandas body of image_stats (shared with the oracle-fixture
+    generator): integer-exact brightness statistics over the DECODED
+    gray8 raster — pixel sum (int64; 2^16 px x 255 stays tiny), min and
+    max pixel, and the count of fully-dark (0) and fully-bright (255)
+    pixels. The exposure/clipping histogram endpoints a vision-data
+    curation pass filters on, with zero floating point anywhere."""
+    out = {k: [] for k in ("url", "n_pixels", "pixel_sum", "min_pixel",
+                           "max_pixel", "n_dark", "n_bright")}
+    for url, payload in zip(pdf["url"], pdf["media"]):
+        img = _decode_image(payload)
+        flat = img.astype(np.int64)
+        out["url"].append(url)
+        out["n_pixels"].append(int(flat.size))
+        out["pixel_sum"].append(int(flat.sum()))
+        out["min_pixel"].append(int(flat.min()))
+        out["max_pixel"].append(int(flat.max()))
+        out["n_dark"].append(int((flat == 0).sum()))
+        out["n_bright"].append(int((flat == 255).sum()))
+    return pd.DataFrame(out)
+
+
+IMAGE_STATS_SCHEMA = (
+    "url string, n_pixels long, pixel_sum long, min_pixel int, "
+    "max_pixel int, n_dark long, n_bright long"
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Integer-exact per-image brightness statistics (decode + fold),
+    Arrow-batched like image_features."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield image_stats_pdf(pdf)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=IMAGE_STATS_SCHEMA
+    )

@@ -1,4 +1,4 @@
-"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04/m05/m06).
+"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04/m05/m06/m07).
 
 Generated-oracle pattern (like d02): the fixtures are computed WITHOUT
 Spark by the operators' own module-level pandas bodies
@@ -38,6 +38,7 @@ def media_fixture_frames(doc_ids):
       m01: (url, width, height, phash)                # per image
       m02: (url, frame_no, peak)                      # per audio frame
       m06: (url, frame_no, energy, n_zc)              # per audio frame
+      m07: (url, n_pixels, pixel_sum, min/max, n_dark, n_bright)  # per image
       m03: (url, frame_no, ts_ms)                     # per video frame
       m04: (url, out_width, out_height, thumb_md5)    # per image
     """
@@ -46,6 +47,7 @@ def media_fixture_frames(doc_ids):
     from rust_geo_booleanop_spark.operators.multimodal import (
         audio_energy_pdf,
         image_features_pdf,
+        image_stats_pdf,
         resize_images_pdf,
         sample_audio_frames_pdf,
         sample_video_frames_pdf,
@@ -68,6 +70,11 @@ def media_fixture_frames(doc_ids):
     ae = audio_energy_pdf(aud2, frame_ms=100, max_frames=8)
     m06 = list(zip(ae["url"], ae["frame_no"], ae["energy"], ae["n_zc"]))
 
+    ist = image_stats_pdf(img2)
+    m07 = list(zip(ist["url"], ist["n_pixels"], ist["pixel_sum"],
+                   ist["min_pixel"], ist["max_pixel"], ist["n_dark"],
+                   ist["n_bright"]))
+
     vid3 = media3[media3["kind"] == "video"]
     vf = sample_video_frames_pdf(vid3, every_ms=1000, max_frames=8)
     m03 = list(zip(vf["url"], vf["frame_no"], vf["ts_ms"]))
@@ -81,7 +88,7 @@ def media_fixture_frames(doc_ids):
             (hashlib.md5(b).hexdigest() for b in th["thumb"]),
         )
     )
-    return m01, m02, m03, m04, m06
+    return m01, m02, m03, m04, m06, m07
 
 
 N_GROUPS = 200  # m05's dedup-group key space: doc_id % 200
@@ -112,7 +119,7 @@ def main():
     import pyarrow.parquet as pq
 
     os.makedirs(FIXDIR, exist_ok=True)
-    m01, m02, m03, m04, m06 = media_fixture_frames(range(N_DOCS))
+    m01, m02, m03, m04, m06, m07 = media_fixture_frames(range(N_DOCS))
     m05 = m05_fixture_rows()
 
     pq.write_table(
@@ -161,6 +168,21 @@ def main():
             }
         ),
         os.path.join(FIXDIR, "m06_audio_energy_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m07], pa.string()),
+                "n_pixels": pa.array([int(r[1]) for r in m07], pa.int64()),
+                "pixel_sum": pa.array([int(r[2]) for r in m07], pa.int64()),
+                "min_pixel": pa.array([int(r[3]) for r in m07], pa.int32()),
+                "max_pixel": pa.array([int(r[4]) for r in m07], pa.int32()),
+                "n_dark": pa.array([int(r[5]) for r in m07], pa.int64()),
+                "n_bright": pa.array([int(r[6]) for r in m07], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "m07_image_stats_sf01.parquet"),
         compression="zstd",
     )
     pq.write_table(

@@ -406,3 +406,25 @@ def test_audio_energy_zero_crossing_definition():
     assert out["energy"].tolist() == [1 + 0 + 1 + 4 + 9 + 0]
     # transitions: 0->-1 (cross), -2->3 (cross), 3->0 stays nonneg = 2
     assert out["n_zc"].tolist() == [2]
+
+
+def test_image_stats_matches_decoded_twin(spark):
+    """image_stats' integer folds recomputed from decode_png_gray8 directly."""
+    import numpy as np
+
+    from rust_geo_booleanop_spark.functions.codecs import decode_png_gray8
+    from rust_geo_booleanop_spark.operators import image_stats
+
+    media = synth_media(spark, _docs(spark))
+    got = {
+        r.url: (r.n_pixels, r.pixel_sum, r.min_pixel, r.max_pixel,
+                r.n_dark, r.n_bright)
+        for r in image_stats(media).collect()
+    }
+    assert got
+    rows = media.filter("kind = 'image'").select("url", "media").collect()
+    for r in rows:
+        img = np.asarray(decode_png_gray8(bytes(r.media)), dtype=np.int64)
+        want = (int(img.size), int(img.sum()), int(img.min()), int(img.max()),
+                int((img == 0).sum()), int((img == 255).sum()))
+        assert got[r.url] == want, r.url

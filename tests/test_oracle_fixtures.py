@@ -274,6 +274,16 @@ class TestMediaFixturesFresh:
             (u, int(f), int(e), int(z)) for u, f, e, z in regenerated[4]
         )
 
+    def test_m07_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m07_image_stats_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(np), int(ps), int(mn), int(mx), int(nd), int(nb))
+            for u, np, ps, mn, mx, nd, nb in regenerated[5]
+        )
+
     def test_m03_sample_fresh(self, regenerated):
         urls = self._sample_urls()
         committed = sorted(
