@@ -3744,6 +3744,114 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _h18_weekday_profile(spark, sf_dir):
+    """Weekday seasonality profile with ENGINE-NEUTRAL day-of-week math:
+    dow = (days_since_epoch + 3) % 7 (1970-01-01 was a Thursday; 0 =
+    Monday) — sidestepping the Spark-1-based / DuckDB-0-based dayofweek
+    trap outright. Counts exact; mean value decimal-exact (r01 pattern)."""
+    e = _t(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_day"),
+        "value",
+    )
+    return (
+        e.groupBy(F.expr("(_day + 3) % 7").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "value_sum"),
+        )
+        .select(
+            "dow",
+            "n_events",
+            "value_sum",
+            (F.col("value_sum") / F.col("n_events").cast("double")).alias(
+                "mean_value"
+            ),
+        )
+    )
+
+
+def _r36_filtered_distinct(spark, sf_dir):
+    """Conditional / filtered DISTINCT aggregation: per event_type, the
+    distinct user base overall and within subpopulations (value bands) in
+    ONE aggregate — COUNT(DISTINCT CASE WHEN ...) semantics, identical
+    ANSI meaning on both engines."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("value") >= 100, F.col("user_id"))
+        ).alias("n_heavy_users"),
+        F.countDistinct(
+            F.when(F.col("value").isNull(), F.col("user_id"))
+        ).alias("n_nullval_users"),
+    )
+
+
+def _g31_zone_transitions(spark, sf_dir):
+    """Zone-to-zone movement matrix: consecutive events per user (total
+    (ts, event_id) order) classified by 200-unit grid zone, counted per
+    (from_zone, to_zone) — the spatial form of h15's Markov matrix, all
+    integer."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.expr("(event_id % 997) DIV 200") * 5
+            + F.expr("((event_id * 31) % 983) DIV 200")
+        ).alias("zone"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        e.withColumn("_prev", F.lag("zone").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_zone"), F.col("zone").alias("to_zone"))
+        .agg(F.count(F.lit(1)).alias("n_moves"))
+    )
+
+
+def _s12_knn_label_purity(spark, sf_dir):
+    """kNN label purity (the classifier-accuracy proxy of an embedding
+    space): for sampled query vectors, the fraction of their exact
+    cosine top-5 neighbors (self excluded) sharing the query's label.
+    Exact integer matches + ONE division; the oracle composes the s01
+    ranking with the label join."""
+    from rust_geo_booleanop_spark.operators import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    topk = cosine_topk(
+        emb, queries.select("query_id", "query_vec"), k=6
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    top5 = topk.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= 5)
+    labeled = top5.join(
+        emb.select("vec_id", "label"), on="vec_id"
+    ).join(F.broadcast(queries.select("query_id", "query_label")), on="query_id")
+    return labeled.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("label") == F.col("query_label"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_same_label"),
+    ).select(
+        "query_id",
+        "n_neighbors",
+        "n_same_label",
+        (
+            F.col("n_same_label").cast("double")
+            / F.col("n_neighbors").cast("double")
+        ).alias("label_purity"),
+    )
+
+
 def _m07_image_stats(spark, sf_dir):
     """Integer-exact image brightness statistics
     (operators/multimodal.py::image_stats): decoded-pixel sum/min/max and
@@ -4568,6 +4676,10 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g29_grid_jaccard": _g29_grid_jaccard,
     "g30_hop_directions": _g30_hop_directions,
     "s11_hamming_recall": _s11_hamming_recall,
+    "h18_weekday_profile": _h18_weekday_profile,
+    "r36_filtered_distinct": _r36_filtered_distinct,
+    "g31_zone_transitions": _g31_zone_transitions,
+    "s12_knn_label_purity": _s12_knn_label_purity,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -5200,5 +5312,78 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_hops
         FROM seq WHERE px IS NOT NULL
         GROUP BY 1, 2
+    """,
+    # h18: integer dow arithmetic (no engine dayofweek), decimal-exact
+    # value sum cast once, one division.
+    "h18_weekday_profile": """
+        SELECT (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+                   AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean_value
+        FROM events GROUP BY 1
+    """,
+    # r36: COUNT(DISTINCT CASE ...) — NULLs fall out of DISTINCT counts
+    # identically on both engines.
+    "r36_filtered_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(DISTINCT CASE WHEN value >= 100 THEN user_id END)
+                    AS BIGINT) AS n_heavy_users,
+               CAST(COUNT(DISTINCT CASE WHEN value IS NULL THEN user_id END)
+                    AS BIGINT) AS n_nullval_users
+        FROM events GROUP BY event_type
+    """,
+    # g31: lag under the (ts, event_id) total order; zone arithmetic all
+    # integer.
+    "g31_zone_transitions": """
+        WITH e AS (
+            SELECT user_id, ts, event_id,
+                   ((event_id % 997) // 200) * 5
+                       + (((event_id * 31) % 983) // 200) AS zone
+            FROM events),
+        seq AS (
+            SELECT zone,
+                   LAG(zone) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS prev
+            FROM e)
+        SELECT prev AS from_zone, zone AS to_zone,
+               CAST(COUNT(*) AS BIGINT) AS n_moves
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    # s12: the s01 exact ranking (k=6, self dropped, re-ranked to 5) + a
+    # label join; integer matches, one division.
+    "s12_knn_label_purity": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS query_vec,
+                   label AS query_label
+            FROM embeddings WHERE vec_id % 10 = 3),
+        ranked AS (
+            SELECT q.query_id, e.vec_id, e.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("e.embedding", "q.query_vec")}
+                                DESC NULLS LAST, e.vec_id ASC) AS r
+            FROM embeddings e, q),
+        top5 AS (
+            SELECT query_id, vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY r ASC)
+                       AS rr
+            FROM ranked
+            WHERE r <= 6 AND vec_id != query_id),
+        agg AS (
+            SELECT t.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                   CAST(SUM(CASE WHEN t.label = q.query_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same_label
+            FROM top5 t JOIN q USING (query_id)
+            WHERE t.rr <= 5
+            GROUP BY t.query_id)
+        SELECT query_id, n_neighbors, n_same_label,
+               CAST(n_same_label AS DOUBLE) / CAST(n_neighbors AS DOUBLE)
+                   AS label_purity
+        FROM agg
     """,
 }
