@@ -102,6 +102,17 @@ def main():
         ("h09_group_median", "per-group exact median: ONE shuffle on the group key (row_number + count share the partitioning), <=2-rows-per-group tail aggregate"),
         ("g23_focal_heatmap", "focal sum: map-side 9-way explode + one hash agg with map-side partials - no self-join, no window over neighbors"),
         ("h10_skyline", "Pareto frontier: codegen token metrics -> per-partition partial-frontier MapInPandas (batch-incremental fold, working set = frontier size) -> repartition(1) merge of frontiers only - no global sort, no window, nothing quadratic"),
+        ("h11_group_quantiles", "per-group exact quantiles: ONE shuffle on the group key (row_number + count share the partitioning), in-row target-rank array filter + explode - non-selected rows vanish map-side"),
+        ("t20_oov_rate", "OOV rate: vocab top-K as TakeOrderedAndProject (never a global sort), BROADCAST membership join, map-side-partial per-doc agg"),
+        ("t21_sequence_packing", "sequence packing: pure int64 running-sum window per stratum - ONE exchange, no Python"),
+        ("s09_hamming_topk", "binary-quantization ANN: sign-bit signature folds in codegen, broadcast query signatures, XOR+POPCNT scoring map-side, one window top-k"),
+        ("g24_morton_blocks", "Morton/Z-order keys: pure shift/AND/OR codegen + ONE map-side-partial hash agg on the z-prefix block"),
+        ("g26_grid_clusters", "grid hotspot clustering: 8-way offset explode + ONE equi-join on the packed cell key (the focal_sum shape, never a coordinate theta-join) feeding the d04 min-label rounds"),
+        ("h13_funnel", "conversion funnel: per-step filtered map-side-partial MIN aggregates + user-key equi-joins - no window over user history"),
+        ("r32_latest_per_key", "latest-per-key compaction: rank-1 window planned as WindowGroupLimit - map-side per-partition top-1 BEFORE the exchange"),
+        ("h16_gini", "Gini concentration: tie-grouped rank-sum identity - prefix window over DISTINCT count values only, never a per-user ranking"),
+        ("t25_dup_ngram_stats", "duplicated-ngram coverage: in-row transform(sequence) grams -> (doc, gram) map-side-partial hash agg -> per-doc rollup"),
+        ("s12_knn_label_purity", "kNN label purity: broadcast queries, exact cosine window top-k, label equi-join + broadcast query-label join, one agg"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]
