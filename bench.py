@@ -260,6 +260,18 @@ def main():
         "tile_weights": 6.5,
         "vocab_stats": 0.6,
         "length_token_corr": 0.6,
+        # round-4 close additions (calm run scripts/bench_runs_r4/
+        # close_52op_calm.json; bands ~2x the observed calm wall)
+        "group_quantiles": 0.8,
+        "group_mode": 0.8,
+        "funnel": 1.0,
+        "latest_snapshot": 0.6,
+        "hamming_topk": 3.0,
+        "oov_rate": 0.7,
+        "sequence_packing": 0.5,
+        "token_novelty": 1.0,
+        "grid_clusters": 5.5,
+        "morton_blocks": 0.6,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
