@@ -3744,6 +3744,83 @@ def _r26_full_outer_join(spark, sf_dir):
     )
 
 
+def _d13_cluster_size_histogram(spark, sf_dir):
+    """Dedup-savings report: the d04 connected-component clusters rolled
+    into a size histogram with removable-doc counts — the number a
+    curation run quotes ("collapsing near-dups removes N docs").
+    Components have >= 2 members by construction (they come from the
+    pair graph); singletons aren't duplicates. Exact integers; oracle
+    wraps the d04 recursive CTE."""
+    from rust_geo_booleanop_spark.operators import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )
+
+
+def _h19_trend_report(spark, sf_dir):
+    """First-half vs second-half trend per event type: the time range
+    splits at the integer midpoint day (broadcast single-row bounds, no
+    collect), counts exact, growth = ONE division with a zero-first
+    guard (NULL, identically on both engines)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_day"),
+    )
+    bounds = e.agg(
+        F.expr("(MIN(_day) + MAX(_day) + 1) DIV 2").alias("_mid")
+    )
+    tagged = e.crossJoin(F.broadcast(bounds))
+    per = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_day") < F.col("_mid"), 1).otherwise(0)).alias(
+            "n_first"
+        ),
+        F.sum(F.when(F.col("_day") >= F.col("_mid"), 1).otherwise(0)).alias(
+            "n_second"
+        ),
+    )
+    return per.select(
+        "event_type",
+        "n_first",
+        "n_second",
+        F.when(
+            F.col("n_first") > 0,
+            F.col("n_second").cast("double") / F.col("n_first").cast("double"),
+        ).alias("growth"),
+    )
+
+
+def _m08_video_frame_stats(spark, sf_dir):
+    """Integer-exact per-keyframe video brightness
+    (operators/multimodal.py::video_frame_stats): the m07 fold over the
+    m03 sampling grid — real MPNG seek+decode per sampled frame. Oracle:
+    per-frame fixture rows re-aggregated per clip in SQL (m06 pattern)."""
+    from rust_geo_booleanop_spark.operators import synth_media, video_frame_stats
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(
+        spark, build_documents(spark, sf_dir), kinds=("image", "audio", "video")
+    )
+    frames = video_frame_stats(media, every_ms=1000, max_frames=8)
+    return frames.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("pixel_sum").alias("total_pixel_sum"),
+        F.min("min_pixel").alias("min_pixel"),
+        F.max("max_pixel").alias("max_pixel"),
+    )
+
+
 def _h18_weekday_profile(spark, sf_dir):
     """Weekday seasonality profile with ENGINE-NEUTRAL day-of-week math:
     dow = (days_since_epoch + 3) % 7 (1970-01-01 was a Thursday; 0 =
@@ -4680,6 +4757,9 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r36_filtered_distinct": _r36_filtered_distinct,
     "g31_zone_transitions": _g31_zone_transitions,
     "s12_knn_label_purity": _s12_knn_label_purity,
+    "d13_cluster_size_histogram": _d13_cluster_size_histogram,
+    "h19_trend_report": _h19_trend_report,
+    "m08_video_frame_stats": _m08_video_frame_stats,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -5385,5 +5465,61 @@ STAGED_ORACLE_SQL: dict[str, str] = {
                CAST(n_same_label AS DOUBLE) / CAST(n_neighbors AS DOUBLE)
                    AS label_purity
         FROM agg
+    """,
+    # d13: the d04 recursive-CTE components, rolled into the size
+    # histogram; all BIGINT.
+    "d13_cluster_size_histogram": f"""
+        WITH RECURSIVE pairs AS ({_D03_SQL}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT e.src, w.r FROM reach w JOIN edges e ON e.dst = w.id),
+        comp AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+        sizes AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM comp GROUP BY rep)
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY cluster_size
+    """,
+    # h19: integer midpoint from the same MIN/MAX; zero-first guard NULL.
+    "h19_trend_report": """
+        WITH e AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+            FROM events),
+        b AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM e),
+        per AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN d < mid THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_first,
+                   CAST(SUM(CASE WHEN d >= mid THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_second
+            FROM e, b GROUP BY event_type)
+        SELECT event_type, n_first, n_second,
+               CASE WHEN n_first > 0
+                    THEN CAST(n_second AS DOUBLE) / CAST(n_first AS DOUBLE)
+               END AS growth
+        FROM per
+    """,
+    # m08: m06's fixture-join pattern over per-keyframe rows.
+    "m08_video_frame_stats": """
+        WITH urls AS (
+            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
+            FROM documents
+        )
+        SELECT f.url,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(f.pixel_sum) AS BIGINT) AS total_pixel_sum,
+               MIN(f.min_pixel) AS min_pixel,
+               MAX(f.max_pixel) AS max_pixel
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m08_video_frame_stats_sf01.parquet') f
+        JOIN urls USING (url)
+        GROUP BY f.url
     """,
 }

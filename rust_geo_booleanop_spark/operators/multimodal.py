@@ -469,3 +469,44 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         batches, schema=IMAGE_STATS_SCHEMA
     )
+
+
+def video_frame_stats_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -> pd.DataFrame:
+    """Pure pandas body of video_frame_stats (shared with the
+    oracle-fixture generator): the m07 integer brightness fold applied to
+    each SAMPLED keyframe (same seek+decode as sample_video_frames) —
+    per-frame exposure tracking with zero floating point."""
+    out = {k: [] for k in ("url", "frame_no", "n_pixels", "pixel_sum",
+                           "min_pixel", "max_pixel")}
+    for url, payload, dur in zip(pdf["url"], pdf["media"], pdf["duration_ms"]):
+        n_frames = min(max_frames, max(1, int(dur) // every_ms))
+        for fi in range(n_frames):
+            img = _decode_video_frame(bytes(payload), fi * every_ms).astype(np.int64)
+            out["url"].append(url)
+            out["frame_no"].append(fi)
+            out["n_pixels"].append(int(img.size))
+            out["pixel_sum"].append(int(img.sum()))
+            out["min_pixel"].append(int(img.min()))
+            out["max_pixel"].append(int(img.max()))
+    return pd.DataFrame(out)
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "url string, frame_no int, n_pixels long, pixel_sum long, "
+    "min_pixel int, max_pixel int"
+)
+
+
+def video_frame_stats(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Integer-exact per-keyframe brightness statistics for video —
+    the m07 fold over the m03 sampling grid, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield video_frame_stats_pdf(pdf, every_ms, max_frames)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema=VIDEO_FRAME_STATS_SCHEMA
+    )

@@ -1,4 +1,4 @@
-"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04/m05/m06/m07).
+"""Regenerate the multimodal oracle fixtures (m01/m02/m03/m04/m05/m06/m07/m08).
 
 Generated-oracle pattern (like d02): the fixtures are computed WITHOUT
 Spark by the operators' own module-level pandas bodies
@@ -39,6 +39,7 @@ def media_fixture_frames(doc_ids):
       m02: (url, frame_no, peak)                      # per audio frame
       m06: (url, frame_no, energy, n_zc)              # per audio frame
       m07: (url, n_pixels, pixel_sum, min/max, n_dark, n_bright)  # per image
+      m08: (url, frame_no, n_pixels, pixel_sum, min/max)  # per video keyframe
       m03: (url, frame_no, ts_ms)                     # per video frame
       m04: (url, out_width, out_height, thumb_md5)    # per image
     """
@@ -48,6 +49,7 @@ def media_fixture_frames(doc_ids):
         audio_energy_pdf,
         image_features_pdf,
         image_stats_pdf,
+        video_frame_stats_pdf,
         resize_images_pdf,
         sample_audio_frames_pdf,
         sample_video_frames_pdf,
@@ -79,6 +81,10 @@ def media_fixture_frames(doc_ids):
     vf = sample_video_frames_pdf(vid3, every_ms=1000, max_frames=8)
     m03 = list(zip(vf["url"], vf["frame_no"], vf["ts_ms"]))
 
+    vs = video_frame_stats_pdf(vid3, every_ms=1000, max_frames=8)
+    m08 = list(zip(vs["url"], vs["frame_no"], vs["n_pixels"], vs["pixel_sum"],
+                   vs["min_pixel"], vs["max_pixel"]))
+
     th = resize_images_pdf(img2, 16, 16)
     m04 = list(
         zip(
@@ -88,7 +94,7 @@ def media_fixture_frames(doc_ids):
             (hashlib.md5(b).hexdigest() for b in th["thumb"]),
         )
     )
-    return m01, m02, m03, m04, m06, m07
+    return m01, m02, m03, m04, m06, m07, m08
 
 
 N_GROUPS = 200  # m05's dedup-group key space: doc_id % 200
@@ -119,7 +125,7 @@ def main():
     import pyarrow.parquet as pq
 
     os.makedirs(FIXDIR, exist_ok=True)
-    m01, m02, m03, m04, m06, m07 = media_fixture_frames(range(N_DOCS))
+    m01, m02, m03, m04, m06, m07, m08 = media_fixture_frames(range(N_DOCS))
     m05 = m05_fixture_rows()
 
     pq.write_table(
@@ -183,6 +189,20 @@ def main():
             }
         ),
         os.path.join(FIXDIR, "m07_image_stats_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m08], pa.string()),
+                "frame_no": pa.array([int(r[1]) for r in m08], pa.int32()),
+                "n_pixels": pa.array([int(r[2]) for r in m08], pa.int64()),
+                "pixel_sum": pa.array([int(r[3]) for r in m08], pa.int64()),
+                "min_pixel": pa.array([int(r[4]) for r in m08], pa.int32()),
+                "max_pixel": pa.array([int(r[5]) for r in m08], pa.int32()),
+            }
+        ),
+        os.path.join(FIXDIR, "m08_video_frame_stats_sf01.parquet"),
         compression="zstd",
     )
     pq.write_table(

@@ -428,3 +428,34 @@ def test_image_stats_matches_decoded_twin(spark):
         want = (int(img.size), int(img.sum()), int(img.min()), int(img.max()),
                 int((img == 0).sum()), int((img == 255).sum()))
         assert got[r.url] == want, r.url
+
+
+def test_video_frame_stats_matches_sampled_decode_twin(spark):
+    """video_frame_stats' integer folds recomputed from the MPNG seek
+    path directly (same sampling grid as sample_video_frames)."""
+    import numpy as np
+
+    from rust_geo_booleanop_spark.functions.codecs import (
+        decode_mpng_frame,
+        mpng_info,
+    )
+    from rust_geo_booleanop_spark.operators import video_frame_stats
+
+    media = synth_media(spark, _docs(spark), kinds=("image", "audio", "video"))
+    got = {
+        (r.url, r.frame_no): (r.n_pixels, r.pixel_sum, r.min_pixel, r.max_pixel)
+        for r in video_frame_stats(media, every_ms=1000, max_frames=4).collect()
+    }
+    assert got
+    rows = media.filter("kind = 'video'").select("url", "media", "duration_ms").collect()
+    want = {}
+    for r in rows:
+        payload = bytes(r.media)
+        n_avail, interval = mpng_info(payload)
+        nf = min(4, max(1, int(r.duration_ms) // 1000))
+        for fi in range(nf):
+            idx = min(n_avail - 1, fi * 1000 // interval)
+            img = np.asarray(decode_mpng_frame(payload, idx), dtype=np.int64)
+            want[(r.url, fi)] = (int(img.size), int(img.sum()),
+                                 int(img.min()), int(img.max()))
+    assert got == want

@@ -284,6 +284,16 @@ class TestMediaFixturesFresh:
             for u, np, ps, mn, mx, nd, nb in regenerated[5]
         )
 
+    def test_m08_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            r for r in _fix("m08_video_frame_stats_sf01") if r[0] in urls
+        )
+        assert committed == sorted(
+            (u, int(f), int(np), int(ps), int(mn), int(mx))
+            for u, f, np, ps, mn, mx in regenerated[6]
+        )
+
     def test_m03_sample_fresh(self, regenerated):
         urls = self._sample_urls()
         committed = sorted(
