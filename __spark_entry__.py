@@ -4686,6 +4686,111 @@ def _t21_sequence_packing(spark, sf_dir):
     return pack_sequences(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+def _h20_weighted_median(spark, sf_dir):
+    """Exact per-type weighted median of event values
+    (operators/quantiles.py::weighted_median): integer weights
+    1 + event_id % 5, total (value, event_id) order, pure-int64
+    crossing-row selection — no FP in the pick at all."""
+    from rust_geo_booleanop_spark.operators import weighted_median
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        (F.lit(1) + F.col("event_id") % 5).alias("w"),
+    )
+    return weighted_median(
+        e, group_col="event_type", value_col="value",
+        weight_col="w", tie_col="event_id",
+    )
+
+
+def _g32_morans_i(spark, sf_dir):
+    """Moran's I spatial autocorrelation of the g26 point-count grid
+    (operators/tiling.py::morans_i): 8-neighbor binary weights, the
+    rational mean cleared by an n^2 scaling into pure int64 sufficient
+    statistics, ONE fixed four-node double tree at the end."""
+    from rust_geo_booleanop_spark.operators import morans_i
+
+    cells = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.expr("(event_id % 997) DIV 50").alias("gx"),
+            F.expr("((event_id * 31) % 983) DIV 50").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return morans_i(cells)
+
+
+def _t26_word_length_profile(spark, sf_dir):
+    """Per-language word-length distribution
+    (operators/text.py::word_length_profile): proven-parity
+    lower+whitespace tokenization, exact int64 strata counts, one
+    exact-int division per output row for the share."""
+    from rust_geo_booleanop_spark.operators import word_length_profile
+
+    return word_length_profile(_t(spark, sf_dir, "documents"))
+
+
+def _s13_hamming_histogram(spark, sf_dir):
+    """Pairwise signature-distance histogram over an id-deterministic
+    embedding sample (operators/similarity.py::hamming_histogram): the
+    s09 bit layout, XOR+POPCNT distances, exact integer counts — the
+    calibration curve for binary-quantization thresholds."""
+    from rust_geo_booleanop_spark.operators import hamming_histogram
+
+    return hamming_histogram(
+        _t(spark, sf_dir, "embeddings"), sample_mod=5, sample_rem=0
+    )
+
+
+def _r37_array_functions(spark, sf_dir):
+    """Array higher-order-function battery over the token list: size /
+    array_distinct / sort_array / slice / array_join / element_at /
+    filter / aggregate — all JVM codegen HOFs, zero Python. Counts are
+    exact integers; string outputs are deterministic ASCII under the
+    shared binary collation, so the oracle hash-matches byte-for-byte."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", toks.alias("_tk"))
+    return d.select(
+        "doc_id",
+        F.size("_tk").alias("n_tokens"),
+        F.size(F.array_distinct("_tk")).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.sort_array(F.array_distinct("_tk")), 1, 3), ","
+        ).alias("first3_sorted"),
+        F.element_at(F.sort_array("_tk"), -1).alias("max_token"),
+        F.aggregate(
+            "_tk", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.size(F.filter("_tk", lambda x: F.length(x) >= 5)).alias("n_long"),
+    )
+
+
+def _s13_hist_sql() -> str:
+    """s13's oracle: GENERATED from the s09 signature layout
+    (_s09_sig_sql) — do not hand-edit the emitted SQL."""
+    lo_expr = _s09_sig_sql(0, 32)
+    hi_expr = _s09_sig_sql(32, 64)
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, {lo_expr} AS sig_lo, {hi_expr} AS sig_hi
+            FROM embeddings WHERE vec_id % 5 = 0),
+        pr AS (
+            SELECT CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                        + bit_count(xor(a.sig_hi, b.sig_hi)) AS INTEGER)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.vec_id < b.vec_id)
+        SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pr GROUP BY hamming
+    """
+
+
 # g25's oracle (the quadratic NN definition) — shared with g28, which
 # derives the reverse-NN degree histogram from the same relation.
 _G25_NN_SQL = """
@@ -4696,16 +4801,20 @@ _G25_NN_SQL = """
             FROM events),
         q AS (SELECT * FROM p WHERE point_id % 20 = 0),
         d AS (
-            SELECT q.point_id AS query_id, p.point_id AS nn_id,
-                   (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
-                       AS nn_dist2,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.point_id
-                       ORDER BY (p.x - q.x) * (p.x - q.x)
-                                + (p.y - q.y) * (p.y - q.y) ASC,
-                                p.point_id ASC) AS rn
-            FROM q JOIN p ON p.point_id != q.point_id)
-        SELECT query_id, nn_id, nn_dist2 FROM d WHERE rn = 1
+            -- arg-min via lexicographic struct MIN: (nn_dist2 ASC,
+            -- nn_id ASC) — identical tie order to the ROW_NUMBER form
+            -- but a streaming parallel aggregate instead of a window
+            -- over the quadratic pair relation (~180M rows at sf0.1).
+            -- nn_dist2 values are integers < 2e6, exact in DOUBLE, so
+            -- the FP compare is total and engine-order-free.
+            SELECT q.point_id AS query_id,
+                   MIN(struct_pack(
+                       nn_dist2 := (p.x - q.x) * (p.x - q.x)
+                                   + (p.y - q.y) * (p.y - q.y),
+                       nn_id := p.point_id)) AS s
+            FROM q JOIN p ON p.point_id != q.point_id
+            GROUP BY q.point_id)
+        SELECT query_id, s.nn_id AS nn_id, s.nn_dist2 AS nn_dist2 FROM d
     """
 
 
@@ -4760,6 +4869,11 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d13_cluster_size_histogram": _d13_cluster_size_histogram,
     "h19_trend_report": _h19_trend_report,
     "m08_video_frame_stats": _m08_video_frame_stats,
+    "h20_weighted_median": _h20_weighted_median,
+    "g32_morans_i": _g32_morans_i,
+    "t26_word_length_profile": _t26_word_length_profile,
+    "s13_hamming_histogram": _s13_hamming_histogram,
+    "r37_array_functions": _r37_array_functions,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -5521,5 +5635,115 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('/root/repo/tests/oracle_fixtures/m08_video_frame_stats_sf01.parquet') f
         JOIN urls USING (url)
         GROUP BY f.url
+    """,
+    # h20: integer cumulative-weight crossing-row selection — a total
+    # (value, event_id) order, int64 comparisons only, so the picked row
+    # is engine-independent. Explicit ROWS frame on both sides.
+    "h20_weighted_median": """
+        WITH e AS (
+            SELECT event_type, value, event_id,
+                   1 + event_id % 5 AS w
+            FROM events WHERE value IS NOT NULL),
+        r AS (
+            SELECT event_type, value, w,
+                   CAST(SUM(w) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                   CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM e)
+        SELECT event_type, value AS weighted_median, tot AS total_weight,
+               n AS n_rows
+        FROM r WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+    """,
+    # g32: the n^2-scaled Moran's I sufficient statistics — every
+    # aggregate exact int64 (DuckDB SUM(int) -> HUGEINT, CAST back), the
+    # final value the same fixed four-node double tree as the operator.
+    # The neighbor theta-join is oracle-only (the definition); the Spark
+    # side uses the exploded-offset EQUI-join.
+    "g32_morans_i": """
+        WITH c AS (
+            SELECT (event_id % 997) // 50 AS gx,
+                   ((event_id * 31) % 983) // 50 AS gy,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(n * n) AS BIGINT) AS ss
+            FROM c),
+        prs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+                   CAST(SUM(a.n * b.n) AS BIGINT) AS p,
+                   CAST(SUM(a.n + b.n) AS BIGINT) AS t
+            FROM c a JOIN c b
+              ON b.gx BETWEEN a.gx - 1 AND a.gx + 1
+             AND b.gy BETWEEN a.gy - 1 AND a.gy + 1
+             AND NOT (a.gx = b.gx AND a.gy = b.gy))
+        SELECT n_cells, w_pairs, s AS sum_counts,
+               n_cells * n_cells * p - n_cells * s * t + w_pairs * s * s
+                   AS num_scaled,
+               n_cells * n_cells * ss - n_cells * s * s AS den_scaled,
+               CASE WHEN w_pairs = 0
+                      OR n_cells * n_cells * ss - n_cells * s * s = 0
+                    THEN NULL
+                    ELSE (CAST(n_cells AS DOUBLE) / CAST(w_pairs AS DOUBLE))
+                         * (CAST(n_cells * n_cells * p - n_cells * s * t
+                                 + w_pairs * s * s AS DOUBLE)
+                            / CAST(n_cells * n_cells * ss - n_cells * s * s
+                                   AS DOUBLE))
+               END AS morans_i
+        FROM base, prs
+    """,
+    # t26: the d03/t20 proven-parity tokenization; strata counts exact
+    # int64; share = ONE division of two exact integers per row.
+    "t26_word_length_profile": r"""
+        WITH tok AS (
+            SELECT lang,
+                   UNNEST(list_filter(
+                       string_split_regex(LOWER(TRIM(COALESCE(text, ''))),
+                                          '\s+'),
+                       x -> x != '')) AS tok
+            FROM documents),
+        per AS (
+            SELECT lang, CAST(LENGTH(tok) AS INTEGER) AS word_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+            FROM tok GROUP BY 1, 2)
+        SELECT lang, word_len, n_tokens, n_distinct_tokens,
+               CAST(n_tokens AS DOUBLE)
+                   / CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS share
+        FROM per
+    """,
+    # s13: generated from the s09 bit layout (see _s13_hist_sql).
+    "s13_hamming_histogram": _s13_hist_sql(),
+    # r37: DuckDB list HOF twins of the Spark array HOFs — list_sort ==
+    # sort_array (ASC, ASCII binary order), list_distinct+sort is
+    # order-insensitive, [1:3] == slice(_,1,3), [-1] == element_at(-1)
+    # (both NULL on empty), list_sum+COALESCE == aggregate-with-0-init.
+    "r37_array_functions": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(LOWER(TRIM(COALESCE(text, ''))),
+                                          '\s+'),
+                       x -> x != '') AS tk
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(tk) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS INTEGER) AS n_distinct,
+               array_to_string(list_sort(list_distinct(tk))[1:3], ',')
+                   AS first3_sorted,
+               list_sort(tk)[-1] AS max_token,
+               CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+                    AS BIGINT) AS total_chars,
+               CAST(len(list_filter(tk, x -> length(x) >= 5)) AS INTEGER)
+                   AS n_long
+        FROM d
     """,
 }

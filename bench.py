@@ -120,12 +120,16 @@ def main():
         grid_clusters,
         group_median,
         group_mode,
+        morans_i,
         group_quantiles,
+        hamming_histogram,
         hamming_topk,
         latest_snapshot,
         oov_rate,
         pack_sequences,
         token_novelty,
+        weighted_median,
+        word_length_profile,
         incremental_new_keys,
         interval_join,
         extract_geometries,
@@ -759,6 +763,43 @@ def main():
         .groupBy(F.shiftright(F.col("m"), 10))
         .count()
         .count(),
+    )
+
+    # --- round-4 second-wave staged additions ---
+    timed(
+        "weighted_median",
+        lambda: weighted_median(
+            events.select(
+                "event_type", "value", "event_id",
+                (F.lit(1) + F.col("event_id") % 5).alias("w"),
+            ),
+            "event_type", "value", "w", "event_id",
+        ).count(),
+    )
+    timed("morans_i", lambda: morans_i(grid_cells, count_col="n").count())
+    timed(
+        "word_length_profile",
+        lambda: word_length_profile(documents).count(),
+    )
+    timed(
+        "hamming_histogram",
+        lambda: hamming_histogram(embeddings, sample_mod=5).count(),
+    )
+    timed(
+        "array_functions",
+        lambda: documents.select(
+            "doc_id",
+            F.aggregate(
+                F.filter(
+                    F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+                    lambda x: x != "",
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x),
+            ).alias("total_chars"),
+        )
+        .agg(F.sum("total_chars"))
+        .collect(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]

@@ -323,3 +323,58 @@ def group_median(
         (F.sum("_v") / F.count(F.lit(1)).cast("double")).alias("median"),
         F.max("_n").alias("n_rows"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Exact per-group weighted median (lower weighted median): the
+    smallest value v in the group such that the weight at-or-below v
+    reaches half the group's total weight.
+
+    Rank rows inside each group by (value, tie) — total order — and take
+    the running weight sum; the selected row is the unique one where the
+    cumulative weight first crosses half the total:
+    2*cum >= W AND 2*(cum - w) < W. Both tests are pure int64
+    comparisons (weights must be integers), so there is no FP in the
+    selection at all and an ANSI-SQL oracle reproduces the row exactly.
+    The crossing-row predicate needs no second pass and no row_number:
+    the cumulative window and the group-total window share one
+    partitioning, so the whole operator is ONE shuffle on the group key.
+
+    Scale shape: same as group_median — one sorted window per group. A
+    single pathologically hot group would need the histogram-narrowing
+    trick from exact_quantiles generalized to weights; for the normal
+    many-groups layout this is the cheapest exact form.
+    """
+    from pyspark.sql.window import Window
+
+    df = df.filter(F.col(value_col).isNotNull())
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc(value_col), F.asc(tie_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+        F.sum(F.col(weight_col).cast("long")).over(wc).alias("_cum"),
+        F.sum(F.col(weight_col).cast("long")).over(wt).alias("_tot"),
+        F.count(F.lit(1)).over(wt).alias("_n"),
+    )
+    picked = ranked.filter(
+        (F.lit(2) * F.col("_cum") >= F.col("_tot"))
+        & (F.lit(2) * (F.col("_cum") - F.col("_w")) < F.col("_tot"))
+    )
+    return picked.select(
+        F.col(group_col),
+        F.col("_v").alias("weighted_median"),
+        F.col("_tot").alias("total_weight"),
+        F.col("_n").alias("n_rows"),
+    )

@@ -647,3 +647,49 @@ def hamming_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "hamming", "rank")
     )
+
+
+def hamming_histogram(
+    embeddings: DataFrame,
+    sample_mod: int = 5,
+    sample_rem: int = 0,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Histogram of pairwise Hamming distances between the sign-bit
+    signatures of a deterministic id-sample — the corpus-geometry
+    profile that calibrates binary-quantization thresholds (how many
+    bits apart are random pairs vs near-duplicates?).
+
+    The sample is id-hash deterministic (id % sample_mod == sample_rem),
+    signatures come from the same `binary_signature_cols` layout as
+    hamming_topk/s09, and every distance is an exact integer — so the
+    whole histogram is byte-reproducible by an ANSI-SQL oracle.
+
+    Scale shape: all-pairs over the SAMPLE by construction (a distance
+    histogram is a property of the pair distribution; sampling the ids
+    samples the pairs uniformly). The sampled signature table is tiny
+    (8 bytes a row at any corpus size once sample_mod is scaled to the
+    corpus), one side broadcasts, and the scoring is two XOR+POPCNTs a
+    pair — at 100 TB you widen sample_mod, never the join.
+    """
+    lo, hi = binary_signature_cols(vec_col, dim)
+    sig = embeddings.filter(
+        F.col(id_col) % sample_mod == sample_rem
+    ).select(F.col(id_col), lo, hi)
+    b = sig.select(
+        F.col(id_col).alias("_bid"),
+        F.col("sig_lo").alias("_blo"),
+        F.col("sig_hi").alias("_bhi"),
+    )
+    pairs = sig.crossJoin(F.broadcast(b)).filter(F.col(id_col) < F.col("_bid"))
+    hamming = (
+        F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("_blo")))
+        + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("_bhi")))
+    ).cast("int")
+    return (
+        pairs.select(hamming.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

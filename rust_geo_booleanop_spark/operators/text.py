@@ -1272,3 +1272,50 @@ def dup_ngram_stats(
             / F.col("n_grams").cast("double")
         ).alias("dup_frac"),
     )
+
+
+def word_length_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language word-length distribution: for every (lang, length)
+    stratum, the token count, the distinct-token count, and the share of
+    the language's token mass at that length — the corpus-morphology
+    profile used to sanity-check tokenizer and language-ID output (a
+    language whose length histogram shifts between crawls has a
+    extraction regression).
+
+    Tokenization is the proven-parity lower+trim+whitespace split
+    (d03/t20 pattern); lengths and counts are exact int64, and the share
+    is ONE division of two exact integers per output row — bit-stable on
+    any IEEE engine.
+
+    Scale shape: explode feeds a (lang, length) hash aggregate with
+    map-side partials (the token stream never shuffles raw — only the
+    tiny per-stratum partials); the per-language total then rides a
+    window over the AGGREGATED frame (#langs x #lengths rows, not
+    tokens). Distinct-token counts shuffle (lang, length, token) partial
+    sets — the standard two-level distinct aggregate Spark plans on its
+    own.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    exploded = docs.select(
+        F.col("lang"), F.explode(toks).alias("_tok")
+    ).select("lang", F.length("_tok").alias("word_len"), "_tok")
+    per = exploded.groupBy("lang", "word_len").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_tok").alias("n_distinct_tokens"),
+    )
+    wt = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "word_len",
+        "n_tokens",
+        "n_distinct_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(wt).cast("double")
+        ).alias("share"),
+    )

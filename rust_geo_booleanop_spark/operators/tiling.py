@@ -467,3 +467,95 @@ def grid_clusters(
             F.coalesce(F.col("cluster_rep"), F.col("cid")).alias("cluster_rep"),
         )
     )
+
+
+def morans_i(
+    cells: DataFrame,
+    x_col: str = "gx",
+    y_col: str = "gy",
+    count_col: str = "n",
+) -> DataFrame:
+    """Moran's I spatial autocorrelation of a grid-cell count surface
+    under binary 8-neighbor (Moore) weights — the standard "is this
+    point pattern clustered or dispersed?" statistic.
+
+    Exactness: the textbook formula divides by the mean m = S/n_cells,
+    which is FP-unsafe across engines. Multiplying numerator and
+    denominator through by n_cells^2 clears the rational mean into pure
+    int64 sufficient statistics:
+
+        num_scaled = n^2 * P  -  n * S * T  +  W * S^2
+        den_scaled = n^2 * SS -  n * S^2
+        I = (n / W) * (num_scaled / den_scaled)
+
+    with n = cell count, S = sum of counts, SS = sum of squared counts,
+    W = directed neighbor-pair count, P = sum over pairs of c_i*c_j,
+    T = sum over pairs of (c_i + c_j). Every statistic is an exact
+    integer aggregate (order-free); the final value is a fixed
+    four-node double tree, so an ANSI-SQL oracle reproduces the double
+    bit-for-bit.
+
+    Scale shape: the pair relation is an EQUI-join of the pre-aggregated
+    cell table against itself on the 8 exploded neighbor offsets — the
+    join input is cells (already reduced from raw points by a map-side
+    partial aggregate upstream), never points, and there is no theta
+    join or cross product. At 100 TB of points the cell table is
+    bounded by the grid extent, the offsets explode is x8 on that small
+    relation, and both global aggregates are single-row reductions.
+    """
+    c = cells.select(
+        F.col(x_col).alias("_gx"),
+        F.col(y_col).alias("_gy"),
+        F.col(count_col).cast("long").alias("_c"),
+    )
+    base = c.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("_c").alias("s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("ss"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    a = c.select(
+        "_gx", "_gy", F.col("_c").alias("_ca"), F.explode(offsets).alias("_o")
+    ).select(
+        (F.col("_gx") + F.col("_o.dx")).alias("_nx"),
+        (F.col("_gy") + F.col("_o.dy")).alias("_ny"),
+        "_ca",
+    )
+    b = c.select(
+        F.col("_gx").alias("_nx"), F.col("_gy").alias("_ny"), F.col("_c").alias("_cb")
+    )
+    pairs = a.join(b, on=["_nx", "_ny"]).agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("_ca") * F.col("_cb")).alias("p"),
+        F.sum(F.col("_ca") + F.col("_cb")).alias("t"),
+    )
+    joined = base.crossJoin(F.broadcast(pairs))
+    num = (
+        F.col("n_cells") * F.col("n_cells") * F.col("p")
+        - F.col("n_cells") * F.col("s") * F.col("t")
+        + F.col("w_pairs") * F.col("s") * F.col("s")
+    )
+    den = F.col("n_cells") * F.col("n_cells") * F.col("ss") - F.col(
+        "n_cells"
+    ) * F.col("s") * F.col("s")
+    moran = F.when(
+        (F.col("w_pairs") == 0) | (den == 0), F.lit(None).cast("double")
+    ).otherwise(
+        (F.col("n_cells").cast("double") / F.col("w_pairs").cast("double"))
+        * (num.cast("double") / den.cast("double"))
+    )
+    return joined.select(
+        "n_cells",
+        "w_pairs",
+        F.col("s").alias("sum_counts"),
+        num.alias("num_scaled"),
+        den.alias("den_scaled"),
+        moran.alias("morans_i"),
+    )

@@ -113,6 +113,11 @@ def main():
         ("h16_gini", "Gini concentration: tie-grouped rank-sum identity - prefix window over DISTINCT count values only, never a per-user ranking"),
         ("t25_dup_ngram_stats", "duplicated-ngram coverage: in-row transform(sequence) grams -> (doc, gram) map-side-partial hash agg -> per-doc rollup"),
         ("s12_knn_label_purity", "kNN label purity: broadcast queries, exact cosine window top-k, label equi-join + broadcast query-label join, one agg"),
+        ("h20_weighted_median", "weighted median: cumulative and total windows share ONE exchange on the group key; pure-int64 crossing-row filter, no second pass"),
+        ("g32_morans_i", "Moran's I: pre-aggregated cell table (map-side partials from raw points), 8-way offset explode + EQUI-join (never a coordinate theta-join), single-row integer reductions, broadcast cross join"),
+        ("t26_word_length_profile", "word-length profile: explode -> (lang, len) map-side-partial hash agg + planned two-level distinct; share window rides the AGGREGATED frame, not tokens"),
+        ("s13_hamming_histogram", "Hamming histogram: signature sign-bit folds in codegen, broadcast sampled side, XOR+POPCNT scoring map-side, <=65-row hash agg"),
+        ("r37_array_functions", "array HOF battery: every column a JVM codegen higher-order function over the in-row token array - ZERO shuffles, scan parallelism end-to-end"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]
