@@ -4627,8 +4627,9 @@ def _s09_hamming_topk(spark, sf_dir):
 
 def _s09_sig_sql(lo: int, hi: int) -> str:
     """DuckDB twin of similarity.binary_signature_cols' half expression:
-    strict `> 0` per component (NULL/NaN -> 0 via CASE ELSE on both
-    engines), bit weight 2^(i-lo) as a BIGINT literal, 1-based list
+    strict `> 0` per component (NULL/-0.0 -> 0 via CASE ELSE; NaN -> 1
+    because BOTH engines order NaN greater than every number), bit
+    weight 2^(i-lo) as a BIGINT literal, 1-based list
     indexing on the DuckDB side. GENERATED from the same layout constants
     as the operator — do not hand-edit the emitted SQL."""
     terms = [

@@ -588,8 +588,11 @@ def binary_signature_cols(vec_col: str = "embedding", dim: int = 64):
     a Hamming distance — two XORs + two POPCNTs per candidate instead of
     a 64-float dot product. Exact integer arithmetic end-to-end (distinct
     powers of two summed — order-free), so an ANSI-SQL oracle reproduces
-    the signatures byte-for-byte. -0.0, NaN, and NULL components all
-    clear the strict `> 0` test to bit 0 on both engines.
+    the signatures byte-for-byte. -0.0 and NULL components clear the
+    strict `> 0` test to bit 0 on both engines; NaN SETS the bit on both
+    (Spark SQL and DuckDB order NaN greater than every number, so
+    `NaN > 0` is true — IEEE-Python intuition says false, which is why
+    the twin tests model the engines, not Python).
 
     Two 32-bit halves rather than one 64-bit word: bit 63 would need the
     int64 sign bit, and a SUM reaching 2**63 overflows BIGINT on the

@@ -1670,7 +1670,9 @@ class TestHammingTopk:
         s = 0
         for i in range(lo, min(hi, len(vec))):
             x = vec[i]
-            if x is not None and x == x and x > 0:  # strict >0; NaN/None -> 0
+            # strict >0 under ENGINE semantics: Spark/DuckDB order NaN
+            # greater than every number, so NaN sets the bit; None -> 0
+            if x is not None and (x != x or x > 0):
                 s |= 1 << (i - lo)
         return s
 
@@ -1797,3 +1799,125 @@ class TestDupNgramStats:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             dup_ngram_stats(df, n=1)
+
+
+class TestHammingHistogram:
+    def _run(self, spark, vecs, sample_mod=1):
+        from rust_geo_booleanop_spark.operators import hamming_histogram
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        out = hamming_histogram(df, sample_mod=sample_mod, dim=len(vecs[0]))
+        return {r.hamming: r.n_pairs for r in out.collect()}
+
+    @staticmethod
+    def _twin(vecs, sample_mod=1):
+        import numpy as np
+
+        sigs = []
+        for i, v in enumerate(vecs):
+            if i % sample_mod != 0:
+                continue
+            bits = 0
+            for j, x in enumerate(v):
+                # engine-semantics strict > 0: NaN sorts greater than 0
+                # on Spark AND DuckDB, so it SETS the bit; -0.0/None -> 0
+                if x is not None and (x != x or x > 0):
+                    bits |= 1 << j
+            sigs.append(bits)
+        from collections import Counter
+
+        c = Counter()
+        for a in range(len(sigs)):
+            for b in range(a + 1, len(sigs)):
+                c[bin(sigs[a] ^ sigs[b]).count("1")] += 1
+        return dict(c)
+
+    def test_identical_vectors_all_zero_distance(self, spark):
+        vecs = [[1.0, -1.0, 0.5, -0.5]] * 4
+        assert self._run(spark, vecs) == {0: 6}
+
+    def test_opposite_signs_max_distance(self, spark):
+        vecs = [[1.0, 1.0, 1.0, 1.0], [-1.0, -1.0, -1.0, -1.0]]
+        assert self._run(spark, vecs) == {4: 1}
+
+    def test_sampling_drops_non_residue_ids(self, spark):
+        vecs = [[1.0] * 4, [-1.0] * 4, [1.0] * 4, [-1.0] * 4]
+        # ids 0 and 2 only -> one identical pair
+        assert self._run(spark, vecs, sample_mod=2) == {0: 1}
+
+    def test_matches_twin_random_including_edge_floats(self, spark):
+        import random
+
+        rng = random.Random(13)
+        specials = [0.0, -0.0, float("nan"), 1e-30, -1e-30]
+        vecs = []
+        for _ in range(40):
+            vecs.append(
+                [
+                    rng.choice(specials)
+                    if rng.random() < 0.2
+                    else rng.uniform(-1, 1)
+                    for _ in range(16)
+                ]
+            )
+        assert self._run(spark, vecs, sample_mod=3) == self._twin(vecs, sample_mod=3)
+
+
+class TestWordLengthProfile:
+    def _run(self, spark, rows):
+        from rust_geo_booleanop_spark.operators import word_length_profile
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = word_length_profile(df)
+        return {
+            (r.lang, r.word_len): (r.n_tokens, r.n_distinct_tokens, r.share)
+            for r in out.collect()
+        }
+
+    @staticmethod
+    def _twin(rows):
+        from collections import Counter, defaultdict
+
+        per = Counter()
+        dist = defaultdict(set)
+        tot = Counter()
+        for _, text, lang in rows:
+            toks = [t for t in (text or "").strip().lower().split() if t]
+            for t in toks:
+                per[(lang, len(t))] += 1
+                dist[(lang, len(t))].add(t)
+                tot[lang] += 1
+        return {
+            k: (n, len(dist[k]), float(n) / float(tot[k[0]]))
+            for k, n in per.items()
+        }
+
+    def test_simple_strata(self, spark):
+        rows = [(0, "aa bb ccc", "en"), (1, "Dd e", "en"), (2, "zz", "fr")]
+        got = self._run(spark, rows)
+        assert got == self._twin(rows)
+        # 'aa','bb','dd' -> 3 tokens, 3 distinct at len 2 in en (case-folded)
+        assert got[("en", 2)] == (3, 3, 3.0 / 5.0)
+
+    def test_null_and_empty_text_contribute_nothing(self, spark):
+        rows = [(0, None, "en"), (1, "   ", "en"), (2, "ok", "en")]
+        assert self._run(spark, rows) == {("en", 2): (1, 1, 1.0)}
+
+    def test_matches_twin_random(self, spark):
+        import random
+
+        rng = random.Random(5)
+        words = ["a", "bb", "ccc", "dddd", "eeeee", "x", "yy", "zzz"]
+        rows = []
+        for i in range(80):
+            rows.append(
+                (
+                    i,
+                    " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12))),
+                    rng.choice(("en", "fr", "de")),
+                )
+            )
+        assert self._run(spark, rows) == self._twin(rows)

@@ -430,3 +430,66 @@ class TestGiniIdentity:
         # sanity: heavily skewed -> gini well above uniform
         _, _, gini = self._spark_gini(spark, [1] * 19 + [100])
         assert gini > 0.7
+
+
+class TestWeightedMedian:
+    def _run(self, spark, rows):
+        from rust_geo_booleanop_spark.operators import weighted_median
+
+        df = spark.createDataFrame(rows, "g string, v double, w long, id long")
+        out = weighted_median(df, "g", "v", "w", "id")
+        return {
+            r.g: (r.weighted_median, r.total_weight, r.n_rows)
+            for r in out.collect()
+        }
+
+    @staticmethod
+    def _twin(rows):
+        """Crossing-rule twin: smallest v whose cumulative weight under
+        the (v, id) total order first reaches half the total."""
+        out = {}
+        groups = {}
+        for g, v, w, i in rows:
+            if v is None:
+                continue
+            groups.setdefault(g, []).append((v, i, w))
+        for g, items in groups.items():
+            items.sort()
+            tot = sum(w for _, _, w in items)
+            cum = 0
+            for v, _, w in items:
+                cum += w
+                if 2 * cum >= tot:
+                    out[g] = (v, tot, len(items))
+                    break
+        return out
+
+    def test_unit_weights_give_lower_median(self, spark):
+        rows = [("a", 1.0, 1, 0), ("a", 2.0, 1, 1), ("a", 10.0, 1, 2), ("a", 99.0, 1, 3)]
+        # even n with unit weights: lower median (2.0), not the mean
+        assert self._run(spark, rows) == {"a": (2.0, 4, 4)}
+
+    def test_heavy_tail_weight_drags_the_median(self, spark):
+        rows = [("a", 1.0, 1, 0), ("a", 2.0, 1, 1), ("a", 10.0, 5, 2)]
+        assert self._run(spark, rows) == {"a": (10.0, 7, 3)}
+
+    def test_exact_half_crossing_picks_the_crossing_row(self, spark):
+        # cum = 2 at v=1.0 and tot = 4: 2*2 >= 4 -> v=1.0 is the pick
+        rows = [("a", 1.0, 2, 0), ("a", 5.0, 2, 1)]
+        assert self._run(spark, rows) == {"a": (1.0, 4, 2)}
+
+    def test_nulls_excluded_and_tie_on_value_uses_id(self, spark):
+        rows = [("a", None, 9, 0), ("a", 3.0, 1, 2), ("a", 3.0, 1, 1)]
+        assert self._run(spark, rows) == {"a": (3.0, 2, 2)}
+
+    def test_matches_twin_random(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = []
+        for g in ("p", "q", "r", "s"):
+            for i in range(rng.randrange(1, 50)):
+                rows.append(
+                    (g, round(rng.uniform(-50, 50), 2), rng.randrange(1, 7), i)
+                )
+        assert self._run(spark, rows) == self._twin(rows)

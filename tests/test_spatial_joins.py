@@ -463,3 +463,77 @@ class TestGridClusters:
         cells = [(i, 0, 1) for i in range(60)]
         got = self._run(spark, cells)
         assert got == {frozenset((i, 0) for i in range(60))}
+
+
+class TestMoransI:
+    @staticmethod
+    def _twin(cells):
+        """Direct integer-statistics twin of operators/tiling.py::morans_i
+        (same n^2-scaled formula, same fixed double tree)."""
+        n = len(cells)
+        s = sum(cells.values())
+        ss = sum(c * c for c in cells.values())
+        w = p = t = 0
+        for (gx, gy), ca in cells.items():
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    cb = cells.get((gx + dx, gy + dy))
+                    if cb is None:
+                        continue
+                    w += 1
+                    p += ca * cb
+                    t += ca + cb
+        num = n * n * p - n * s * t + w * s * s
+        den = n * n * ss - n * s * s
+        moran = (
+            None
+            if w == 0 or den == 0
+            else (float(n) / float(w)) * (float(num) / float(den))
+        )
+        return (n, w, s, num, den, moran)
+
+    def _run(self, spark, cells):
+        from rust_geo_booleanop_spark.operators import morans_i
+
+        df = spark.createDataFrame(
+            [(gx, gy, c) for (gx, gy), c in cells.items()],
+            "gx long, gy long, n long",
+        )
+        r = morans_i(df).collect()[0]
+        return (r.n_cells, r.w_pairs, r.sum_counts, r.num_scaled,
+                r.den_scaled, r.morans_i)
+
+    def test_uniform_surface_has_zero_numerator(self, spark):
+        cells = {(x, y): 7 for x in range(4) for y in range(4)}
+        n, w, s, num, den, moran = self._run(spark, cells)
+        assert (n, s) == (16, 112)
+        assert num == 0 and den == 0 and moran is None
+
+    def test_checkerboard_is_negatively_autocorrelated(self, spark):
+        cells = {(x, y): (10 if (x + y) % 2 == 0 else 1)
+                 for x in range(5) for y in range(5)}
+        got = self._run(spark, cells)
+        assert got == self._twin(cells)
+        assert got[5] < 0
+
+    def test_clustered_blob_is_positively_autocorrelated(self, spark):
+        cells = {(x, y): (20 if x < 3 and y < 3 else 1)
+                 for x in range(6) for y in range(6)}
+        got = self._run(spark, cells)
+        assert got == self._twin(cells)
+        assert got[5] > 0
+
+    def test_isolated_single_cell_degenerates_to_null(self, spark):
+        got = self._run(spark, {(0, 0): 5})
+        assert got[:2] == (1, 0) and got[5] is None
+
+    def test_matches_twin_random_sparse(self, spark):
+        import random
+
+        rng = random.Random(77)
+        cells = {}
+        for _ in range(60):
+            cells[(rng.randrange(-8, 8), rng.randrange(-8, 8))] = rng.randrange(1, 200)
+        assert self._run(spark, cells) == self._twin(cells)
