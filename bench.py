@@ -276,6 +276,13 @@ def main():
         "token_novelty": 1.0,
         "grid_clusters": 5.5,
         "morton_blocks": 0.6,
+        # round-4 second wave (calm run scripts/bench_runs_r4/
+        # close_57op_calm.json; bands ~2x the observed calm wall)
+        "weighted_median": 0.6,
+        "morans_i": 0.8,
+        "word_length_profile": 0.5,
+        "hamming_histogram": 2.4,
+        "array_functions": 0.4,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
