@@ -1,0 +1,204 @@
+"""Differential soak of the two Martinez kernels (pure Python vs native C).
+
+The fixture suite pins 45 reference cases; this soak hunts the cases the
+fixtures don't have: seeded random polygon soups heavily weighted toward
+the degenerate classes (integer-snapped coordinates -> exact collinear /
+shared-edge overlaps, slivers, 1-ULP vertex nudges, rectilinear soups
+with coincident boundaries). For every case x operation it requires:
+
+  * status agreement — both engines return, or BOTH raise
+    KernelLimitExceeded (the documented degenerate-overlap pathology,
+    reference's deactivated issue90 class);
+  * bit-exact result equality when both return (tuple ==, the same
+    criterion as the fixture suite — no repr, no tolerance);
+  * inclusion-exclusion area sanity on the Python result — but ONLY
+    for the simple-operand case class (single star vs single star):
+    area(A) + area(B) == area(A|B) + area(A&B) and
+    area(A^B) == area(A|B) - area(A&B), to 1e-6 relative (FP sums, so
+    tolerance — a semantics check, not an exactness check). Soup
+    operands can self-overlap, where even-odd fill makes naive
+    per-ring shoelace sums the wrong measure, so they are excluded.
+
+Usage: python scripts/kernel_soak.py [n_cases] [seed0]
+Exit 0 = no divergence. Any divergence prints the repro seed and fails.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_geo_booleanop_spark.kernel import (
+    KernelLimitExceeded,
+    boolean_op,
+    resolve_boolean_op,
+)
+
+OPS = ("intersection", "union", "diff", "diff_ba", "xor")
+
+
+def _tri_soup(rng, n, span=256.0, size=24.0, snap=None):
+    polys = []
+    for _ in range(n):
+        cx, cy = rng.uniform(size, span - size), rng.uniform(size, span - size)
+        pts = []
+        for _ in range(3):
+            x = cx + rng.uniform(-size, size)
+            y = cy + rng.uniform(-size, size)
+            if snap:
+                x, y = round(x / snap) * snap, round(y / snap) * snap
+            pts.append((x, y))
+        if len({*pts}) < 3:
+            continue  # snapped to a degenerate point/segment
+        pts.append(pts[0])
+        polys.append([pts])
+    return polys
+
+
+def _rect_soup(rng, n, span=256.0, snap=8.0):
+    """Axis-aligned integer-snapped rectangles: shared edges, exact
+    containment, coincident boundaries — the degenerate-overlap class."""
+    polys = []
+    for _ in range(n):
+        x0 = round(rng.uniform(0, span - snap) / snap) * snap
+        y0 = round(rng.uniform(0, span - snap) / snap) * snap
+        w = snap * rng.randint(1, 8)
+        h = snap * rng.randint(1, 8)
+        polys.append(
+            [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]]
+        )
+    return polys
+
+
+def _star(rng, cx, cy, n_arms, r_lo, r_hi):
+    pts = []
+    for k in range(2 * n_arms):
+        r = r_hi if k % 2 == 0 else r_lo
+        r *= rng.uniform(0.8, 1.2)
+        th = math.pi * k / n_arms + rng.uniform(-0.05, 0.05)
+        pts.append((cx + r * math.cos(th), cy + r * math.sin(th)))
+    pts.append(pts[0])
+    return [pts]
+
+
+def _sliver(rng, span=256.0):
+    """Near-degenerate triangle: two vertices 1e-9 apart."""
+    x, y = rng.uniform(10, span - 10), rng.uniform(10, span - 10)
+    x2, y2 = x + rng.uniform(-40, 40), y + rng.uniform(-40, 40)
+    return [[(x, y), (x2, y2), (x2 + 1e-9, y2 + 1e-9), (x, y)]]
+
+
+def _ulp_nudged(rng, span=256.0):
+    """Triangle sharing a vertex with a copy nudged by 1 ULP."""
+    base = _tri_soup(rng, 1, span)[0]
+    ring = base[0]
+    nudged = [
+        (math.nextafter(x, math.inf), y) if i == 1 else (x, y)
+        for i, (x, y) in enumerate(ring)
+    ]
+    return [nudged]
+
+
+def make_case(seed):
+    """Returns (subject, clipping, simple_operands)."""
+    rng = random.Random(seed)
+    kind = seed % 6
+    if kind == 0:
+        return _tri_soup(rng, rng.randint(2, 10)), _tri_soup(rng, rng.randint(2, 10)), False
+    if kind == 1:  # integer-snapped triangles: exact collinear overlaps
+        return (
+            _tri_soup(rng, rng.randint(2, 8), snap=4.0),
+            _tri_soup(rng, rng.randint(2, 8), snap=4.0),
+            False,
+        )
+    if kind == 2:  # rectilinear coincident-boundary soup
+        return _rect_soup(rng, rng.randint(2, 8)), _rect_soup(rng, rng.randint(2, 8)), False
+    if kind == 3:  # stars vs stars (many crossings per edge pair)
+        a = _star(rng, rng.uniform(80, 176), rng.uniform(80, 176), rng.randint(3, 9), 20, 60)
+        b = _star(rng, rng.uniform(80, 176), rng.uniform(80, 176), rng.randint(3, 9), 20, 60)
+        return [a], [b], True
+    if kind == 4:  # slivers vs triangles
+        return (
+            [_sliver(rng) for _ in range(rng.randint(1, 4))],
+            _tri_soup(rng, rng.randint(2, 6)),
+            False,
+        )
+    # 1-ULP nudged twin vs its base
+    rng2 = random.Random(seed * 31 + 7)
+    base = _tri_soup(rng2, 3)
+    return base, [_ulp_nudged(random.Random(seed * 31 + 7), 256.0)] + base[:1], False
+
+
+def _shoelace(ring):
+    a = 0.0
+    for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+        a += x0 * y1 - x1 * y0
+    return a / 2.0
+
+
+def _area(mp):
+    """Region area of a kernel output: ring 0 exterior minus holes —
+    STRUCTURAL hole subtraction (ring index), never winding, because
+    kernel outputs don't guarantee hole orientation."""
+    return sum(abs(_shoelace(ring)) * (1 if i == 0 else -1)
+               for poly in mp for i, ring in enumerate(poly))
+
+
+def run(n_cases=1000, seed0=1):
+    native = resolve_boolean_op("native")
+    if native is boolean_op:
+        raise SystemExit("native kernel unavailable — soak needs both engines")
+    ran = limits = 0
+    for c in range(n_cases):
+        seed = seed0 + c
+        subject, clipping, simple = make_case(seed)
+        results = {}
+        for op in OPS:
+            py_exc = nat_exc = None
+            py = nat = None
+            try:
+                py = boolean_op(subject, clipping, op)
+            except KernelLimitExceeded as e:
+                py_exc = e
+            try:
+                nat = native(subject, clipping, op)
+            except KernelLimitExceeded as e:
+                nat_exc = e
+            ran += 1
+            if (py_exc is None) != (nat_exc is None):
+                raise SystemExit(
+                    f"STATUS DIVERGENCE seed={seed} op={op}: "
+                    f"python={'limit' if py_exc else 'ok'} "
+                    f"native={'limit' if nat_exc else 'ok'}"
+                )
+            if py_exc is not None:
+                limits += 1
+                continue
+            if py != nat:
+                raise SystemExit(f"RESULT DIVERGENCE seed={seed} op={op}")
+            results[op] = py
+        if simple and len(results) == len(OPS):
+            a, b = _area(subject), _area(clipping)
+            ai, au = _area(results["intersection"]), _area(results["union"])
+            ax = _area(results["xor"])
+            scale = max(a + b, 1.0)
+            if abs((a + b) - (au + ai)) > 1e-6 * scale:
+                raise SystemExit(f"INCL-EXCL VIOLATION seed={seed}: "
+                                 f"A+B={a + b} union+int={au + ai}")
+            if abs(ax - (au - ai)) > 1e-6 * scale:
+                raise SystemExit(f"XOR AREA VIOLATION seed={seed}")
+        if (c + 1) % 200 == 0:
+            print(f"  {c + 1}/{n_cases} cases, {ran} op-runs, "
+                  f"{limits} agreed-limit", flush=True)
+    print(f"soak clean: {n_cases} cases, {ran} op-runs, "
+          f"{limits} agreed-limit-exceeded, 0 divergences")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    run(n, s0)
