@@ -198,7 +198,59 @@ def run(n_cases=1000, seed0=1):
           f"{limits} agreed-limit-exceeded, 0 divergences")
 
 
+def run_pairs(n_cases=500, seed0=1):
+    """Differential soak of the PAIR RUNNERS — the Spark kernel-stage
+    marshalling path (GeoJSON bytes in, GeoJSON bytes + bbox + status
+    rows out). The C runner parses/serializes through CPython's own
+    float routines, so rows must match the Python runner BYTE-exactly:
+    same result_json strings, same bbox doubles, same statuses."""
+    from rust_geo_booleanop_spark.kernel import serialize_multipolygon
+    from rust_geo_booleanop_spark.kernel.pairs import (
+        pair_boolean_ops_python,
+        resolve_pair_runner,
+    )
+
+    native_pairs = resolve_pair_runner("native")
+    if native_pairs is pair_boolean_ops_python:
+        raise SystemExit("native pair runner unavailable")
+    ran = limits = 0
+    for c in range(n_cases):
+        seed = seed0 + c
+        subject, clipping, _ = make_case(seed)
+        s_json = serialize_multipolygon(subject)
+        c_json = serialize_multipolygon(clipping)
+        py_rows = pair_boolean_ops_python(s_json, c_json, OPS)
+        nat_rows = native_pairs(s_json, c_json, OPS)
+        ran += len(OPS)
+
+        def _feq(a, b):
+            # empty-result bboxes are NaN on both sides; NaN != NaN
+            # would flag identical rows, so compare NaN-aware
+            if isinstance(a, float) and isinstance(b, float):
+                return a == b or (a != a and b != b)
+            return a == b
+
+        for pr, nr in zip(py_rows, nat_rows):
+            if len(pr) != len(nr) or not all(
+                _feq(a, b) for a, b in zip(pr, nr)
+            ):
+                raise SystemExit(
+                    f"PAIR-ROW DIVERGENCE seed={seed} op={pr[0]}: "
+                    f"py={pr[2:]} nat={nr[2:]} json_eq={pr[1] == nr[1]}"
+                )
+        limits += sum(1 for r in py_rows if r[7] == "limit_exceeded")
+        if (c + 1) % 200 == 0:
+            print(f"  pairs {c + 1}/{n_cases}, {ran} op-rows, "
+                  f"{limits} limit rows", flush=True)
+    print(f"pair soak clean: {n_cases} cases, {ran} op-rows byte-exact, "
+          f"{limits} agreed-limit rows")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    run(n, s0)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "kernel"
+    if mode == "pairs":
+        run_pairs(n, s0)
+    else:
+        run(n, s0)

@@ -240,3 +240,23 @@ def test_resolver_engine_selection(monkeypatch):
     assert bbox_fn(SQUARE) == (0.0, 0.0, 2.0, 2.0)
     monkeypatch.setenv("SPARK_GRAFT_KERNEL", "auto")
     assert resolve_bbox_fn()(SQUARE) == (0.0, 0.0, 2.0, 2.0)
+
+
+def test_pair_runner_differential_soak_sample():
+    """Deterministic slice of `scripts/kernel_soak.py --pairs`: random
+    degenerate-weighted cases through BOTH pair runners (GeoJSON in,
+    GeoJSON + bbox + status rows out), byte-exact row agreement
+    (NaN-aware on empty-result bboxes). Round-4 full record: 3000 cases
+    / 15000 op-rows byte-exact, 0 divergences. New seeds via
+    SPARK_GRAFT_SOAK_SEED0."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "kernel_soak",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "kernel_soak.py"),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    seed0 = int(os.environ.get("SPARK_GRAFT_SOAK_SEED0", "777001"))
+    soak.run_pairs(n_cases=40, seed0=seed0)
