@@ -2824,14 +2824,18 @@ def oracle_sql() -> dict[str, str]:
         # left-fold double L2^2 (operation order == the Spark fold);
         # argmin and rank are (value ASC, id ASC) total orders
         "s08_pq_topk": f"""
-            WITH pivots AS (
+            -- CTEs MATERIALIZED: DuckDB's default inlining of qd into
+            -- the 8-way ADC join produced a pathological plan at sf0.1
+            -- (20+ min on one core vs 0.9 s materialized, identical
+            -- values — verified at sf0.01).
+            WITH pivots AS MATERIALIZED (
                 SELECT vec_id AS pivot_id, embedding AS pivot_vec
                 FROM embeddings WHERE vec_id % 11 = 0
-            ), dists AS (
+            ), dists AS MATERIALIZED (
                 SELECT e.vec_id, p.pivot_id,
                        {pq_d}
                 FROM embeddings e CROSS JOIN pivots p
-            ), enc AS (
+            ), enc AS MATERIALIZED (
                 SELECT vec_id,
                        {pq_code}
                 FROM (
@@ -2839,7 +2843,7 @@ def oracle_sql() -> dict[str, str]:
                            {pq_rn}
                     FROM dists
                 ) GROUP BY vec_id
-            ), qd AS (
+            ), qd AS MATERIALIZED (
                 SELECT q.vec_id AS query_id, p.pivot_id,
                        {pq_q}
                 FROM embeddings q CROSS JOIN pivots p
