@@ -2822,12 +2822,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # s08: PQ ADC — per-subspace distances are the generated chained
         # left-fold double L2^2 (operation order == the Spark fold);
-        # argmin and rank are (value ASC, id ASC) total orders
+        # argmin and rank are (value ASC, id ASC) total orders.
+        # CTEs MATERIALIZED: DuckDB's default inlining of qd into the
+        # 8-way ADC join produced a pathological plan at sf0.1 (20+ min
+        # on one core vs 0.9 s materialized, identical values — verified
+        # at sf0.01).
         "s08_pq_topk": f"""
-            -- CTEs MATERIALIZED: DuckDB's default inlining of qd into
-            -- the 8-way ADC join produced a pathological plan at sf0.1
-            -- (20+ min on one core vs 0.9 s materialized, identical
-            -- values — verified at sf0.01).
             WITH pivots AS MATERIALIZED (
                 SELECT vec_id AS pivot_id, embedding AS pivot_vec
                 FROM embeddings WHERE vec_id % 11 = 0
