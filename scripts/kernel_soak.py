@@ -246,11 +246,75 @@ def run_pairs(n_cases=500, seed0=1):
           f"{limits} agreed-limit rows")
 
 
+def run_f32(n_cases=500, seed0=1):
+    """Robustness soak of the TRUE-f32 native sweep. There is no Python
+    twin at this width (kernel/f32.py documents why), so the checks are
+    semantic rather than differential: every op either returns or raises
+    KernelLimitExceeded (never crashes or hangs); results are
+    deterministic (two runs, tuple ==); every output coordinate is
+    exactly binary32-representable; and on the simple star-vs-star class
+    the region areas satisfy inclusion-exclusion to f32 precision
+    (binary32 carries ~7 significant digits, hence the loose 1e-3
+    relative tolerance — a semantics check, not an exactness check)."""
+    import numpy as np
+
+    from rust_geo_booleanop_spark.kernel.f32 import boolean_op_f32
+
+    try:
+        boolean_op_f32([[[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]]],
+                       [[[(2.0, 2.0), (3.0, 2.0), (2.0, 3.0), (2.0, 2.0)]]],
+                       "union", compute="f32")
+    except RuntimeError as e:
+        raise SystemExit(f"native f32 kernel unavailable: {e}")
+    ran = limits = 0
+    for c in range(n_cases):
+        seed = seed0 + c
+        subject, clipping, simple = make_case(seed)
+        results = {}
+        for op in OPS:
+            try:
+                r1 = boolean_op_f32(subject, clipping, op, compute="f32")
+                r2 = boolean_op_f32(subject, clipping, op, compute="f32")
+            except KernelLimitExceeded:
+                limits += 1
+                ran += 1
+                continue
+            ran += 1
+            if r1 != r2:
+                raise SystemExit(f"F32 NONDETERMINISM seed={seed} op={op}")
+            for poly in r1:
+                for ring in poly:
+                    for x, y in ring:
+                        if float(np.float32(x)) != x or float(np.float32(y)) != y:
+                            raise SystemExit(
+                                f"F32 NON-BINARY32 OUTPUT seed={seed} op={op}: "
+                                f"({x!r}, {y!r})"
+                            )
+            results[op] = r1
+        if simple and len(results) == len(OPS):
+            a, b = _area(subject), _area(clipping)
+            ai, au = _area(results["intersection"]), _area(results["union"])
+            ax = _area(results["xor"])
+            scale = max(a + b, 1.0)
+            if abs((a + b) - (au + ai)) > 1e-3 * scale:
+                raise SystemExit(f"F32 INCL-EXCL VIOLATION seed={seed}: "
+                                 f"A+B={a + b} union+int={au + ai}")
+            if abs(ax - (au - ai)) > 1e-3 * scale:
+                raise SystemExit(f"F32 XOR AREA VIOLATION seed={seed}")
+        if (c + 1) % 200 == 0:
+            print(f"  f32 {c + 1}/{n_cases} cases, {ran} op-runs, "
+                  f"{limits} limit", flush=True)
+    print(f"f32 soak clean: {n_cases} cases, {ran} op-runs, "
+          f"{limits} limit-exceeded, 0 violations")
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     s0 = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     mode = sys.argv[3] if len(sys.argv) > 3 else "kernel"
     if mode == "pairs":
         run_pairs(n, s0)
+    elif mode == "f32":
+        run_f32(n, s0)
     else:
         run(n, s0)

@@ -293,3 +293,25 @@ def test_differential_soak_sample():
     spec.loader.exec_module(soak)
     seed0 = int(os.environ.get("SPARK_GRAFT_SOAK_SEED0", "777001"))
     soak.run(n_cases=60, seed0=seed0)
+
+
+@f32_mark
+def test_f32_soak_sample():
+    """Deterministic slice of `scripts/kernel_soak.py --f32`: the
+    true-binary32 native sweep over the same degenerate-class case
+    generator, checked semantically (no Python twin at this width):
+    clean status or KernelLimitExceeded, run-to-run determinism,
+    binary32-exact output coordinates, and star-vs-star
+    inclusion-exclusion at f32 precision. Same seed-lottery rule as the
+    f64 slice: CI pins a fixed range; explore NEW seeds via the script."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "kernel_soak",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "kernel_soak.py"),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    seed0 = int(os.environ.get("SPARK_GRAFT_SOAK_SEED0", "777001"))
+    soak.run_f32(n_cases=30, seed0=seed0)
