@@ -141,7 +141,10 @@ def exact_quantiles(
     ).collect()
     n = stats["n"]
     if n == 0:
-        raise ValueError("exact_quantiles: empty column")
+        # quantiles of an empty relation are an empty relation — a
+        # selective upstream filter matching nothing must not crash the
+        # job (empty relations are routine mid-plan at scale)
+        return df.sparkSession.createDataFrame([], "q double, value double")
     lo, hi = float(stats["lo"]), float(stats["hi"])
     out = []
     if _degenerate(lo, hi, bins):

@@ -133,10 +133,14 @@ class TestExactQuantiles:
             }
             assert got == brute_quantiles(vals, qs), (trial, bins, max_tail)
 
-    def test_empty_raises(self, spark):
+    def test_empty_is_empty_result(self, spark):
+        """An all-NULL (hence empty after the missing-data filter) column
+        yields an empty (q, value) relation, not an exception — empty
+        relations are routine mid-plan at scale and must flow through."""
         df = spark.range(5).select(F.lit(None).cast("double").alias("x"))
-        with pytest.raises(ValueError):
-            exact_quantiles(df, "x", [0.5])
+        out = exact_quantiles(df, "x", [0.5])
+        assert out.columns == ["q", "value"]
+        assert out.count() == 0
 
 
 class TestStratifiedSample:
