@@ -56,8 +56,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             m = GEO_SCRIPT_RE.search(bytes(html))
             if not m:
                 continue  # page without geometry: filtered out here
-            geom_json = m.group(1).decode("utf-8")
-            xmin, ymin, xmax, ymax = bbox_fn(geom_json)
+            # Dirty-web tolerance: a crawl-scale corpus WILL contain
+            # pages whose geo+json block is mojibake or truncated JSON;
+            # one such page must not fail the task (and with it the
+            # job). They are filtered here, the same class as pages
+            # without a geometry block.
+            try:
+                geom_json = m.group(1).decode("utf-8")
+                xmin, ymin, xmax, ymax = bbox_fn(geom_json)
+            except (UnicodeDecodeError, ValueError):
+                continue
             um = CASE_URL_RE.search(url)
             case_id = int(um.group(1)) if um else -1
             role = um.group(2) if um else "unknown"

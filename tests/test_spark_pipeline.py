@@ -134,3 +134,45 @@ def test_pair_candidates_skew_valve(spark):
     a = {tuple(r) for r in pair_candidates(geoms, max_side=100).collect()}
     b = {tuple(r) for r in salted.collect()}
     assert a == b
+
+
+def test_extract_tolerates_dirty_pages(spark):
+    """A crawl-scale corpus WILL contain pages whose geo+json block is
+    mojibake or truncated JSON; one such page must not fail the task
+    (and with it the job). Dirty pages are filtered like pages without
+    a geometry block; clean pages in the same Arrow batch still
+    extract with exact values."""
+    good_geom = (
+        '{"type":"MultiPolygon",'
+        '"coordinates":[[[[0,0],[4,0],[4,4],[0,4],[0,0]]]]}'
+    )
+
+    def page(geom_block):
+        return (
+            b'<html><script type="application/geo+json">'
+            + geom_block
+            + b"</script></html>"
+        )
+
+    rows = [
+        ("http://x/case/7/subject", page(good_geom.encode()), "t7", "en"),
+        # invalid UTF-8 inside the block
+        ("http://x/bad-utf8", page(b'{"type": \xff\xfe}'), "t1", "en"),
+        # not JSON at all
+        ("http://x/bad-json", page(b"not json {"), "t2", "en"),
+        # valid JSON, wrong geometry type
+        ("http://x/bad-type", page(b'{"type":"Point","coordinates":[1,2]}'), "t3", "en"),
+        # truncated JSON
+        ("http://x/truncated", page(b'{"type":"MultiPolygon","coordinates":[[['), "t4", "en"),
+        # NULL html
+        ("http://x/null-html", None, "t5", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    )
+    got = extract_geometries(docs).collect()
+    assert [r.url for r in got] == ["http://x/case/7/subject"]
+    (r,) = got
+    assert (r.case_id, r.role) == (7, "subject")
+    assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, 0.0, 4.0, 4.0)
+    assert r.geom_json == good_geom and r.text == "t7"
