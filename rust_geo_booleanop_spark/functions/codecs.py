@@ -34,6 +34,21 @@ import numpy as np
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Every exception class a corrupt or truncated container can raise out
+# of the decoders in this module (short buffers -> struct.error /
+# IndexError, bad DEFLATE -> zlib.error, malformed RIFF -> wave.Error /
+# EOFError, everything explicitly rejected -> ValueError). Operators
+# that must survive dirty corpora catch exactly this set at their
+# decode seam.
+DECODE_ERRORS = (
+    ValueError,
+    IndexError,
+    EOFError,
+    struct.error,
+    zlib.error,
+    wave.Error,
+)
+
 
 def _chunk(typ: bytes, data: bytes) -> bytes:
     return (

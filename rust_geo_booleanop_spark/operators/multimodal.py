@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.codecs import (
+    DECODE_ERRORS,
     decode_mpng_frame,
     decode_png_gray8,
     decode_wav_pcm16,
@@ -32,6 +33,13 @@ from ..functions.codecs import (
     encode_wav_pcm16,
     mpng_info,
 )
+
+
+class MediaDecodeError(ValueError):
+    """A media payload that cannot be decoded (corrupt or truncated
+    container). Raised by the `_decode_*` seams; the feature operators
+    catch it per row and skip the payload — at crawl scale corrupt media
+    is routine and must never fail the task (and with it the job)."""
 
 MEDIA_SCHEMA = (
     "url string, kind string, media binary, "
@@ -156,14 +164,22 @@ def synth_media(spark, documents: DataFrame, kinds=("image", "audio")) -> DataFr
 def _decode_image(payload: bytes) -> np.ndarray:
     """REAL decode: parse the PNG container (functions/codecs.py). A
     Pillow drop-in is `np.asarray(PIL.Image.open(BytesIO(payload)))` —
-    same contract, pinned by the seam test."""
-    return decode_png_gray8(bytes(payload))
+    same contract, pinned by the seam test. Corrupt payloads raise
+    MediaDecodeError (callers skip the row)."""
+    try:
+        return decode_png_gray8(bytes(payload))
+    except DECODE_ERRORS as e:
+        raise MediaDecodeError(f"undecodable image payload: {e}") from e
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
     """REAL decode: parse the WAV container; returns int16 samples. A
-    soundfile drop-in is `soundfile.read(BytesIO(payload), dtype='int16')`."""
-    samples, _sr = decode_wav_pcm16(bytes(payload))
+    soundfile drop-in is `soundfile.read(BytesIO(payload), dtype='int16')`.
+    Corrupt payloads raise MediaDecodeError (callers skip the row)."""
+    try:
+        samples, _sr = decode_wav_pcm16(bytes(payload))
+    except DECODE_ERRORS as e:
+        raise MediaDecodeError(f"undecodable audio payload: {e}") from e
     return samples
 
 
@@ -192,7 +208,10 @@ def image_features_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     generator)."""
     out = {k: [] for k in ("url", "width", "height", "mean_pixel", "std_pixel", "phash")}
     for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-        img = _decode_image(payload)
+        try:
+            img = _decode_image(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         out["url"].append(url)
         out["width"].append(w)
         out["height"].append(h)
@@ -226,7 +245,10 @@ def pixel_hash_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     same bytes reshaped HxW."""
     out = {"url": [], "width": [], "height": [], "pixel_md5": []}
     for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-        img = _decode_image(payload)
+        try:
+            img = _decode_image(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         key = hashlib.md5(
             b"%dx%d:" % (img.shape[1], img.shape[0])
             + img.astype(np.uint8).tobytes()
@@ -274,7 +296,10 @@ def resize_images_pdf(pdf: pd.DataFrame, out_width: int, out_height: int) -> pd.
     generator)."""
     out = {"url": [], "out_width": [], "out_height": [], "thumb": []}
     for url, payload, w, h in zip(pdf["url"], pdf["media"], pdf["width"], pdf["height"]):
-        img = _decode_image(payload)
+        try:
+            img = _decode_image(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         ys = np.linspace(0, img.shape[0] - 1, out_height).astype(int)
         xs = np.linspace(0, img.shape[1] - 1, out_width).astype(int)
         thumb = img[np.ix_(ys, xs)]
@@ -302,10 +327,14 @@ def _decode_video_frame(payload: bytes, ts_ms: int) -> np.ndarray:
     only that PNG (functions/codecs.py). Timestamps past the stored
     excerpt clamp to the last keyframe (excerpt semantics, like audio's
     AUDIO_EXCERPT_MS). A PyAV drop-in is `container.seek(ts_ms)` + decode
-    of the next frame — same contract, pinned by the seam tests."""
-    n_frames, interval_ms = mpng_info(bytes(payload))
-    idx = min(n_frames - 1, ts_ms // interval_ms)
-    return decode_mpng_frame(bytes(payload), idx)
+    of the next frame — same contract, pinned by the seam tests. Corrupt
+    payloads raise MediaDecodeError (callers skip the frame)."""
+    try:
+        n_frames, interval_ms = mpng_info(bytes(payload))
+        idx = min(n_frames - 1, ts_ms // interval_ms)
+        return decode_mpng_frame(bytes(payload), idx)
+    except DECODE_ERRORS as e:
+        raise MediaDecodeError(f"undecodable video payload: {e}") from e
 
 
 def sample_video_frames_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -> pd.DataFrame:
@@ -317,7 +346,10 @@ def sample_video_frames_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -
     ):
         n_frames = min(max_frames, max(1, int(dur) // every_ms))
         for fi in range(n_frames):
-            img = _decode_video_frame(bytes(payload), fi * every_ms)
+            try:
+                img = _decode_video_frame(bytes(payload), fi * every_ms)
+            except MediaDecodeError:
+                continue  # corrupt keyframe: skip the frame, never the job
             out["url"].append(url)
             out["frame_no"].append(fi)
             out["ts_ms"].append(fi * every_ms)
@@ -358,7 +390,10 @@ def sample_audio_frames_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -
     ):
         # the decoded WAV is the ground truth for available
         # samples (synth stores an AUDIO_EXCERPT_MS excerpt)
-        samples = _decode_audio(payload)
+        try:
+            samples = _decode_audio(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         frame_len = int(int(sr) * frame_ms / 1000)
         n_frames = min(max_frames, max(1, len(samples) // frame_len))
         for fi in range(n_frames):
@@ -398,7 +433,10 @@ def audio_energy_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -> pd.Da
     sample_audio_frames_pdf exactly."""
     out = {"url": [], "frame_no": [], "energy": [], "n_zc": []}
     for url, payload, sr in zip(pdf["url"], pdf["media"], pdf["sample_rate"]):
-        samples = _decode_audio(payload)
+        try:
+            samples = _decode_audio(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         frame_len = int(int(sr) * frame_ms / 1000)
         n_frames = min(max_frames, max(1, len(samples) // frame_len))
         for fi in range(n_frames):
@@ -440,7 +478,10 @@ def image_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     out = {k: [] for k in ("url", "n_pixels", "pixel_sum", "min_pixel",
                            "max_pixel", "n_dark", "n_bright")}
     for url, payload in zip(pdf["url"], pdf["media"]):
-        img = _decode_image(payload)
+        try:
+            img = _decode_image(payload)
+        except MediaDecodeError:
+            continue  # corrupt payload: skip the row, never the job
         flat = img.astype(np.int64)
         out["url"].append(url)
         out["n_pixels"].append(int(flat.size))
@@ -481,7 +522,10 @@ def video_frame_stats_pdf(pdf: pd.DataFrame, every_ms: int, max_frames: int) -> 
     for url, payload, dur in zip(pdf["url"], pdf["media"], pdf["duration_ms"]):
         n_frames = min(max_frames, max(1, int(dur) // every_ms))
         for fi in range(n_frames):
-            img = _decode_video_frame(bytes(payload), fi * every_ms).astype(np.int64)
+            try:
+                img = _decode_video_frame(bytes(payload), fi * every_ms).astype(np.int64)
+            except MediaDecodeError:
+                continue  # corrupt keyframe: skip the frame, never the job
             out["url"].append(url)
             out["frame_no"].append(fi)
             out["n_pixels"].append(int(img.size))

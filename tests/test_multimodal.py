@@ -459,3 +459,77 @@ def test_video_frame_stats_matches_sampled_decode_twin(spark):
             want[(r.url, fi)] = (int(img.size), int(img.sum()),
                                  int(img.min()), int(img.max()))
     assert got == want
+
+
+def test_corrupt_media_payloads_are_skipped_not_fatal(spark):
+    """A crawl-scale media corpus WILL contain corrupt containers
+    (truncated bytes, wrong magic, bad DEFLATE streams); one such
+    payload must not fail the Arrow batch (and with it the job). Every
+    decode-seam operator skips the bad row and still extracts exact
+    values from the clean rows sharing its batch."""
+    from rust_geo_booleanop_spark.functions.codecs import (
+        encode_mpng,
+        encode_png_gray8,
+        encode_wav_pcm16,
+    )
+    from rust_geo_booleanop_spark.operators.multimodal import (
+        audio_energy,
+        image_pixel_dedup,
+        image_stats,
+        resize_images,
+        video_frame_stats,
+    )
+    import numpy as np
+
+    img = (np.arange(64).reshape(8, 8) * 3).astype(np.uint8)
+    wav = encode_wav_pcm16(
+        (np.arange(16000) % 2000 - 1000).astype(np.int16), 16000
+    )
+    vid = encode_mpng([img, (img + 1).astype(np.uint8)], 1000)
+    png = encode_png_gray8(img)
+    bad = [
+        b"",  # empty
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 5,  # truncated after magic
+        png[: len(png) // 2],  # truncated mid-IDAT
+        b"RIFFgarbage",  # wav magic, no structure
+        b"MPNG\xff\xff\xff\xff",  # video header, absurd frame count
+        bytes(200),  # zeros
+    ]
+    rows = []
+    for kind, good_payload, w, h, sr, dur in (
+        ("image", png, 8, 8, None, None),
+        ("audio", wav, None, None, 16000, 1000),
+        ("video", vid, 8, 8, None, 2000),
+    ):
+        rows.append((f"ok/{kind}", kind, good_payload, w, h, sr, dur, "x"))
+        for i, b in enumerate(bad):
+            rows.append((f"bad/{kind}/{i}", kind, b, w, h, sr, dur, "x"))
+    media = spark.createDataFrame(
+        rows,
+        "url string, kind string, media binary, width int, height int, "
+        "sample_rate int, duration_ms int, codec string",
+    ).repartition(2)  # clean + corrupt rows share Arrow batches
+
+    feats = {r.url: r for r in image_features(media).collect()}
+    assert set(feats) == {"ok/image"}
+    assert feats["ok/image"].mean_pixel == float(img.mean())
+
+    stats = {r.url: r for r in image_stats(media).collect()}
+    assert set(stats) == {"ok/image"}
+    assert stats["ok/image"].pixel_sum == int(img.astype(np.int64).sum())
+
+    thumbs = {r.url: r for r in resize_images(media, 4, 4).collect()}
+    assert set(thumbs) == {"ok/image"}
+
+    dedup = image_pixel_dedup(media).collect()
+    assert [r.rep_url for r in dedup] == ["ok/image"]
+
+    aframes = {r.url for r in sample_audio_frames(media).collect()}
+    assert aframes == {"ok/audio"}
+    energy = {r.url for r in audio_energy(media).collect()}
+    assert energy == {"ok/audio"}
+
+    vframes = {r.url for r in sample_video_frames(media).collect()}
+    assert vframes == {"ok/video"}
+    vstats = {r.url for r in video_frame_stats(media).collect()}
+    assert vstats == {"ok/video"}
