@@ -14,6 +14,7 @@ regex per batch (no JVM->Python per-row round trips).
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Iterator
 
@@ -63,8 +64,27 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # without a geometry block.
             try:
                 geom_json = m.group(1).decode("utf-8")
+                if "NaN" in geom_json:
+                    # a NaN coordinate can ONLY enter JSON via the
+                    # literal token (1e999-style overflow yields inf,
+                    # caught by the bbox guard below) — and the bbox
+                    # fold cannot be trusted to surface it (C fmin/fmax
+                    # skip NaN). NaN would poison the kernel's sweep
+                    # ordering, so the page is filtered up front.
+                    continue
                 xmin, ymin, xmax, ymax = bbox_fn(geom_json)
             except (UnicodeDecodeError, ValueError):
+                continue
+            # JSON number tokens admit Infinity and a MultiPolygon
+            # admits empty coordinates (bbox = inverted infinities).
+            # Non-finite coordinates would poison the kernel's sweep
+            # ordering, so they are filtered here with the other
+            # dirty-page classes.
+            if not (
+                xmin <= xmax
+                and ymin <= ymax
+                and all(map(math.isfinite, (xmin, ymin, xmax, ymax)))
+            ):
                 continue
             um = CASE_URL_RE.search(url)
             case_id = int(um.group(1)) if um else -1

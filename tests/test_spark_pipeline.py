@@ -166,6 +166,18 @@ def test_extract_tolerates_dirty_pages(spark):
         ("http://x/truncated", page(b'{"type":"MultiPolygon","coordinates":[[['), "t4", "en"),
         # NULL html
         ("http://x/null-html", None, "t5", "en"),
+        # JSON admits NaN/Infinity tokens; non-finite coordinates would
+        # poison the kernel's sweep ordering
+        ("http://x/nan-coord", page(
+            b'{"type":"MultiPolygon","coordinates":[[[[NaN,0],[1,0],[0,1],[NaN,0]]]]}'
+        ), "t6", "en"),
+        ("http://x/inf-coord", page(
+            b'{"type":"MultiPolygon","coordinates":[[[[1e999,0],[1,0],[0,1],[1e999,0]]]]}'
+        ), "t8", "en"),
+        # empty coordinates: bbox is the inverted-infinities identity
+        ("http://x/empty-geom", page(
+            b'{"type":"MultiPolygon","coordinates":[]}'
+        ), "t9", "en"),
     ]
     docs = spark.createDataFrame(
         rows, "url string, html binary, text string, lang string"
