@@ -2142,16 +2142,25 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 7) -> str:
 
 
 def _cos_sql(a: str, b: str) -> str:
-    """DuckDB cosine with the SAME zero-norm guard as the Spark side's
-    `_cosine` (similarity.py): NULL, never NaN. DuckDB's
-    list_cosine_similarity yields NaN for a zero-norm vector and NaN sorts
-    GREATEST under ORDER BY DESC, while Spark's guarded NULL sorts last —
-    an all-zero embedding would silently diverge the value hash. The guard
-    makes the invariant independent of corpus contents."""
+    """DuckDB cosine with the SAME zero-norm + non-finite guards as the
+    Spark side's `_cosine` (similarity.py): NULL, never NaN/inf.
+
+    Built from the explicit IEEE quotient, NOT list_cosine_similarity —
+    that function CLAMPS its result to [-1, 1], so a NaN (from a NaN
+    embedding component) silently becomes a finite -1.0 the guard cannot
+    see, and the row would rank while Spark's NULL sorts last. With the
+    raw quotient both engines produce the same NULL set: zero-norm ->
+    NULL (denom guard), NaN/inf similarity -> NULL (isfinite), finite
+    dot over inf denom -> 0.0 on both. The guards make the invariant
+    independent of corpus contents."""
+    num = f"list_inner_product({a}, {b})"
+    den = (
+        f"(sqrt(list_inner_product({a}, {a})) * "
+        f"sqrt(list_inner_product({b}, {b})))"
+    )
     return (
-        f"CASE WHEN list_inner_product({a}, {a}) > 0 "
-        f"AND list_inner_product({b}, {b}) > 0 "
-        f"THEN list_cosine_similarity({a}, {b}) END"
+        f"CASE WHEN {den} > 0 AND isfinite({num} / {den}) "
+        f"THEN {num} / {den} END"
     )
 
 

@@ -37,14 +37,23 @@ def _norm(a):
 
 
 def _cosine(a, b):
-    """Cosine similarity, NULL (not NaN) for zero-norm vectors.
+    """Cosine similarity, NULL (not NaN) for zero-norm vectors AND for
+    vectors with non-finite components.
 
     0.0/0.0 is NaN in Spark's IEEE double division, and Spark sorts NaN
     GREATER than every number — an unguarded all-zero embedding would rank
-    #1 for every query and pass every >= threshold filter. NULL instead
-    sorts last under desc() and fails threshold comparisons."""
-    denom = _norm(a) * _norm(b)
-    return F.when(denom > 0.0, _dot(a, b) / denom)
+    #1 for every query and pass every >= threshold filter. The same holds
+    for a NaN component (real at scale: fp blowups during embedding
+    training), which even defeats the denom > 0 guard because Spark's
+    non-IEEE comparison makes NaN > 0.0 TRUE. NULL instead sorts last
+    under desc() and fails threshold comparisons. The oracle twin is
+    `_cos_sql` (__spark_entry__.py) — keep the guards in lockstep."""
+    # try_divide is the ANSI-safe zero-norm guard (NULL divisor result,
+    # no DIVIDE_BY_ZERO); the when() nulls the non-finite similarities.
+    # A finite dot over an inf denom stays 0.0 on BOTH engines (DuckDB's
+    # isfinite(0.0) keeps it too) — only NaN/inf similarities become NULL.
+    sim = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.when(~F.isnan(sim) & (F.abs(sim) != F.lit(float("inf"))), sim)
 
 
 def cosine_topk(

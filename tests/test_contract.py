@@ -81,13 +81,15 @@ def _value_hash(rows, columns):
 
 
 def test_zero_vector_oracle_parity(spark, tmp_path):
-    """A zero-norm embedding must NOT diverge the similarity oracles:
-    Spark's _cosine maps zero-norm to NULL (similarity.py) and the DuckDB
-    oracles carry the same CASE guard (_cos_sql) — without it DuckDB's
-    list_cosine_similarity yields NaN, which sorts FIRST under DESC and
-    passes no threshold the same way. Injects an all-zero vector as both a
-    query (vec_id=1) and a corpus row (vec_id=11) and requires the full
-    value-hash to still match for s01/s04/s05."""
+    """A degenerate embedding must NOT diverge the similarity oracles:
+    Spark's _cosine maps zero-norm AND non-finite similarities to NULL
+    (similarity.py) and the DuckDB oracles carry the same CASE guard
+    (_cos_sql) — without it DuckDB's list_cosine_similarity yields NaN,
+    which sorts FIRST under DESC and passes no threshold the same way
+    (and Spark's non-IEEE NaN > 0.0 = TRUE defeats the denom guard
+    alone). Injects an all-zero vector (vec_id 1 query / 11 corpus), a
+    NaN-component vector (2 / 12), and an inf-component vector (3 / 13)
+    and requires the full value-hash to still match for s01/s04/s05."""
     import duckdb
     import numpy as np
 
@@ -96,6 +98,12 @@ def test_zero_vector_oracle_parity(spark, tmp_path):
     for i in range(40):
         if i in (1, 11):
             vec = [0.0] * 64
+        elif i in (2, 12):
+            vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+            vec[7] = float("nan")
+        elif i in (3, 13):
+            vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+            vec[5] = float("inf")
         else:
             vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
         rows.append((i, vec, i % 5))
