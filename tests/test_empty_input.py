@@ -58,3 +58,29 @@ def test_query_is_empty_safe(spark, empty_sf, name):
     # a well-formed result: named columns and a countable relation
     assert df.columns
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(spark, tmp_path_factory):
+    """One row per table: the degenerate-statistics corpus (variance 0,
+    a single user/group/bucket everywhere). Flushes out ANSI
+    divide-by-zero in correlation/ratio queries that only a constant
+    column can trigger."""
+    d = tmp_path_factory.mktemp("tiny_sf")
+    for t in TABLES:
+        src = os.path.join(TESTDATA_SF, f"{t}.parquet")
+        (
+            spark.read.parquet(src)
+            .limit(1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d / f"{t}.parquet"))
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
+def test_query_is_single_row_safe(spark, tiny_sf, name):
+    df = ALL_QUERIES[name](spark, tiny_sf)
+    assert df.columns
+    assert df.count() >= 0
