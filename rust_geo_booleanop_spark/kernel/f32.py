@@ -35,14 +35,19 @@ from .booleanop import boolean_op
 
 def quantize_multipolygon_f32(mp):
     """Round every coordinate to its nearest IEEE binary32 value
-    (returned as Python floats holding exactly that f32 value)."""
-    return [
-        [
-            [(float(np.float32(x)), float(np.float32(y))) for x, y in ring]
-            for ring in poly
+    (returned as Python floats holding exactly that f32 value).
+
+    Values beyond binary32 range quantize to +-inf — the same
+    round-to-nearest overflow an `as f32` cast produces in the
+    reference's Rust — so the expected-overflow warning is suppressed."""
+    with np.errstate(over="ignore"):
+        return [
+            [
+                [(float(np.float32(x)), float(np.float32(y))) for x, y in ring]
+                for ring in poly
+            ]
+            for poly in mp
         ]
-        for poly in mp
-    ]
 
 
 def boolean_op_f32(subject, clipping, operation, compute: str = "f64"):

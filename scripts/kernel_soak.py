@@ -103,10 +103,58 @@ def _ulp_nudged(rng, span=256.0):
     return [nudged]
 
 
+def _fan(rng, cx, cy, n_tris, r):
+    """Triangle fan: n_tris triangles all sharing the apex (cx, cy) —
+    many events at the IDENTICAL point, the event-queue tie-ordering
+    stress the fixtures only touch lightly."""
+    polys = []
+    th0 = rng.uniform(0, math.pi)
+    for k in range(n_tris):
+        a = th0 + 2 * math.pi * k / n_tris
+        b = a + rng.uniform(0.3, 1.2)
+        polys.append([[
+            (cx, cy),
+            (cx + r * math.cos(a), cy + r * math.sin(a)),
+            (cx + r * math.cos(b), cy + r * math.sin(b)),
+            (cx, cy),
+        ]])
+    return polys
+
+
+def _scaled(mp, s, dx=0.0, dy=0.0):
+    return [[[(x * s + dx, y * s + dy) for x, y in ring] for ring in poly]
+            for poly in mp]
+
+
 def make_case(seed):
-    """Returns (subject, clipping, simple_operands)."""
+    """Returns (subject, clipping, simple_operands).
+
+    Generator v2 (round-4 restart): kinds 6-7 added (huge-magnitude
+    coordinates, shared-apex fans) and the modulo bumped 6 -> 8, so a
+    given seed maps to a different case than in the v1 runs recorded for
+    seed ranges 1..13000 — those records stand as v1 records; explore v2
+    on fresh ranges."""
     rng = random.Random(seed)
-    kind = seed % 6
+    kind = seed % 8
+    if kind == 6:
+        # huge-magnitude coordinates (~1e120-1e150): doubles are exact
+        # but every orient2d/segment-intersection intermediate overflows
+        # toward the Shewchuk-filter-inconclusive region, forcing the
+        # exact-rational fallback — the path the fixture corpus (span
+        # ~1e2) almost never takes. Both engines must still agree
+        # bit-for-bit, incl. the C twin's Fraction fallback routing.
+        s = 10.0 ** rng.randint(120, 150)
+        a = _tri_soup(rng, rng.randint(2, 6))
+        b = _tri_soup(rng, rng.randint(2, 6))
+        return _scaled(a, s), _scaled(b, s), False
+    if kind == 7:
+        # shared-apex fans vs fans: a high multiplicity of coincident
+        # endpoints + pairwise crossings through one point
+        a = _fan(rng, rng.uniform(100, 156), rng.uniform(100, 156),
+                 rng.randint(2, 6), rng.uniform(30, 80))
+        b = _fan(rng, rng.uniform(100, 156), rng.uniform(100, 156),
+                 rng.randint(2, 6), rng.uniform(30, 80))
+        return a, b, False
     if kind == 0:
         return _tri_soup(rng, rng.randint(2, 10)), _tri_soup(rng, rng.randint(2, 10)), False
     if kind == 1:  # integer-snapped triangles: exact collinear overlaps
@@ -191,6 +239,13 @@ def run(n_cases=1000, seed0=1):
                                  f"A+B={a + b} union+int={au + ai}")
             if abs(ax - (au - ai)) > 1e-6 * scale:
                 raise SystemExit(f"XOR AREA VIOLATION seed={seed}")
+            ad, adb = _area(results["diff"]), _area(results["diff_ba"])
+            if abs(ad - (a - ai)) > 1e-6 * scale:
+                raise SystemExit(f"DIFF AREA VIOLATION seed={seed}: "
+                                 f"area(A-B)={ad} A-int={a - ai}")
+            if abs(adb - (b - ai)) > 1e-6 * scale:
+                raise SystemExit(f"DIFF_BA AREA VIOLATION seed={seed}: "
+                                 f"area(B-A)={adb} B-int={b - ai}")
         if (c + 1) % 200 == 0:
             print(f"  {c + 1}/{n_cases} cases, {ran} op-runs, "
                   f"{limits} agreed-limit", flush=True)
@@ -301,6 +356,11 @@ def run_f32(n_cases=500, seed0=1):
                                  f"A+B={a + b} union+int={au + ai}")
             if abs(ax - (au - ai)) > 1e-3 * scale:
                 raise SystemExit(f"F32 XOR AREA VIOLATION seed={seed}")
+            ad, adb = _area(results["diff"]), _area(results["diff_ba"])
+            if abs(ad - (a - ai)) > 1e-3 * scale:
+                raise SystemExit(f"F32 DIFF AREA VIOLATION seed={seed}")
+            if abs(adb - (b - ai)) > 1e-3 * scale:
+                raise SystemExit(f"F32 DIFF_BA AREA VIOLATION seed={seed}")
         if (c + 1) % 200 == 0:
             print(f"  f32 {c + 1}/{n_cases} cases, {ran} op-runs, "
                   f"{limits} limit", flush=True)
