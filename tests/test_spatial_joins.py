@@ -210,6 +210,44 @@ class TestPipJoin:
         assert (got == want).all()
         assert want.any() and not want.all()
 
+    def test_batch_pip_bit_identical_at_huge_magnitude(self):
+        """Same bit-identity at coordinate magnitudes ~1e120 where every
+        ray-cast intermediate leaves the Shewchuk filter's safe region
+        and the exact-rational fallback carries the answer (the scale
+        class soak-generator v2 added for the boolean kernel)."""
+        import numpy as np
+
+        from rust_geo_booleanop_spark.kernel.pip import (
+            points_in_multipolygon_batch,
+        )
+
+        s = 1e120
+        mp = [
+            [
+                [(0.0, 0.0), (10 * s, 0.0), (10 * s, 10 * s), (0.0, 10 * s),
+                 (0.0, 0.0)],
+                [(3 * s, 3 * s), (3 * s, 7 * s), (7 * s, 7 * s), (7 * s, 3 * s),
+                 (3 * s, 3 * s)],
+            ],
+            [[(20 * s, 0.0), (30 * s, 5 * s), (20 * s, 10 * s), (20 * s, 0.0)]],
+        ]
+        rng = np.random.RandomState(11)
+        px = np.concatenate([
+            rng.uniform(-2 * s, 32 * s, 300),
+            np.array([5 * s, 0.0, 10 * s, 25 * s, 20 * s,
+                      np.nextafter(10 * s, 11 * s), np.nextafter(10 * s, 9 * s)]),
+        ])
+        py = np.concatenate([
+            rng.uniform(-2 * s, 12 * s, 300),
+            np.array([5 * s, 0.0, 10 * s, 2.5 * s, 5 * s, 5 * s, 5 * s]),
+        ])
+        got = points_in_multipolygon_batch(px, py, mp)
+        want = np.array(
+            [point_in_multipolygon(float(x), float(y), mp) for x, y in zip(px, py)]
+        )
+        assert (got == want).all()
+        assert want.any() and not want.all()
+
 
 class TestKnn:
     def test_knn_exact(self, spark):
