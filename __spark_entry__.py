@@ -2148,15 +2148,20 @@ def _cos_sql(a: str, b: str) -> str:
     Built from the explicit IEEE quotient, NOT list_cosine_similarity —
     that function CLAMPS its result to [-1, 1], so a NaN (from a NaN
     embedding component) silently becomes a finite -1.0 the guard cannot
-    see, and the row would rank while Spark's NULL sorts last. With the
-    raw quotient both engines produce the same NULL set: zero-norm ->
-    NULL (denom guard), NaN/inf similarity -> NULL (isfinite), finite
-    dot over inf denom -> 0.0 on both. The guards make the invariant
-    independent of corpus contents."""
-    num = f"list_inner_product({a}, {b})"
+    see, and the row would rank while Spark's NULL sorts last. The lists
+    are cast to DOUBLE[] first: DuckDB otherwise accumulates FLOAT[]
+    inner products in binary32, which overflows to inf for large-finite
+    components (~2e19+) where Spark's double fold stays finite — the
+    cast puts both engines in double accumulation. With that, both
+    produce the same NULL set: zero-norm -> NULL (denom guard), NaN/inf
+    similarity -> NULL (isfinite), finite dot over inf denom -> 0.0 on
+    both."""
+    ad = f"CAST({a} AS DOUBLE[])"
+    bd = f"CAST({b} AS DOUBLE[])"
+    num = f"list_inner_product({ad}, {bd})"
     den = (
-        f"(sqrt(list_inner_product({a}, {a})) * "
-        f"sqrt(list_inner_product({b}, {b})))"
+        f"(sqrt(list_inner_product({ad}, {ad})) * "
+        f"sqrt(list_inner_product({bd}, {bd})))"
     )
     return (
         f"CASE WHEN {den} > 0 AND isfinite({num} / {den}) "

@@ -34,6 +34,11 @@ import numpy as np
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Upper bound on the decoded scanline bytes a single PNG may declare
+# (h * (w+1)); 2^28 = 256 MiB comfortably covers any crawl thumbnail
+# while bounding what a hostile header can make an executor allocate.
+_MAX_RAW_BYTES = 1 << 28
+
 # Every exception class a corrupt or truncated container can raise out
 # of the decoders in this module (short buffers -> struct.error /
 # IndexError, bad DEFLATE -> zlib.error, malformed RIFF -> wave.Error /
@@ -44,6 +49,7 @@ DECODE_ERRORS = (
     ValueError,
     IndexError,
     EOFError,
+    ZeroDivisionError,
     struct.error,
     zlib.error,
     wave.Error,
@@ -92,15 +98,33 @@ def decode_png_gray8(data: bytes) -> np.ndarray:
             )
             if bit_depth != 8 or color != 0 or interlace != 0:
                 raise ValueError("only 8-bit grayscale non-interlaced PNG supported")
+            if w == 0 or h == 0:
+                # a zero-dimension raster decodes to an empty array that
+                # crashes feature folds (min/max of nothing) PAST the
+                # decode seam — treat the degenerate container as
+                # undecodable here instead
+                raise ValueError("degenerate PNG dimensions (w or h is 0)")
+            if h * (w + 1) > _MAX_RAW_BYTES:
+                raise ValueError("PNG dimensions exceed the decoder bound")
         elif typ == b"IDAT":
             idat.append(body)
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(b"".join(idat))
     stride = w + 1
-    if len(raw) != h * stride:
+    # decompress AT MOST the expected scanline bytes (+1 to detect
+    # overrun): an adversarial container cannot make the decoder
+    # allocate more than the header-declared raster (decompression-bomb
+    # guard); byte-identical to a plain decompress for valid payloads
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), h * stride + 1)
+    if (
+        len(raw) != h * stride
+        or d.unconsumed_tail
+        or d.unused_data
+        or not d.eof
+    ):
         raise ValueError("PNG scanline data size mismatch")
     out = np.empty((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
@@ -183,6 +207,12 @@ def mpng_info(data: bytes) -> tuple[int, int]:
     if data[:4] != _MPNG_MAGIC:
         raise ValueError("not an MPNG payload")
     n_frames, interval_ms = struct.unpack("<II", data[4:12])
+    if n_frames == 0 or interval_ms == 0:
+        # the encoder enforces >= 1 frame and a positive interval, so a
+        # zero here is a corrupt header; interval 0 would otherwise
+        # surface as ZeroDivisionError in the seek arithmetic — outside
+        # the decode-error set the operators catch
+        raise ValueError("corrupt MPNG header (zero frames or interval)")
     return n_frames, interval_ms
 
 

@@ -14,6 +14,7 @@ regex per batch (no JVM->Python per-row round trips).
 
 from __future__ import annotations
 
+import json
 import math
 import re
 from typing import Iterator
@@ -24,6 +25,42 @@ from ..kernel.pairs import resolve_bbox_fn
 
 GEO_SCRIPT_RE = re.compile(rb'<script type="application/geo\+json">(.*?)</script>', re.S)
 CASE_URL_RE = re.compile(r"/case/(\d+)/(subject|clipping)$")
+
+# Everything a dirty geometry block can raise out of the bbox parse:
+# invalid JSON / wrong geometry type (ValueError), coordinates of the
+# wrong shape — null, scalars, too-short points (TypeError /
+# AttributeError / IndexError / KeyError). One bad page must fail the
+# PAGE, never the task.
+_DIRTY_GEOMETRY_ERRORS = (
+    UnicodeDecodeError,
+    ValueError,
+    TypeError,
+    AttributeError,
+    IndexError,
+    KeyError,
+)
+
+
+class _NonFiniteToken(Exception):
+    pass
+
+
+def _raise_nonfinite(_):
+    raise _NonFiniteToken
+
+
+def _has_nonfinite_token(geom_json: str) -> bool:
+    """True iff the JSON text contains a bare NaN/Infinity NUMBER TOKEN
+    (json.loads with a parse_constant hook is the only authority — a
+    substring test would also drop valid pages that merely contain
+    'NaN' inside a string member)."""
+    try:
+        json.loads(geom_json, parse_constant=_raise_nonfinite)
+    except _NonFiniteToken:
+        return True
+    except ValueError:
+        return False  # not valid JSON: the bbox parse rejects it anyway
+    return False
 
 GEOMETRIES_SCHEMA = (
     "url string, case_id long, role string, geom_json string, "
@@ -64,16 +101,19 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # without a geometry block.
             try:
                 geom_json = m.group(1).decode("utf-8")
-                if "NaN" in geom_json:
+                if "NaN" in geom_json and _has_nonfinite_token(geom_json):
                     # a NaN coordinate can ONLY enter JSON via the
                     # literal token (1e999-style overflow yields inf,
                     # caught by the bbox guard below) — and the bbox
                     # fold cannot be trusted to surface it (C fmin/fmax
                     # skip NaN). NaN would poison the kernel's sweep
-                    # ordering, so the page is filtered up front.
+                    # ordering, so the page is filtered up front. The
+                    # substring test is only the cheap trigger; the
+                    # token-level check keeps pages whose 'NaN' sits
+                    # inside a string member.
                     continue
                 xmin, ymin, xmax, ymax = bbox_fn(geom_json)
-            except (UnicodeDecodeError, ValueError):
+            except _DIRTY_GEOMETRY_ERRORS:
                 continue
             # JSON number tokens admit Infinity and a MultiPolygon
             # admits empty coordinates (bbox = inverted infinities).

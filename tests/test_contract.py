@@ -88,8 +88,11 @@ def test_zero_vector_oracle_parity(spark, tmp_path):
     which sorts FIRST under DESC and passes no threshold the same way
     (and Spark's non-IEEE NaN > 0.0 = TRUE defeats the denom guard
     alone). Injects an all-zero vector (vec_id 1 query / 11 corpus), a
-    NaN-component vector (2 / 12), and an inf-component vector (3 / 13)
-    and requires the full value-hash to still match for s01/s04/s05."""
+    NaN-component vector (2 / 12), an inf-component vector (3 / 13),
+    and a large-finite ~1e30-component vector (4 / 14 — DuckDB's
+    FLOAT[] accumulation would overflow to inf where Spark's double
+    fold stays finite, hence the DOUBLE[] cast in _cos_sql) and
+    requires the full value-hash to still match for s01/s04/s05."""
     import duckdb
     import numpy as np
 
@@ -104,6 +107,9 @@ def test_zero_vector_oracle_parity(spark, tmp_path):
         elif i in (3, 13):
             vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
             vec[5] = float("inf")
+        elif i in (4, 14):
+            vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
+            vec[9] = 1e30
         else:
             vec = [float(x) for x in rng.standard_normal(64).astype("float32")]
         rows.append((i, vec, i % 5))

@@ -487,12 +487,21 @@ def test_corrupt_media_payloads_are_skipped_not_fatal(spark):
     )
     vid = encode_mpng([img, (img + 1).astype(np.uint8)], 1000)
     png = encode_png_gray8(img)
+    import struct as _struct
+
+    # a structurally valid PNG whose IHDR declares w=0 (decodes to an
+    # empty raster that would crash feature folds past the seam)
+    zero_w_png = encode_png_gray8(np.zeros((4, 1), dtype=np.uint8)).replace(
+        _struct.pack(">II", 1, 4), _struct.pack(">II", 0, 4), 1
+    )
     bad = [
         b"",  # empty
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 5,  # truncated after magic
         png[: len(png) // 2],  # truncated mid-IDAT
         b"RIFFgarbage",  # wav magic, no structure
         b"MPNG\xff\xff\xff\xff",  # video header, absurd frame count
+        b"MPNG" + _struct.pack("<II", 2, 0) + b"junk",  # interval_ms == 0
+        zero_w_png,  # degenerate 0-width raster
         bytes(200),  # zeros
     ]
     rows = []

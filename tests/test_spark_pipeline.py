@@ -178,13 +178,35 @@ def test_extract_tolerates_dirty_pages(spark):
         ("http://x/empty-geom", page(
             b'{"type":"MultiPolygon","coordinates":[]}'
         ), "t9", "en"),
+        # valid JSON, wrong SHAPES: each raises a different exception
+        # class out of the bbox parse (TypeError / AttributeError /
+        # IndexError), all of which must fail the PAGE, not the task
+        ("http://x/null-coords", page(
+            b'{"type":"Polygon","coordinates":null}'
+        ), "t10", "en"),
+        ("http://x/json-array", page(b"[1, 2]"), "t11", "en"),
+        ("http://x/json-string", page(b'"hello"'), "t12", "en"),
+        ("http://x/null-in-point", page(
+            b'{"type":"Polygon","coordinates":[[[null,2],[1,0],[0,1],[null,2]]]}'
+        ), "t13", "en"),
+        # clean geometry whose STRING member contains 'NaN' — must be
+        # KEPT (the NaN filter is token-level, not substring-level)
+        ("http://x/case/8/subject", page(
+            b'{"type":"Polygon",'
+            b'"coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]],'
+            b'"name":"NaN Ridge"}'
+        ), "t14", "en"),
     ]
     docs = spark.createDataFrame(
         rows, "url string, html binary, text string, lang string"
     )
-    got = extract_geometries(docs).collect()
-    assert [r.url for r in got] == ["http://x/case/7/subject"]
-    (r,) = got
+    got = sorted(extract_geometries(docs).collect(), key=lambda r: r.url)
+    assert [r.url for r in got] == [
+        "http://x/case/7/subject",
+        "http://x/case/8/subject",
+    ]
+    r = got[0]
     assert (r.case_id, r.role) == (7, "subject")
     assert (r.xmin, r.ymin, r.xmax, r.ymax) == (0.0, 0.0, 4.0, 4.0)
     assert r.geom_json == good_geom and r.text == "t7"
+    assert (got[1].case_id, got[1].text) == (8, "t14")
