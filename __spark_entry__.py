@@ -2169,19 +2169,24 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
-    pts = _POINTS_SQL
-    zones = _ZONES_SQL
-    fixdir = "/root/repo/tests/oracle_fixtures"
-    # url set of the current corpus, derived from the live documents view
-    # (sources/documents.py::synth_url in SQL)
-    urls_cte = """
+# url set of the current corpus, derived from the live documents view
+# (sources/documents.py::synth_url in SQL) — the SINGLE definition shared
+# by oracle_sql() and the staged media oracles; a change to synth_url is
+# a one-place edit, never a missed copy that empties an oracle join
+_URLS_CTE = """
             urls AS (
                 SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
                        || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
                 FROM documents
             )
     """
+
+
+def oracle_sql() -> dict[str, str]:
+    pts = _POINTS_SQL
+    zones = _ZONES_SQL
+    fixdir = "/root/repo/tests/oracle_fixtures"
+    urls_cte = _URLS_CTE
     cases_cte = "cases AS (SELECT DISTINCT doc_id // 2 AS case_id FROM documents)"
 
     def _l2sq_sql(a: str, b: str, start: int, width: int) -> str:
@@ -5120,12 +5125,8 @@ STAGED_ORACLE_SQL: dict[str, str] = {
     """,
     # m06: m02's fixture-join pattern; Spark SUM(long) stays BIGINT but
     # DuckDB SUM(BIGINT) is HUGEINT -> CAST both sums.
-    "m06_audio_energy": """
-        WITH urls AS (
-            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
-                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
-            FROM documents
-        )
+    "m06_audio_energy": f"""
+        WITH {_URLS_CTE}
         SELECT f.url,
                CAST(COUNT(*) AS BIGINT) AS n_frames,
                CAST(SUM(f.energy) AS BIGINT) AS total_energy,
@@ -5479,12 +5480,8 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM q LEFT JOIN matches m USING (query_id)
     """,
     # m07: fixture columns passed through untouched (pure integers).
-    "m07_image_stats": """
-        WITH urls AS (
-            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
-                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
-            FROM documents
-        )
+    "m07_image_stats": f"""
+        WITH {_URLS_CTE}
         SELECT f.url, f.n_pixels, f.pixel_sum, f.min_pixel, f.max_pixel,
                f.n_dark, f.n_bright
         FROM read_parquet('/root/repo/tests/oracle_fixtures/m07_image_stats_sf01.parquet') f
@@ -5640,12 +5637,8 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM per
     """,
     # m08: m06's fixture-join pattern over per-keyframe rows.
-    "m08_video_frame_stats": """
-        WITH urls AS (
-            SELECT 'https://geo.example/case/' || CAST(doc_id // 2 AS VARCHAR)
-                   || CASE WHEN doc_id % 2 = 0 THEN '/subject' ELSE '/clipping' END AS url
-            FROM documents
-        )
+    "m08_video_frame_stats": f"""
+        WITH {_URLS_CTE}
         SELECT f.url,
                CAST(COUNT(*) AS BIGINT) AS n_frames,
                CAST(SUM(f.pixel_sum) AS BIGINT) AS total_pixel_sum,

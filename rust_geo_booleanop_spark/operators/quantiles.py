@@ -370,10 +370,32 @@ def weighted_median(
         F.sum(F.col(weight_col).cast("long")).over(wc).alias("_cum"),
         F.sum(F.col(weight_col).cast("long")).over(wt).alias("_tot"),
         F.count(F.lit(1)).over(wt).alias("_n"),
+        F.min(F.col(weight_col).cast("long")).over(wt).alias("_minw"),
+        F.count(F.col(weight_col)).over(wt).alias("_wnn"),
+    )
+    # Contract enforcement, not dirty-data tolerance: a NULL or
+    # non-positive weight breaks the crossing-row selection silently (a
+    # zero-total group vanishes from the output; a negative weight makes
+    # the cumulative sum non-monotone and can select SEVERAL "medians")
+    # — fail loudly instead of returning wrong rows. min() SKIPS NULLs,
+    # so NULL weights are detected by comparing the non-null count to
+    # the row count.
+    valid_w = (F.col("_wnn") == F.col("_n")) & F.coalesce(
+        F.col("_minw") >= 1, F.lit(False)
     )
     picked = ranked.filter(
-        (F.lit(2) * F.col("_cum") >= F.col("_tot"))
-        & (F.lit(2) * (F.col("_cum") - F.col("_w")) < F.col("_tot"))
+        F.when(
+            ~valid_w,
+            F.raise_error(
+                F.lit(
+                    "weighted_median: weights must be non-null positive "
+                    "integers"
+                )
+            ).cast("boolean"),
+        ).otherwise(
+            (F.lit(2) * F.col("_cum") >= F.col("_tot"))
+            & (F.lit(2) * (F.col("_cum") - F.col("_w")) < F.col("_tot"))
+        )
     )
     return picked.select(
         F.col(group_col),

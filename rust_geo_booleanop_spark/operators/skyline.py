@@ -33,14 +33,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def _frontier_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Boolean skyline membership for maximize-x/maximize-y points.
+def _frontier_mask(
+    x: np.ndarray, y: np.ndarray, minimize_x: bool
+) -> np.ndarray:
+    """Boolean skyline membership for (minimize-or-maximize x,
+    maximize y) points.
 
-    Vectorized: group y-max per distinct x, suffix-max over ascending x
-    gives the best y among strictly-greater x; an x-group survives iff
-    its y-max beats that, and a row survives iff it equals its group's
-    surviving (x, ymax) pair (exact match — no float round-trip, so
-    int64 metrics keep full precision).
+    Vectorized: group y-max per distinct x; the best y among
+    strictly-better-x groups is a prefix-max (minimize_x) or suffix-max
+    (maximize) over ascending x; an x-group survives iff its y-max
+    beats that, the extreme-x group always survives (nothing has
+    strictly better x — handled explicitly rather than via a dtype-min
+    sentinel, which breaks when a real y EQUALS the dtype minimum), and
+    a row survives iff it equals its group's surviving (x, ymax) pair
+    (exact match — no float round-trip and no sign negation, so int64
+    metrics keep full precision incl. int64 min).
     """
     if len(x) == 0:
         return np.zeros(0, dtype=bool)
@@ -48,14 +55,15 @@ def _frontier_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     grouped = pdf.groupby("x", sort=True)["y"].max()
     xs = grouped.index.to_numpy()
     ymax = grouped.to_numpy()
-    suffix = np.maximum.accumulate(ymax[::-1])[::-1]
-    prev = np.empty_like(suffix)
-    prev[:-1] = suffix[1:]
-    # sentinel below any real value: nothing has strictly greater x
-    prev[-1] = (
-        np.iinfo(prev.dtype).min if prev.dtype.kind in "iu" else -np.inf
-    )
-    alive = ymax > prev
+    alive = np.empty(len(ymax), dtype=bool)
+    if minimize_x:
+        best_smaller = np.maximum.accumulate(ymax)
+        alive[0] = True
+        alive[1:] = ymax[1:] > best_smaller[:-1]
+    else:
+        best_greater = np.maximum.accumulate(ymax[::-1])[::-1]
+        alive[-1] = True
+        alive[:-1] = ymax[:-1] > best_greater[1:]
     keep = pd.DataFrame({"x": xs[alive], "y": ymax[alive], "_keep": True})
     merged = pdf.merge(keep, on=["x", "y"], how="left")
     return merged["_keep"].notna().to_numpy()
@@ -76,7 +84,6 @@ def pareto_frontier(
     dropped. All other columns pass through unchanged.
     """
     schema = df.schema
-    sign = -1 if minimize_x else 1
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         front: pd.DataFrame | None = None
@@ -90,7 +97,7 @@ def pareto_frontier(
                 else pd.concat([front, pdf], ignore_index=True)
             )
             mask = _frontier_mask(
-                sign * cand[x_col].to_numpy(), cand[y_col].to_numpy()
+                cand[x_col].to_numpy(), cand[y_col].to_numpy(), minimize_x
             )
             front = cand[mask]
         if front is not None and len(front):

@@ -418,12 +418,14 @@ def grid_clusters(
     Isolated dense cells — no dense neighbor — keep themselves as their
     own cluster rep (COALESCE), matching the recursive-CTE oracle.
 
-    Cell key packing: cid = gx * 2^29 + gy with OFFSET-shifted
-    nonnegative coordinates would collide for |coords| >= 2^29; inputs
-    here are grid indices (|ix| < 2^20 in every pipeline), asserted
-    cheaply via the packing being reversible in tests. Returns one row
-    per dense cell: (gx, gy, n, cluster_rep) with cluster_rep = the
-    minimum cid of the component.
+    Cell key packing: cid = (gx + 2^28) * 2^29 + (gy + 2^28) is
+    injective exactly for -2^28 <= gx, gy < 2^28 (at gy = 2^28 the
+    shifted gy lane reaches 2^29 and bleeds into the gx lane). Inputs
+    here are grid indices (|ix| < 2^20 in every pipeline); coordinates
+    outside the injective range raise at runtime rather than silently
+    aliasing cluster labels. Returns one row per dense cell:
+    (gx, gy, n, cluster_rep) with cluster_rep = the minimum cid of the
+    component.
     """
     from .dedup import dedup_clusters
 
@@ -432,8 +434,23 @@ def grid_clusters(
         F.col(y_col).cast("long").alias("gy"),
         F.col(val_col).alias("n"),
     )
-    cid = (F.col("gx") + F.lit(1 << 28)) * F.lit(1 << 29) + (
-        F.col("gy") + F.lit(1 << 28)
+    in_range = (
+        (F.col("gx") >= F.lit(-(1 << 28)))
+        & (F.col("gx") < F.lit(1 << 28))
+        & (F.col("gy") >= F.lit(-(1 << 28)))
+        & (F.col("gy") < F.lit(1 << 28))
+    )
+    cid = F.when(
+        ~in_range,
+        F.raise_error(
+            F.lit(
+                "grid_clusters: grid coordinates outside the injective "
+                "packing range [-2^28, 2^28)"
+            )
+        ).cast("long"),
+    ).otherwise(
+        (F.col("gx") + F.lit(1 << 28)) * F.lit(1 << 29)
+        + (F.col("gy") + F.lit(1 << 28))
     )
     keyed = dense.withColumn("cid", cid).localCheckpoint()
     offsets = F.array(

@@ -497,3 +497,19 @@ class TestWeightedMedian:
                     (g, round(rng.uniform(-50, 50), 2), rng.randrange(1, 7), i)
                 )
         assert self._run(spark, rows) == self._twin(rows)
+
+    def test_invalid_weights_fail_loudly(self, spark):
+        """Contract enforcement: NULL, zero, or negative weights would
+        silently corrupt the crossing-row selection (a zero-total group
+        vanishes; a negative weight can select several 'medians') — the
+        operator must raise, never return wrong rows."""
+        import pytest
+
+        for rows in (
+            [("a", 1.0, 0, 0)],                       # zero weight
+            [("a", 1.0, -2, 0), ("a", 2.0, 5, 1)],    # negative weight
+            [("a", 1.0, None, 0)],                    # NULL weight
+            [("a", 1.0, None, 0), ("a", 2.0, 3, 1)],  # NULL among valid
+        ):
+            with pytest.raises(Exception, match="weights must be"):
+                self._run(spark, rows)

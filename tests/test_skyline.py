@@ -42,22 +42,59 @@ class TestFrontierMask:
             x = np.array([r[1] for r in rows], dtype=np.int64)
             y = np.array([r[2] for r in rows], dtype=np.int64)
             # mask is maximize/maximize; brute with minimize_x=False
-            got = {rows[i][0] for i in np.flatnonzero(_frontier_mask(x, y))}
+            got = {rows[i][0] for i in np.flatnonzero(_frontier_mask(x, y, minimize_x=False))}
             assert got == brute_skyline(rows, minimize_x=False), (trial, rows)
 
     def test_duplicates_all_survive(self):
         x = np.array([5, 5, 5], dtype=np.int64)
         y = np.array([7, 7, 7], dtype=np.int64)
-        assert _frontier_mask(x, y).all()
+        assert _frontier_mask(x, y, minimize_x=False).all()
 
     def test_float_metrics(self):
         x = np.array([1.5, 2.5, 1.5], dtype=np.float64)
         y = np.array([1.0, 2.0, 3.0], dtype=np.float64)
         # (2.5, 2.0) and (1.5, 3.0) survive; (1.5, 1.0) dominated
-        assert list(_frontier_mask(x, y)) == [False, True, True]
+        assert list(_frontier_mask(x, y, minimize_x=False)) == [False, True, True]
 
     def test_empty(self):
-        assert _frontier_mask(np.array([]), np.array([])).shape == (0,)
+        assert _frontier_mask(np.array([]), np.array([]), minimize_x=False).shape == (0,)
+
+    def test_minimize_x_matches_brute_force(self):
+        rng = random.Random(13)
+        for trial in range(25):
+            n = rng.randrange(1, 60)
+            rows = [
+                (i, rng.randrange(0, 8), rng.randrange(0, 8)) for i in range(n)
+            ]
+            x = np.array([r[1] for r in rows], dtype=np.int64)
+            y = np.array([r[2] for r in rows], dtype=np.int64)
+            got = {
+                rows[i][0]
+                for i in np.flatnonzero(_frontier_mask(x, y, minimize_x=True))
+            }
+            assert got == brute_skyline(rows, minimize_x=True), (trial, rows)
+
+    def test_int64_extremes_exact(self):
+        """Regression: the old dtype-min sentinel dropped the extreme-x
+        group when its best y EQUALED int64 min, and minimize_x used a
+        sign negation that WRAPS at int64 min. Both extremes must now
+        survive exactly."""
+        lo = np.iinfo(np.int64).min
+        hi = np.iinfo(np.int64).max
+        # maximize/maximize: max-x point with y == int64 min is on the
+        # frontier (nothing has strictly greater x)
+        x = np.array([1, 2], dtype=np.int64)
+        y = np.array([5, lo], dtype=np.int64)
+        assert list(_frontier_mask(x, y, minimize_x=False)) == [True, True]
+        # minimize-x with int64-min x present: no negation wrap
+        x = np.array([lo, 0, hi], dtype=np.int64)
+        y = np.array([0, 1, 2], dtype=np.int64)
+        rows = list(zip(range(3), x.tolist(), y.tolist()))
+        got = {
+            rows[i][0]
+            for i in np.flatnonzero(_frontier_mask(x, y, minimize_x=True))
+        }
+        assert got == brute_skyline(rows, minimize_x=True)
 
 
 class TestParetoFrontier:
