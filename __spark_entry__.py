@@ -2932,10 +2932,13 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x != '') AS t
                 FROM documents
             ), grams AS (
+                -- len(t) > 0 mirrors word_ngram_col's zero-token guard:
+                -- a blank document owns NO grams (not the '' gram)
                 SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
                                              i -> array_to_string(t[i:i+3], ' '))) AS gram
                 FROM toks
+                WHERE len(t) > 0
             ), ev AS (
                 SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0
             ), tr AS (
@@ -3251,9 +3254,13 @@ def oracle_sql() -> dict[str, str]:
         # boundary exactly while Spark multiplies by a double literal — a
         # count within 1 ulp of the integer boundary could diverge the
         # hash. CAST AS DOUBLE makes the FP rounding identical.
+        # user_id IS NOT NULL mirrors the operator contract: NULL has no
+        # value identity (value_counts drops it; the semi-join never
+        # matches it), while the denominator stays the FULL row count
         "h01_heavy_hitters": """
             SELECT user_id, COUNT(*) AS n_events
             FROM events
+            WHERE user_id IS NOT NULL
             GROUP BY user_id
             HAVING CAST(COUNT(*) AS DOUBLE)
                    >= CAST((SELECT COUNT(*) FROM events) AS DOUBLE) * CAST(0.005 AS DOUBLE)
@@ -3427,11 +3434,13 @@ def oracle_sql() -> dict[str, str]:
                          regexp_replace(
                            regexp_replace(
                              regexp_replace(
-                               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*'))
-                                 || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', ''),
-                               '&(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
-                             '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*&', '?'),
-                           '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*$', ''),
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*'))
+                                   || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', ''),
+                                 '&(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
+                               '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*&', '?'),
+                             '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*$', ''),
+                           '[?&]+$', ''),
                          '/+$', '') AS url_norm
                 FROM u
             )
@@ -3660,11 +3669,16 @@ def oracle_sql() -> dict[str, str]:
                                                  t -> t != '')) END AS HUGEINT) AS y
                 FROM documents
             ), s AS (
+                -- rows missing either metric are excluded from n AND
+                -- the sums (same rule as the operator): mixed moments
+                -- would yield a confident wrong correlation
                 SELECT source,
                        CAST(COUNT(*) AS HUGEINT) AS n,
                        SUM(x) AS sx, SUM(y) AS sy,
                        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
-                FROM base GROUP BY source
+                FROM base
+                WHERE x IS NOT NULL AND y IS NOT NULL
+                GROUP BY source
             )
             SELECT source,
                    CAST(n AS BIGINT) AS n_docs,

@@ -49,6 +49,18 @@ DEFAULT_M_BITS = 1 << 20  # 128 KiB bitmap
 DEFAULT_K = 4
 
 
+def _check_m_bits(m_bits: int) -> None:
+    """Fail fast on the driver: the bitmap is byte-packed by the scatter
+    and re-read as little-endian uint64 words by the membership probe,
+    so m_bits must be a positive multiple of 64 — otherwise the failure
+    surfaces later as an executor IndexError (non-multiple-of-8) or a
+    frombuffer ValueError (non-multiple-of-64)."""
+    if m_bits <= 0 or m_bits % 64 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 64, got {m_bits}"
+        )
+
+
 def _positions(key: F.Column, m_bits: int, k: int) -> list:
     """k JVM-side bloom positions for a key column (xxhash64 + salt)."""
     return [
@@ -66,6 +78,7 @@ def bloom_bitmap(
     and the driver ORs the per-partition bitmaps — the classic
     treeAggregate shape. Cost is partitions x bitmap-size over the wire
     and zero exchanges, independent of corpus size."""
+    _check_m_bits(m_bits)
     pos_cols = [f"p{i}" for i in range(k)]
     projected = keys.select(
         *[

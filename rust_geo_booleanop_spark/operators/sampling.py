@@ -28,15 +28,29 @@ from pyspark.sql import functions as F
 
 
 def rate_to_hex_threshold(rate: float) -> str:
-    """8-hex-digit threshold: floor(rate * 16^8), clamped to [0, 16^8]."""
+    """8-hex-digit threshold: floor(rate * 16^8), clamped to
+    [0, 16^8 - 1]. The upper clamp must stay WITHIN 8 hex digits: 16^8
+    formats as the 9-character "100000000", and against it the
+    fixed-width lexicographic `digest < threshold` comparison keeps only
+    digests starting with '0' (~6%) — so a rate just under 1.0 whose
+    product rounds up to 2^32 (e.g. 1 - 2^-53, which passes the
+    rate >= 1.0 guard) would silently drop ~94% of rows. The -1 costs
+    one digest value ("ffffffff", 2^-32 of rows) at such rates."""
     n = int(rate * (16**8))
-    return format(max(0, min(n, 16**8)), "08x")
+    return format(max(0, min(n, 16**8 - 1)), "08x")
 
 
 def sample_predicate(key: Column, rate: float) -> Column:
-    """Deterministic keep-predicate at `rate` for a key column."""
+    """Deterministic keep-predicate at `rate` for a key column.
+
+    NULL keys have no stable sampling identity and are NEVER kept, at
+    any rate — including rate >= 1.0. Without the explicit guard the
+    semantics would be discontinuous: md5(NULL) is NULL, so any rate in
+    (0, 1) drops every NULL-key row, while the rate >= 1.0 short-circuit
+    would keep them all — a 0.1% rate change flipping NULL-key retention
+    from 0% to 100% would silently bias a sample."""
     if rate >= 1.0:
-        return F.lit(True)
+        return key.isNotNull()
     if rate <= 0.0:
         return F.lit(False)
     digest = F.substring(F.md5(key.cast("string")), 1, 8)

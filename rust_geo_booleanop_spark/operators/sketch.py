@@ -72,7 +72,15 @@ def heavy_hitters(
 ) -> DataFrame:
     """Exact (value, n) rows for values occurring in >= threshold_frac of
     rows. Bounded memory at every stage; only candidates are counted
-    exactly, so the full distinct-value space is never aggregated."""
+    exactly, so the full distinct-value space is never aggregated.
+
+    NULL carries no value identity and is excluded — like COUNT(col) —
+    BY CONSTRUCTION on every path: pandas value_counts drops NaN/None in
+    the MG partial stage, and the left-semi equi-join never matches a
+    NULL candidate, so a NULL "heavy hitter" row cannot be emitted.
+    The fraction denominator is the FULL row count incl. NULL rows.
+    An oracle for this operator must carry the same `col IS NOT NULL`
+    filter."""
     if not (0.0 < threshold_frac <= 1.0):
         raise ValueError("threshold_frac must be in (0, 1]")
     k = max(2, math.ceil(1.0 / threshold_frac))

@@ -48,10 +48,19 @@ def asof_join(
     bound), ascending `right_tie` so the last-seen right row at any point
     is the winner; `last(..., ignorenulls)` over an unbounded-preceding
     window carries it forward onto each left row.
+
+    NULL semantics match the SQL predicate ``r.key = l.key AND r.time <=
+    l.time``: a right row with a NULL key or NULL time can satisfy
+    neither conjunct, so it is excluded up front — without the filter the
+    ascending sort would place NULL-time rows FIRST and silently carry
+    them onto left rows that have no true predecessor.
     """
     # The right row's payload travels as ONE struct, so last(ignorenulls)
     # carries an atomic row — carrying columns independently would splice
     # fields from different right rows whenever a right column is NULL.
+    right = right.filter(
+        F.col(right_key).isNotNull() & F.col(right_time).isNotNull()
+    )
     r_tagged = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -218,7 +227,6 @@ def funnel_steps(
     """
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
-    spark = events.sparkSession
     prev = None
     counts = []
     for idx, step in enumerate(steps, start=1):

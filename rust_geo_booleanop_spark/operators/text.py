@@ -279,6 +279,10 @@ def normalize_url_col(col="url"):
     u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&]*", "")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&]*&", "?")
     u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&]*$", "")
+    # dangling separators the rules above can leave behind (e.g.
+    # '?ref=1&' -> '?' via the first-position rule) or that the raw URL
+    # carried ('...&'): strip so '/p?' collapses with '/p'
+    u = F.regexp_replace(u, r"[?&]+$", "")
     return F.regexp_replace(u, r"/+$", "")
 
 
@@ -570,13 +574,19 @@ def word_ngram_col(col="text", n: int = 4):
     """Distinct word n-grams: lowercase, whitespace-tokenized, joined with
     single spaces. A document shorter than n tokens contributes its whole
     token sequence as one (short) gram — the same clamp d03's shingles use
-    — so every non-empty document owns at least one gram."""
+    — so every non-empty document owns at least one gram. A BLANK (or
+    NULL/whitespace-only) document owns NO grams: without the zero-token
+    guard the clamp would hand it the empty-string gram '', and one blank
+    eval doc would then mark every blank training doc as contaminated
+    despite sharing no content."""
     tk = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda x: x != "")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(tk, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        F.size(tk) > 0, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def decontaminate(
@@ -639,7 +649,10 @@ def dedup_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB shape: per-row expression only — no shuffle, no UDF, chunking
     parallelism equals scan parallelism.
     """
-    lines = F.split(F.col(text_col), "\n", -1)
+    # NULL text behaves like empty text (one empty line), as the other
+    # text operators do — without the coalesce, legacy size(NULL) = -1
+    # would emit nonsense negative line counts and a NULL clean_text
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
     deduped = F.aggregate(
         lines,
         F.array().cast("array<string>"),
@@ -845,7 +858,11 @@ def length_token_correlation(
     y = token_count_col(text_col).cast("long")
     g = docs.select(
         F.col(group_col).alias("grp"), x.alias("x"), y.alias("y")
-    )
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # rows missing either metric are excluded from n AND the sums —
+    # mixing them (count(*) counts the row, SUM skips its NULL) would
+    # compute corr/slope from mismatched moments and report a confident
+    # wrong correlation; n_docs therefore counts docs with BOTH metrics
     s = g.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),

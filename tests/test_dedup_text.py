@@ -1921,3 +1921,61 @@ class TestWordLengthProfile:
                 )
             )
         assert self._run(spark, rows) == self._twin(rows)
+
+
+class TestDirtyTextEdges:
+    def test_normalize_url_strips_dangling_separator(self, spark):
+        """Regression: '?ref=1&' -> '?' via the first-position rule left
+        a dangling '?', so '/p?' failed to collapse with '/p'."""
+        from rust_geo_booleanop_spark.operators.text import normalize_url_col
+
+        df = spark.createDataFrame(
+            [
+                ("http://a.com/p?ref=1&",),
+                ("http://a.com/p",),
+                ("http://a.com/p?utm_x=1",),
+                ("http://a.com/p?a=1&",),
+            ],
+            "url string",
+        )
+        got = [r.n for r in df.select(normalize_url_col("url").alias("n")).collect()]
+        assert got == ["http://a.com/p"] * 3 + ["http://a.com/p?a=1"]
+
+    def test_dedup_lines_null_text_behaves_like_empty(self, spark):
+        """Regression: legacy size(NULL) = -1 emitted nonsense negative
+        line counts and NULL clean_text for NULL-text documents."""
+        from rust_geo_booleanop_spark.operators.text import dedup_lines
+
+        df = spark.createDataFrame([(1, None), (2, "")], "doc_id int, text string")
+        got = {r.doc_id: (r.clean_text, r.n_lines_in, r.n_lines_out)
+               for r in dedup_lines(df).collect()}
+        assert got[1] == got[2] == ("", 1, 1)
+
+    def test_decontaminate_blank_docs_own_no_grams(self, spark):
+        """Regression: the short-doc clamp handed blank documents the
+        empty-string gram '', so one blank eval doc marked every blank
+        training doc contaminated despite sharing no content."""
+        from rust_geo_booleanop_spark.operators.text import decontaminate
+
+        train = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, None), (4, "real shared content here")],
+            "doc_id int, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, ""), (101, "real shared content here")], "doc_id int, text string"
+        )
+        got = {r.doc_id: r.contaminated for r in decontaminate(train, ev).collect()}
+        # blank/NULL train docs produce no gram rows at all (explode of
+        # an empty array), so they cannot be flagged; the real overlap is
+        assert got == {4: True}
+
+    def test_heavy_hitters_excludes_null_values(self, spark):
+        """NULL carries no value identity (like COUNT(col)): a column
+        that is mostly NULL must not emit a NULL heavy-hitter row, and
+        the fraction denominator stays the FULL row count."""
+        from rust_geo_booleanop_spark.operators.sketch import heavy_hitters
+
+        rows = [(None,)] * 50 + [("a",)] * 45 + [("b",)] * 5
+        df = spark.createDataFrame(rows, "v string")
+        got = {r.v: r.n for r in heavy_hitters(df, "v", threshold_frac=0.05).collect()}
+        assert got == {"a": 45, "b": 5}

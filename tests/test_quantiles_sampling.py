@@ -513,3 +513,35 @@ class TestWeightedMedian:
         ):
             with pytest.raises(Exception, match="weights must be"):
                 self._run(spark, rows)
+
+
+class TestSamplingEdges:
+    def test_hex_threshold_always_8_chars(self):
+        """Regression: rates just under 1.0 whose product rounds to 2^32
+        must clamp WITHIN 8 hex digits — the 9-char '100000000' breaks
+        the fixed-width lexicographic comparison (keeps only digests
+        starting with '0', ~6% instead of ~100%)."""
+        from rust_geo_booleanop_spark.operators.sampling import (
+            rate_to_hex_threshold,
+        )
+
+        for rate in (0.0, 1e-12, 0.5, 1 - 2**-53, 1.0, 2.0):
+            t = rate_to_hex_threshold(rate)
+            assert len(t) == 8, (rate, t)
+        assert rate_to_hex_threshold(1 - 2**-53) == "f" * 8
+
+    def test_null_keys_never_sampled_at_any_rate(self, spark):
+        """Regression: NULL keys have no sampling identity; rate >= 1.0
+        must not keep them while rate 0.999 drops them (a 0.1% rate
+        change must not flip NULL-key retention 0% <-> 100%)."""
+        from rust_geo_booleanop_spark.operators.sampling import (
+            sample_predicate,
+        )
+
+        df = spark.createDataFrame(
+            [("a",), (None,), ("b",)], "k string"
+        )
+        for rate in (0.999, 1.0):
+            kept = {r.k for r in df.filter(sample_predicate(F.col("k"), rate)).collect()}
+            assert None not in kept, rate
+        assert {r.k for r in df.filter(sample_predicate(F.col("k"), 1.0)).collect()} == {"a", "b"}

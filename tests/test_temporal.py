@@ -309,3 +309,26 @@ class TestLatestSnapshot:
         plan = latest_snapshot(df, "k", "ts", "id")._jdf.queryExecution(
         ).executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+def test_asof_join_excludes_null_time_right_rows(spark):
+    """A right row with NULL time satisfies no `r.time <= l.time`
+    predicate; without the up-front filter the ascending sort would put
+    it FIRST and carry it onto left rows that have no true predecessor."""
+    from rust_geo_booleanop_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 5.0)], "k int, t double")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (None, 1.0, "nokey")],
+        "k int, t double, payload string",
+    )
+    out = asof_join(left, right, "k", "k", "t", "t", ["payload"], "payload")
+    assert out.count() == 0
+
+    # and a real predecessor still wins over the excluded rows
+    right2 = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 3.0, "real")],
+        "k int, t double, payload string",
+    )
+    got = asof_join(left, right2, "k", "k", "t", "t", ["payload"], "payload").collect()
+    assert [(r.k, r.asof_payload) for r in got] == [(1, "real")]
