@@ -2702,16 +2702,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id, t,
                              unnest(range(1, len(t) - 8 + 2)) AS st
                       FROM toks WHERE len(t) >= 8)
+            ), dfk AS (
+                SELECT wkey, CAST(COUNT(*) AS BIGINT) AS df
+                FROM w GROUP BY 1
+            ), bw AS (
+                -- ONE consistent df-bounded window space: boilerplate
+                -- (df > 64) is excluded from numerators AND denominators
+                SELECT w.doc_id, w.wkey
+                FROM w JOIN dfk USING (wkey) WHERE dfk.df <= 64
             ), counts AS (
                 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win
-                FROM w GROUP BY 1
+                FROM bw GROUP BY 1
             ), keys AS (
-                SELECT wkey FROM w GROUP BY 1
-                HAVING COUNT(*) > 1 AND COUNT(*) <= 64
+                SELECT wkey FROM dfk WHERE df > 1 AND df <= 64
             ), shared AS (
                 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                        CAST(COUNT(*) AS BIGINT) AS shared_windows
-                FROM w a JOIN keys USING (wkey) JOIN w b USING (wkey)
+                FROM bw a JOIN keys USING (wkey) JOIN bw b USING (wkey)
                 WHERE a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )

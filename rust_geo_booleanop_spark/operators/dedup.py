@@ -39,14 +39,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Keep the smallest id per normalized-text group (deterministic
     representative). One shuffle; partial aggregation is map-side.
     NULL-text rows have no known content, so they are all kept — NULL keys
-    must not collapse into one 'duplicate' group."""
+    must not collapse into one 'duplicate' group. They are split out
+    BEFORE the window (not merely kept by the filter): the window
+    partitioner treats NULL as one key, so at scale every null-text row
+    would otherwise shuffle to a single task to be sorted for no
+    semantic effect."""
+    keyed = docs.withColumn("dup_key", normalized_text_key(text_col))
+    nulls = keyed.filter(F.col("dup_key").isNull()).drop("dup_key")
     w = Window.partitionBy("dup_key").orderBy(F.asc(id_col))
-    return (
-        docs.withColumn("dup_key", normalized_text_key(text_col))
+    kept = (
+        keyed.filter(F.col("dup_key").isNotNull())
         .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) | F.col("dup_key").isNull())
+        .filter(F.col("rn") == 1)
         .drop("rn", "dup_key")
     )
+    return kept.unionByName(nulls)
 
 
 def exact_dup_stats(
@@ -269,6 +276,16 @@ def minhash_candidates(
     text_col: str = "text",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) whose signatures collide in ≥1 band."""
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would give rows=0: every band chunk becomes
+        # the empty byte string, every document collides in every band,
+        # and the equi-join degenerates to an N^2 cross join; a
+        # non-divisible num_perm silently drops the tail permutations
+        # and quietly shifts the recall curve
+        raise ValueError(
+            f"bands must divide num_perm: got num_perm={num_perm}, "
+            f"bands={bands}"
+        )
     rows = num_perm // bands
     a_params, b_params = _perm_params(num_perm)
 
@@ -397,6 +414,8 @@ def simhash_candidates(
     sigged = ensure_parallelism(docs.select(id_col, text_col)).withColumn(
         "simhash", simhash_udf(F.col(text_col))
     )
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
     width = 64 // n_blocks
     block_cols = []
     for bi in range(n_blocks):
@@ -404,6 +423,11 @@ def simhash_candidates(
         # last block absorbs the remaining high bits
         n_bits = 64 - lo if bi == n_blocks - 1 else width
         mask = (1 << n_bits) - 1
+        if mask >= 1 << 63:
+            # Spark longs are signed: the 64-bit all-ones mask must ride
+            # as two's-complement -1, not 2^64-1 (which F.lit cannot
+            # represent as a long — the n_blocks=1 plan failed analysis)
+            mask -= 1 << 64
         block = F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit(mask))
         block_cols.append(F.struct(F.lit(bi).alias("block_no"), block.alias("block_val")))
     blocked = sigged.withColumn("blk", F.explode(F.array(*block_cols))).select(
@@ -509,8 +533,16 @@ def dedup_clusters(
 def simhash_dedup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs within `max_hamming` simhash bits, with TOTAL recall:
     n_blocks = max_hamming + 1 makes the pigeonhole guarantee cover every
-    qualifying pair (capped at 32 blocks = 2-bit blocks)."""
-    n_blocks = min(max_hamming + 1, 32)
+    qualifying pair. max_hamming > 31 would need more than 32 blocks
+    (sub-2-bit blocks don't exist), silently degrading TOTAL recall to
+    partial — rejected instead of quietly returning partial results."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(
+            "simhash_dedup guarantees total recall only for max_hamming "
+            f"in [0, 31]; got {max_hamming} (use simhash_candidates "
+            "directly for best-effort wider radii)"
+        )
+    n_blocks = max_hamming + 1
     return (
         simhash_candidates(docs, n_blocks=n_blocks)
         .filter(F.col("hamming") <= max_hamming)
@@ -556,8 +588,11 @@ def substring_dup_stats(
     tk = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
-    base = docs.select(
-        F.col(id_col), tk.alias("_tk"), F.size(tk).alias("n_tokens")
+    # two selects so lower+trim+split+filter runs ONCE per row — tk as a
+    # second independent expression tree would re-tokenize every
+    # document for the size() (the sibling operators use this shape)
+    base = docs.select(F.col(id_col), tk.alias("_tk")).select(
+        id_col, "_tk", F.size("_tk").alias("n_tokens")
     )
     starts = F.when(
         F.col("n_tokens") >= window,
@@ -642,8 +677,14 @@ def containment_pairs(
     the in-row pair expansion is bounded (the d10 shape — no
     self-join), shared counts come from a map-side-partial hash agg
     over pair keys, and per-doc window counts join back onto the small
-    pair relation. Boilerplate windows die at the df bound, exactly
-    like d03's max_df.
+    pair relation.
+
+    The df bound defines ONE consistent window space: windows with
+    df > max_df (corpus boilerplate) are excluded from the shared count
+    AND from the per-document denominators — like d03, which sizes the
+    Jaccard over the retained space. Mixing spaces (bounded numerator
+    over unbounded denominators) would score two byte-identical
+    boilerplate-heavy documents below 1.0 and below the threshold.
     """
     tk = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
@@ -665,13 +706,22 @@ def containment_pairs(
         )
         .distinct()
     )
-    counts = wins.groupBy(id_col).agg(
+    df_per_key = wins.groupBy("wkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    bounded = wins.join(
+        df_per_key.filter(F.col("_df") <= max_df), "wkey"
+    )
+    counts = bounded.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_win")
     )
+    # collect_list is bounded by max_df BY CONSTRUCTION (the df filter
+    # ran before the grouping), so no boilerplate key can build a huge
+    # in-row id list
     groups = (
-        wins.groupBy("wkey")
+        bounded.filter(F.col("_df") >= 2)
+        .groupBy("wkey")
         .agg(F.collect_list(id_col).alias("_ids"))
-        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_df))
     )
     pair = F.explode(
         F.flatten(

@@ -86,6 +86,14 @@ def dissolve(
     that column only drives the salt and is dropped before the fold), and
     level 2 folds partials in sorted-JSON order — same result every run
     regardless of partitioning.
+
+    Skew caveat: the content-hash default means DUPLICATE geometry
+    strings all land in one salt bucket — a key with millions of
+    byte-identical (or low-cardinality templated) geometries still
+    funnels into one level-1 task. Pass a (near-)unique `order_col`
+    (a row id) for such corpora; a nondeterministic salt is NOT used as
+    the default because bucket membership must stay a pure function of
+    row content for run-to-run bit-identical output.
     """
     ordering = F.col(order_col) if order_col else F.col(geom_col)
     prepared = geoms.select(

@@ -332,6 +332,12 @@ def kmeans_pivots(
                 ),
             )
         )
+        # cut the recursive lineage each round (dedup_clusters does the
+        # same): pivots_i appears TWICE in pivots_{i+1}'s plan (assign +
+        # the empty-list join), so without the checkpoint the final plan
+        # re-evaluates the init subtree ~2^iters times and re-scans the
+        # embeddings table once per copy. k rows — the checkpoint is free.
+        pivots = pivots.localCheckpoint(eager=True)
     return pivots
 
 

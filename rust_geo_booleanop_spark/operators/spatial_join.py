@@ -10,8 +10,9 @@ All joins follow the same two-phase shape:
      (kernel) only on surviving pairs, Arrow-batched.
 
 Duplicate-candidate elimination uses the reference-point trick: a pair is
-emitted only in the single cell that contains the upper-left corner of the
-bbox intersection — no distinct/shuffle needed.
+emitted only in the single cell that contains the LOWER-left corner of the
+bbox intersection (greatest(l_xmin, r_xmin), greatest(l_ymin, r_ymin) —
+the convention the g07 oracle pins) — no distinct/shuffle needed.
 """
 
 from __future__ import annotations

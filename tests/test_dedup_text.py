@@ -1979,3 +1979,62 @@ class TestDirtyTextEdges:
         df = spark.createDataFrame(rows, "v string")
         got = {r.v: r.n for r in heavy_hitters(df, "v", threshold_frac=0.05).collect()}
         assert got == {"a": 45, "b": 5}
+
+
+class TestDedupContractEdges:
+    def test_simhash_exact_match_radius_works(self, spark):
+        """Regression: max_hamming=0 means ONE 64-bit block whose
+        all-ones mask must ride as two's-complement -1 — F.lit(2^64-1)
+        is not a Spark long and failed analysis."""
+        from rust_geo_booleanop_spark.operators.dedup import simhash_dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zzz qqq www")],
+            "doc_id int, text string",
+        )
+        got = {(r.id_a, r.id_b) for r in simhash_dedup(df, max_hamming=0).collect()}
+        assert (1, 2) in got and all(h == 0 for h in
+            [r.hamming for r in simhash_dedup(df, max_hamming=0).collect()])
+
+    def test_simhash_dedup_rejects_uncoverable_radius(self, spark):
+        """max_hamming > 31 cannot keep the pigeonhole TOTAL-recall
+        guarantee (32-block cap) — must raise, not silently go partial."""
+        import pytest
+
+        from rust_geo_booleanop_spark.operators.dedup import simhash_dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_dedup(df, max_hamming=32)
+
+    def test_minhash_rejects_non_divisible_bands(self, spark):
+        """bands > num_perm gives rows=0 (every band chunk empty -> every
+        doc collides with every doc, an N^2 join); non-divisible values
+        silently drop tail permutations — both rejected."""
+        import pytest
+
+        from rust_geo_booleanop_spark.operators.dedup import minhash_candidates
+
+        df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+        for num_perm, bands in ((16, 32), (100, 16)):
+            with pytest.raises(ValueError, match="bands must divide"):
+                minhash_candidates(df, num_perm=num_perm, bands=bands)
+
+    def test_containment_identical_docs_score_one_despite_boilerplate(self, spark):
+        """Regression: windows over the df bound were excluded from the
+        shared count but NOT the denominators, so two byte-identical
+        boilerplate-heavy documents scored below 1.0 (and below the
+        threshold). The df bound now defines one consistent space."""
+        from rust_geo_booleanop_spark.operators.dedup import containment_pairs
+
+        boiler = " ".join(f"nav{i}" for i in range(16))  # 9 windows at w=8
+        uniq = lambda d: " ".join(f"tok{d}_{i}" for i in range(8))  # 1 window
+        rows = [(i, f"{boiler} {uniq(i)}") for i in range(6)]
+        rows += [(100, f"{boiler} shared unique tail content here now ok yes"),
+                 (101, f"{boiler} shared unique tail content here now ok yes")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        # max_df=4: the boilerplate windows (df=8) are boilerplate; the
+        # identical pair (100, 101) must still score containment == 1.0
+        got = {(r.doc_id_a, r.doc_id_b): r.containment
+               for r in containment_pairs(df, window=8, threshold=0.8, max_df=4).collect()}
+        assert got.get((100, 101)) == 1.0
