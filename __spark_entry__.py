@@ -1658,20 +1658,20 @@ def _m03_video_frames(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract (round-3 fix for the round-2 driver truncation):
     # the driver grades only the first ~50 entries, so budget slots go
-    # to queries that have NEVER been driver-graded. Round-4 allocation:
-    # slots 1-37 are every query with no hash-green row in the committed
-    # CORRECTNESS_r03.json (the flagship geo block g01-g03/g09 first,
-    # then this round's new oracles and operators); slots 38-50 are 13
-    # representative r3-green queries spanning every category (spatial
-    # join, TPC-H agg, as-of, sketch, dedup, similarity, generated-
-    # oracle text ops). Entries past position 50 are the documented
-    # beyond-budget block: ALL of them are driver-graded hash-green in
-    # the committed CORRECTNESS_r03.json, and scripts/check_oracles.py
-    # still runs every entry locally. A pytest (tests/test_contract.py)
-    # pins the invariant that only r3-green queries can fall past the
-    # cut.
+    # to queries that have NEVER been driver-graded. Round-5 allocation:
+    # slots 1-50 are the ENTIRE round-4 staged wave
+    # (_R5_PROMOTED_QUERIES: r23/r25-r37, h10-h20, t20-t26, s09-s13,
+    # g24-g32, d13, m06-m08 — exactly 50, consuming the full budget).
+    # Every entry past position 50 is the documented beyond-budget
+    # block: ALL of them are driver-graded hash-green in the committed
+    # CORRECTNESS_r03.json or CORRECTNESS_r04.json, and
+    # scripts/check_oracles.py still runs every entry locally. A pytest
+    # (tests/test_contract.py) pins the invariant that only
+    # previously-green queries can fall past the cut.
     return {
-        # --- never driver-graded: flagship geo block first ---
+        # --- slots 1-50: the promoted round-4 staged wave ---
+        **_R5_PROMOTED_QUERIES,
+        # --- past the cut: hash-green in committed r3/r4 artifacts ---
         "g01_boolean_pipeline": _g01_boolean_pipeline,
         "g02_tile_assignment": _g02_tile_assignment,
         "g03_tile_clip": _g03_tile_clip,
@@ -1717,9 +1717,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r24_interval_join": _r24_interval_join,
         "h09_group_median": _h09_group_median,
         "g23_focal_heatmap": _g23_focal_heatmap,
-        # r23_grouping_sets is STAGED (see its docstring): round 4's
-        # 50-new-query driver budget is full; graded locally via
-        # STAGED_QUERIES until round 5 registers it here.
         "s06_ivf_kmeans": _s06_ivf_kmeans,
         "m01_image_features": _m01_image_features,
         "m02_audio_frames": _m02_audio_frames,
@@ -2224,6 +2221,8 @@ def oracle_sql() -> dict[str, str]:
     )
     pq_adc = " + ".join(f"q{s}.qd{s}" for s in range(_PQ_M))
     return {
+        # slots 1-50: oracles for the promoted round-4 staged wave
+        **_R5_PROMOTED_ORACLE_SQL,
         # --- geo pipeline: committed-fixture oracles (provenance spelled
         #     out per query docstring: g01-g03 pure-python-kernel
         #     generated, g09 REFERENCE DATA, g11 snapshot) ---
@@ -4863,12 +4862,13 @@ _G25_NN_SQL = """
     """
 
 
-# --- Staged queries: oracle-verified locally, awaiting a driver budget
-# slot (the gate grades exactly 50 entries per round and every
-# past-the-cut query must carry a committed hash-green row from the
-# previous round — tests/test_contract.py pins the invariant).
-# scripts/check_oracles.py grades these alongside the registered set.
-STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+# --- Round-5 promoted block: the entire round-4 staged wave (50 queries,
+# oracle-verified at round-4 close), registered at queries() positions
+# 1-50 this round so the driver hash-grades them. Every older entry falls
+# past the cut, which is legal because each one holds a committed
+# hash-green row in CORRECTNESS_r03.json or CORRECTNESS_r04.json
+# (tests/test_contract.py pins the invariant).
+_R5_PROMOTED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r23_grouping_sets": _r23_grouping_sets,
     "h10_skyline": _h10_skyline,
     "h11_group_quantiles": _h11_group_quantiles,
@@ -4921,7 +4921,7 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "r37_array_functions": _r37_array_functions,
 }
 
-STAGED_ORACLE_SQL: dict[str, str] = {
+_R5_PROMOTED_ORACLE_SQL: dict[str, str] = {
     # same ANSI text as the Spark query (decimal-exact revenue, r01
     # pattern; GROUPING bits disambiguate null-key rows)
     "r23_grouping_sets": """
@@ -5780,3 +5780,12 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM d
     """,
 }
+
+
+# --- Round-6 staging area: EMPTY at round-5 open (the whole round-4
+# staged wave was promoted into queries() positions 1-50 above). New
+# oracle-verified queries accumulate here — graded by
+# scripts/check_oracles.py and scripts/explain_plans.py but invisible to
+# the driver — until the next round frees budget slots.
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLE_SQL: dict[str, str] = {}

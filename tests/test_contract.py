@@ -22,38 +22,41 @@ def test_query_names_and_callables():
 def test_every_query_is_oracle_backed():
     """Since round 4 EVERY queries() entry has a value-hash oracle (zero
     rows-only), and the driver's ~50-entry grading budget goes to
-    queries that were NEVER driver-graded: anything past position 50
-    must already be hash-green in the committed CORRECTNESS_r03.json
-    (its driver evidence lives in history), while every never-graded
-    query sits inside the budget."""
+    queries that were NEVER driver-graded. Round 5 promoted the entire
+    round-4 staged wave (exactly 50 queries) into positions 1-50, so
+    anything past position 50 must already be hash-green in a committed
+    driver artifact — CORRECTNESS_r03.json OR CORRECTNESS_r04.json (its
+    driver evidence lives in history)."""
     import json
     import os
 
     qs = list(entry.queries())
     oracles = set(entry.oracle_sql())
     assert set(qs) == oracles, sorted(set(qs) ^ oracles)
-    assert qs[0] == "g01_boolean_pipeline"
-    assert qs[1:4] == ["g02_tile_assignment", "g03_tile_clip", "g09_fixture_suite"]
+    # slots 1-50 are exactly the promoted round-4 staged wave
     graded = set(qs[:50])
-    assert {"g01_boolean_pipeline", "g09_fixture_suite", "g15_tile_pyramid",
-            "g21_shape_stats", "h07_hll_sketch", "t18_bm25_search",
-            "s08_pq_topk", "t19_token_freq_score", "h08_cm_sketch",
-            "g22_compactness",
-            "r24_interval_join", "h09_group_median",
-            "g23_focal_heatmap"} <= graded
-    # staged queries must not collide with registered ones, and each
-    # staged query needs its oracle (they're graded by check_oracles.py)
+    assert graded == set(entry._R5_PROMOTED_QUERIES), sorted(
+        graded ^ set(entry._R5_PROMOTED_QUERIES)
+    )
+    assert len(entry._R5_PROMOTED_QUERIES) == 50
+    assert {"r23_grouping_sets", "h10_skyline", "h16_gini",
+            "g24_morton_blocks", "g32_morans_i", "m08_video_frame_stats",
+            "s13_hamming_histogram", "t26_word_length_profile",
+            "d13_cluster_size_histogram", "r37_array_functions"} <= graded
+    # staged queries (round-6 wave) must not collide with registered
+    # ones, and each staged query needs its oracle (they're graded by
+    # check_oracles.py)
     assert set(entry.STAGED_QUERIES) == set(entry.STAGED_ORACLE_SQL)
     assert not set(entry.STAGED_QUERIES) & set(qs)
-    assert "r23_grouping_sets" in entry.STAGED_QUERIES
-    assert "h10_skyline" in entry.STAGED_QUERIES
-    r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    r3 = json.load(open(r3_path))
-    r3_green = {k for k, v in r3.items() if v.get("hash_match")}
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    green = set()
+    for artifact in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+        rec = json.load(open(os.path.join(repo, artifact)))
+        green |= {k for k, v in rec.items() if v.get("hash_match")}
     # the budget invariant: a query may fall past the cut ONLY if its
-    # hash-green driver row is already committed in CORRECTNESS_r03.json
+    # hash-green driver row is already committed in a past CORRECTNESS
     cut = set(qs[50:])
-    assert cut <= r3_green, sorted(cut - r3_green)
+    assert cut <= green, sorted(cut - green)
     assert entry.SF001_ONLY_ORACLES <= set(qs)
 
 

@@ -410,7 +410,7 @@ class TestGiniIdentity:
 
         with tempfile.TemporaryDirectory() as td:
             df.write.mode("overwrite").parquet(f"{td}/events.parquet")
-            (row,) = entry.STAGED_QUERIES["h16_gini"](spark, td).collect()
+            (row,) = entry.queries()["h16_gini"](spark, td).collect()
         return row.n_users, row.total_events, row.gini
 
     def test_matches_textbook_formula(self, spark):
