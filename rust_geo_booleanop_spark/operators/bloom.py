@@ -29,9 +29,10 @@ is the O(1) shape.) The probe feeds two consumers (the definitely-new
 branch and the sliver that joins); Spark recomputes the map-side
 lineage for each, which is the right trade at corpus scale (recompute
 of pure codegen beats materializing the snapshot) and cheap precisely
-because the probe is JVM-only. The bitmap build is a shuffle-free
-per-partition partial OR — bounded by m (the bit-space), not by
-corpus size.
+because the probe is JVM-only. The bitmap build is a per-partition
+partial OR followed by a two-level executor-side tree fold — the
+driver collects exactly one bitmap row, bounded by m (the bit-space),
+never by corpus size or partition count.
 
 No reference counterpart (engine requirement, like heavy hitters).
 """
@@ -69,15 +70,38 @@ def _positions(key: F.Column, m_bits: int, k: int) -> list:
     ]
 
 
+def _or_fold_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OR every incoming bitmap row into one accumulator; emit ≤1 row."""
+    acc = None
+    for pdf in batches:
+        for b in pdf["bitmap"]:
+            part = np.frombuffer(bytes(b), dtype=np.uint8)
+            acc = part.copy() if acc is None else (acc | part)
+    if acc is not None:
+        yield pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+
 def bloom_bitmap(
-    keys: DataFrame, key_col: str, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    fold_fanin: int = 64,
 ) -> bytes:
-    """Build the bitmap SHUFFLE-FREE: each partition ORs its keys' k
-    positions into a local m_bits/8-byte bitmap (positions computed
-    JVM-side, NumPy scatter per Arrow batch), emits that one binary row,
-    and the driver ORs the per-partition bitmaps — the classic
-    treeAggregate shape. Cost is partitions x bitmap-size over the wire
-    and zero exchanges, independent of corpus size."""
+    """Build the bitmap with a DISTRIBUTED tree fold: each input partition
+    ORs its keys' k positions into a local m_bits/8-byte bitmap
+    (positions computed JVM-side, NumPy scatter per Arrow batch) and
+    emits that one binary row; the per-partition partials are then
+    OR-reduced in two executor-side levels (repartition(fold_fanin) →
+    fold, repartition(1) → fold) so the driver collects exactly ONE
+    bitmap row — the classic treeAggregate shape with no driver-side
+    fan-in. At 100 TB (~10^6 input splits) the partials flow through the
+    shuffle (partitions × bitmap-size, spread over fold_fanin reducers,
+    ~2 GiB per reducer at the 128 KiB default), the final task reads
+    fold_fanin × bitmap-size (~8 MiB), and the driver's share is a
+    single bitmap regardless of partition count — the previous revision
+    collect()ed every partial, which was ~128 GB through one driver at
+    that scale."""
     _check_m_bits(m_bits)
     pos_cols = [f"p{i}" for i in range(k)]
     projected = keys.select(
@@ -100,11 +124,20 @@ def bloom_bitmap(
         if any_rows:
             yield pd.DataFrame({"bitmap": [part.tobytes()]})
 
-    partials = projected.mapInPandas(partial_bitmaps, schema="bitmap binary").collect()
-    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-    for r in partials:
-        bitmap |= np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
-    return bitmap.tobytes()
+    partials = projected.mapInPandas(partial_bitmaps, schema="bitmap binary")
+    # two-level executor-side OR reduction; each repartition() is a real
+    # exchange, so level 1 runs in parallel across fold_fanin tasks and
+    # is NOT pipelined into the final single-task fold
+    folded = (
+        partials.repartition(fold_fanin)
+        .mapInPandas(_or_fold_bitmaps, schema="bitmap binary")
+        .repartition(1)
+        .mapInPandas(_or_fold_bitmaps, schema="bitmap binary")
+        .collect()
+    )
+    if not folded:
+        return np.zeros(m_bits // 8, dtype=np.uint8).tobytes()
+    return bytes(folded[0]["bitmap"])
 
 
 def incremental_new_keys(

@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
@@ -31,8 +31,11 @@ _TOKEN_RE = re.compile(r"\W+", re.UNICODE)
 # ---------------------------------------------------------------------------
 
 def normalized_text_key(col="text"):
-    """Trimmed, whitespace-collapsed, lowercased md5 — the exact-dup key."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+    """Trimmed, whitespace-collapsed, lowercased md5 — the exact-dup key.
+
+    Accepts a column name or a Column expression."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -274,8 +277,32 @@ def minhash_candidates(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse_exact: bool = True,
+    max_band_df: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) whose signatures collide in ≥1 band."""
+    """LSH candidate pairs (id_a < id_b) whose signatures collide in ≥1 band.
+
+    Scale valve (`collapse_exact`, default True): exact duplicates —
+    boilerplate-identical pages, parked domains, error pages — have
+    IDENTICAL minhash signatures, so they collide in *every* band; at
+    crawl scale one band bucket then holds millions of ids and the
+    band-hash self-join goes quadratic inside that bucket, multiplied by
+    `bands`. The valve groups docs by the exact-dup class key
+    (normalized_text_key over COALESCE(text,'')) and bands ONE
+    representative per class, then re-expands: within-class pairs are
+    emitted directly (identical signatures collide by construction) and
+    cross-class pairs expand through class membership. This is
+    PAIR-SET-IDENTICAL to the unvalved path on any corpus — equal class
+    key ⇒ equal \\W+ token sequence (the key only erases case and
+    whitespace, which the tokenizer erases too) ⇒ equal signature ⇒
+    equal band hashes — while the probabilistic self-join runs over
+    distinct classes only and the B-way band multiplication + distinct()
+    over duplicated pairs disappears (pinned by
+    tests/test_dedup_text.py::TestMinhashHotBandValve). The residual
+    hot-band class — DISTINCT texts whose signatures still collide in
+    one band — is bounded by the opt-in `max_band_df` (drop band buckets
+    whose class frequency exceeds it, an explicit recall trade mirroring
+    ngram_jaccard_pairs' max_df; default None = exact LSH semantics)."""
     if bands < 1 or num_perm % bands != 0:
         # bands > num_perm would give rows=0: every band chunk becomes
         # the empty byte string, every document collides in every band,
@@ -313,19 +340,84 @@ def minhash_candidates(
 
     from .spatial_join import ensure_parallelism
 
-    banded = (
-        ensure_parallelism(docs.select(id_col, text_col))
-        .withColumn("band_hash", F.explode(band_hashes(F.col(text_col))))
-        .select(id_col, "band_hash")
+    def _drop_hot_bands(banded: DataFrame) -> DataFrame:
+        """Opt-in band-frequency valve (ngram max_df pattern): anti-join
+        away band buckets held by more than max_band_df distinct
+        signatures — a documented recall trade for corpora where
+        distinct texts still funnel into one bucket."""
+        if max_band_df is None:
+            return banded
+        hot = (
+            banded.groupBy("band_hash")
+            .agg(F.count("*").alias("band_df"))
+            .filter(F.col("band_df") > max_band_df)
+            .select("band_hash")
+        )
+        return banded.join(F.broadcast(hot), on="band_hash", how="left_anti")
+
+    if not collapse_exact:
+        banded = _drop_hot_bands(
+            ensure_parallelism(docs.select(id_col, text_col))
+            .withColumn("band_hash", F.explode(band_hashes(F.col(text_col))))
+            .select(id_col, "band_hash")
+        )
+        left = banded.select(F.col(id_col).alias("id_a"), "band_hash")
+        right = banded.select(F.col(id_col).alias("id_b"), "band_hash")
+        return (
+            left.join(right, on="band_hash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    # exact-dup classes: equal key <=> equal text up to case/whitespace,
+    # both erased by the \W+ tokenizer => equal signature => equal bands
+    keyed = ensure_parallelism(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    ).withColumn(
+        "_cls", normalized_text_key(F.coalesce(F.col("_text"), F.lit("")))
     )
-    left = banded.select(F.col(id_col).alias("id_a"), "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band_hash")
-    return (
-        left.join(right, on="band_hash")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    classes = keyed.groupBy("_cls").agg(
+        F.min_by("_text", "_id").alias("_rep_text")
+    )
+    banded = _drop_hot_bands(
+        classes.withColumn(
+            "band_hash", F.explode(band_hashes(F.col("_rep_text")))
+        ).select("_cls", "band_hash")
+    )
+    cls_pairs = (
+        banded.select(F.col("_cls").alias("_cls_a"), "band_hash")
+        .join(banded.select(F.col("_cls").alias("_cls_b"), "band_hash"), on="band_hash")
+        .filter(F.col("_cls_a") < F.col("_cls_b"))
+        .select("_cls_a", "_cls_b")
         .distinct()
     )
+    members = keyed.select("_cls", "_id")
+    # cross-class expansion: every member pair of a colliding class pair
+    # is a candidate (member signature == representative signature);
+    # rows are distinct by construction (one per (cls_a, cls_b, ma, mb))
+    cross = (
+        cls_pairs.join(
+            members.select(F.col("_cls").alias("_cls_a"), F.col("_id").alias("_ma")),
+            on="_cls_a",
+        )
+        .join(
+            members.select(F.col("_cls").alias("_cls_b"), F.col("_id").alias("_mb")),
+            on="_cls_b",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_a"), F.greatest("_ma", "_mb").alias("id_b")
+        )
+    )
+    # within-class pairs: identical signatures collide in every band
+    within = (
+        members.select("_cls", F.col("_id").alias("id_a"))
+        .join(members.select("_cls", F.col("_id").alias("id_b")), on="_cls")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # disjoint by construction (cross spans two classes, within one)
+    return cross.unionByName(within)
 
 
 def jaccard_verify(

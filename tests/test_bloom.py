@@ -74,3 +74,21 @@ class TestBloomIncremental:
     def test_bitmap_deterministic(self, spark):
         _, prior = _snapshots(spark, n=1000)
         assert bloom_bitmap(prior, "key") == bloom_bitmap(prior.repartition(7), "key")
+
+    def test_tree_fold_exact_across_fanins(self, spark):
+        """The executor-side two-level OR fold (round-5 fix: the driver
+        no longer collects one partial per partition) must be exact for
+        any partition-count/fanin combination, including fanin smaller
+        than the partition count (multiple partials per level-1 task)
+        and fanin larger (idle level-1 slots)."""
+        _, prior = _snapshots(spark, n=1500)
+        reference = bloom_bitmap(prior.coalesce(1), "key")
+        for parts, fanin in ((40, 4), (8, 64), (3, 1)):
+            got = bloom_bitmap(prior.repartition(parts), "key", fold_fanin=fanin)
+            assert got == reference, (parts, fanin)
+
+    def test_empty_prior_is_zero_bitmap(self, spark):
+        _, prior = _snapshots(spark, n=100)
+        empty = prior.filter(F.lit(False))
+        bitmap = np.frombuffer(bloom_bitmap(empty, "key", 1 << 12), dtype=np.uint8)
+        assert bitmap.shape == (512,) and not bitmap.any()

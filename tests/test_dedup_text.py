@@ -11,6 +11,7 @@ from rust_geo_booleanop_spark.operators import (
     exact_dup_stats,
     ivf_cosine_topk,
     ivf_pivots,
+    minhash_candidates,
     minhash_dedup,
     ngram_jaccard_pairs,
     quality_score,
@@ -104,6 +105,94 @@ class TestMinhash:
                     if jac >= 0.7:
                         expect[(i, j)] = jac
         assert got == expect
+
+
+class TestMinhashHotBandValve:
+    """Round-5 scale valve: exact-dup classes are collapsed to one banded
+    representative, so boilerplate-identical pages can no longer blow up
+    a band bucket; pair sets must be IDENTICAL to the unvalved path."""
+
+    def _mixed_corpus(self, spark):
+        """Clean + duplicated corpus: unique prose, an exact-dup class
+        with whitespace/case variants, a near-dup (non-exact) pair, and
+        NULL/empty/whitespace-only texts (one signature class)."""
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "completely different text about spark shuffle partitioning and skew"),
+            (2, "THE quick   brown fox jumps over the lazy dog near the river bank"),
+            (3, "the quick brown fox jumps over the lazy dog near the river bank "),
+            (4, "the quick brown fox jumps over the lazy dog near the river shore"),
+            (5, "another unrelated document mentioning bloom filters and bitmaps"),
+            (6, None),
+            (7, ""),
+            (8, "   "),
+            (9, "completely different text about spark shuffle partitioning and skew"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_pair_set_identical_to_unvalved(self, spark):
+        d = self._mixed_corpus(spark)
+        for bands in (8, 32):
+            valved = {
+                (r.id_a, r.id_b)
+                for r in minhash_candidates(
+                    d, num_perm=64, bands=bands, collapse_exact=True
+                ).collect()
+            }
+            unvalved = {
+                (r.id_a, r.id_b)
+                for r in minhash_candidates(
+                    d, num_perm=64, bands=bands, collapse_exact=False
+                ).collect()
+            }
+            assert valved == unvalved, bands
+            # exact-dup classes always pair (identical signatures)
+            assert {(0, 2), (0, 3), (2, 3), (1, 9), (6, 7), (7, 8)} <= valved
+
+    def test_boilerplate_corpus_bands_one_representative(self, spark):
+        """10k identical docs: the banded relation holds ONE class (the
+        hot-bucket pathology the unvalved self-join hits — bands x n^2
+        rows through one bucket — never forms), and the candidate output
+        is exactly the n*(n-1)/2 within-class pairs."""
+        n = 10_000
+        d = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("parked domain placeholder page contact us for details").alias(
+                "text"
+            ),
+        )
+        cands = minhash_candidates(d, num_perm=64, bands=16, collapse_exact=True)
+        assert cands.count() == n * (n - 1) // 2
+        # the probabilistic join's input is class representatives: one
+        # class => at most `bands` banded rows total
+        from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+        n_classes = d.select(normalized_text_key("text")).distinct().count()
+        assert n_classes == 1
+
+    def test_max_band_df_bounds_distinct_text_buckets(self, spark):
+        """Opt-in residual valve: distinct texts sharing a band bucket are
+        dropped when the bucket's class frequency exceeds max_band_df
+        (recall trade); a bound above every bucket's df changes nothing."""
+        d = self._mixed_corpus(spark)
+        base = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidates(d, num_perm=64, bands=8).collect()
+        }
+        loose = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidates(
+                d, num_perm=64, bands=8, max_band_df=1_000
+            ).collect()
+        }
+        assert loose == base
+        tight = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidates(
+                d, num_perm=64, bands=8, max_band_df=1
+            ).collect()
+        }
+        assert tight <= base
 
 
 class TestSimhash:
