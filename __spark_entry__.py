@@ -4221,13 +4221,22 @@ def _h16_gini(spark, sf_dir):
     instead the distinct-count relation (c, m_c) carries a prefix sum S_c
     over counts, and each tie block contributes c*(m*S + m*(m+1)/2) to
     the rank-weighted sum exactly. All int64 until the single final
-    division. The prefix window runs over DISTINCT count values only —
-    bounded by the count range, not the user population."""
+    division. The prefix sum runs over DISTINCT count values only —
+    bounded by the count range, not the user population — and is
+    computed with a broadcast theta self-join (S_c = sum of m over
+    c' < c), NOT an unpartitioned window: even the pathological corpus
+    where every user has a distinct count never funnels the relation
+    through one WindowExec task (round-5 fix; int64 sums are exact
+    under any grouping, so the value is bit-identical)."""
     e = _t(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
     by_count = per_user.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
-    w = Window.orderBy(F.asc("c")).rowsBetween(Window.unboundedPreceding, -1)
-    blocks = by_count.withColumn("s", F.coalesce(F.sum("m").over(w), F.lit(0)))
+    prior = by_count.select(F.col("c").alias("pc"), F.col("m").alias("pm"))
+    blocks = (
+        by_count.join(F.broadcast(prior), F.col("pc") < F.col("c"), "left")
+        .groupBy("c", "m")
+        .agg(F.coalesce(F.sum("pm"), F.lit(0)).alias("s"))
+    )
     agg = blocks.agg(
         F.sum(F.col("m")).alias("n"),
         F.sum(F.col("c") * F.col("m")).alias("t"),
