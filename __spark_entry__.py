@@ -5791,10 +5791,184 @@ _R5_PROMOTED_ORACLE_SQL: dict[str, str] = {
 }
 
 
-# --- Round-6 staging area: EMPTY at round-5 open (the whole round-4
-# staged wave was promoted into queries() positions 1-50 above). New
-# oracle-verified queries accumulate here — graded by
-# scripts/check_oracles.py and scripts/explain_plans.py but invisible to
-# the driver — until the next round frees budget slots.
-STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-STAGED_ORACLE_SQL: dict[str, str] = {}
+# --- Round-6 staged callables (next driver wave; graded locally by
+# scripts/check_oracles.py + explain_plans.py until budget slots free) ---
+
+
+def _st01_stream_window_counts(spark, sf_dir):
+    """First query through the REAL Structured Streaming path
+    (streaming/extraction.py::run_windowed_counts_stream): events are
+    written as ONE parquet drop, consumed with Trigger.AvailableNow, and
+    the watermarked hourly aggregation appends only watermark-FINALIZED
+    windows (window_end <= max(ts) - 2h) to a checkpointed parquet sink,
+    which this query reads back. Single-drop input => one micro-batch =>
+    zero late-drop nondeterminism, so the emitted relation equals the
+    batch hourly aggregation restricted by the final watermark — the
+    oracle recomputes exactly that cut in SQL (boundary verified
+    empirically: 865 emitted == windows with end <= max-2h on sf0.001).
+    The sink rows are re-created driver-side (bounded by hours x types)
+    so the scratch dir can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from rust_geo_booleanop_spark.streaming import run_windowed_counts_stream
+
+    base = tempfile.mkdtemp(prefix="st01_")
+    try:
+        in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+        _t(spark, sf_dir, "events").coalesce(1).write.parquet(in_dir)
+        run_windowed_counts_stream(spark, in_dir, out_dir, ck)
+        schema = (
+            "window_start timestamp, window_end timestamp, event_type string, "
+            "n_events long, max_value double"
+        )
+        try:
+            rows = spark.read.schema(schema).parquet(out_dir).collect()
+        except Exception:
+            rows = []  # no batch committed (empty input)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _st02_stream_exact_dedup(spark, sf_dir):
+    """Streaming exact dedup with CROSS-MICRO-BATCH state
+    (streaming/extraction.py::run_exact_dedup_stream): documents are
+    written as four parquet drops and consumed one file per trigger, so
+    a duplicate arriving in a later micro-batch is suppressed by the
+    checkpointed seen-key state, not by within-batch grouping. The
+    kept-row count per lang-presence is batch-split-independent (WHICH
+    representative survives varies with arrival order; the key-set size
+    does not), so the query returns the order-invariant aggregate: total
+    kept rows, with all-NULL-text rows collapsing to ONE key (streaming
+    dropDuplicates treats NULL as a value — the documented divergence
+    from batch exact_dedup, which keeps them all)."""
+    import shutil
+    import tempfile
+
+    from rust_geo_booleanop_spark.streaming import run_exact_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="st02_")
+    try:
+        in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+        docs = _t(spark, sf_dir, "documents")
+        docs.repartition(4).write.parquet(in_dir)
+        run_exact_dedup_stream(spark, in_dir, out_dir, ck, max_files_per_trigger=1)
+        schema = (
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        try:
+            n_kept = spark.read.schema(schema).parquet(out_dir).count()
+        except Exception:
+            n_kept = 0
+        return spark.createDataFrame([(n_kept,)], "n_unique_texts long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _g33_salted_boolean_pipeline(spark, sf_dir):
+    """The flagship boolean pipeline routed through the SALTED pair
+    formation (operators/boolean_join.py::pair_candidates_salted with
+    threshold=0, so every case key takes the hot path: subject rows fan
+    across 4 salts, clipping rows replicate per salt, and the kernel
+    consumes the streamed equi-join — no collect_list aggregation state
+    anywhere). Oracle: the same committed pure-python-kernel fixture as
+    g01 — hash-green here proves the salted valve is RESULT-identical to
+    the collect_list shape on real corpus geometry, closing the
+    'skew valve has pytest coverage but no oracle' gap."""
+    from rust_geo_booleanop_spark.operators import extract_geometries
+    from rust_geo_booleanop_spark.operators.boolean_join import (
+        apply_boolean_ops,
+        pair_candidates_salted,
+    )
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    pairs = pair_candidates_salted(geoms, threshold=0, factor=4)
+    return apply_boolean_ops(pairs).select("case_id", "op", "n_polys")
+
+
+def _r38_salted_join_revenue(spark, sf_dir):
+    """Explicit hot-key salted equi-join (operators/skew.py::salted_join)
+    graded against the plain join it must equal: lineitem (probe) x
+    supplier (build) on suppkey with threshold=50 — at every sf each
+    suppkey holds far more than 50 lineitems, so EVERY key takes the
+    salted path (probe rows fan to 8 salts, build rows replicate) —
+    aggregated to per-nation decimal-exact revenue. The oracle is the
+    unsalted SQL join: hash-equality proves the salt dimension neither
+    drops nor duplicates matches."""
+    from rust_geo_booleanop_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(
+        li, supp, key="l_suppkey", threshold=50, factor=8, hash_col="l_orderkey"
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(disc_price).cast("double").alias("revenue"),
+    )
+
+
+# --- Round-6 staging area (graded by scripts/check_oracles.py and
+# scripts/explain_plans.py, invisible to the driver until promoted).
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "st01_stream_window_counts": _st01_stream_window_counts,
+    "st02_stream_exact_dedup": _st02_stream_exact_dedup,
+    "g33_salted_boolean_pipeline": _g33_salted_boolean_pipeline,
+    "r38_salted_join_revenue": _r38_salted_join_revenue,
+}
+
+STAGED_ORACLE_SQL: dict[str, str] = {
+    # st01: the watermark cut recomputed in SQL — hourly windows whose
+    # end the final watermark (max ts - 2h) has passed; single-batch
+    # ingestion makes the emitted set exactly this relation.
+    "st01_stream_window_counts": """
+        WITH m AS (SELECT MAX(ts) AS mx FROM events),
+        w AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2)
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type, n_events, max_value
+        FROM w, m
+        WHERE window_start + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+    """,
+    # st02: kept rows == distinct normalized text keys, with ALL
+    # NULL-text rows collapsing into one key (streaming dropDuplicates
+    # semantics; regexp_replace needs 'g' in duckdb).
+    "st02_stream_exact_dedup": r"""
+        SELECT CAST(
+                 COUNT(DISTINCT LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))))
+                 + CASE WHEN COUNT(*) FILTER (WHERE text IS NULL) > 0
+                        THEN 1 ELSE 0 END
+               AS BIGINT) AS n_unique_texts
+        FROM documents
+    """,
+    # g33: identical fixture oracle as g01 — the salted pair formation
+    # must reproduce the pure-python kernel's per-(case, op) counts.
+    "g33_salted_boolean_pipeline": """
+        WITH cases AS (SELECT DISTINCT doc_id // 2 AS case_id FROM documents)
+        SELECT f.case_id, f.op, f.n_polys
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/g01_npolys_sf01.parquet') f
+        JOIN cases USING (case_id)
+    """,
+    # r38: the plain (unsalted) join the salted plan must equal;
+    # decimal-exact revenue per the r01 pattern.
+    "r38_salted_join_revenue": """
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    """,
+}

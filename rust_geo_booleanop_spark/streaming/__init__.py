@@ -7,6 +7,7 @@ from .boolean import (
     stream_boolean_tiling,
 )
 from .extraction import (
+    run_exact_dedup_stream,
     run_extraction_stream,
     run_windowed_counts_stream,
     stream_documents,
@@ -24,6 +25,7 @@ __all__ = [
     "stream_boolean_tiling",
     "run_session_stream",
     "stream_sessionize",
+    "run_exact_dedup_stream",
     "run_extraction_stream",
     "run_windowed_counts_stream",
     "stream_documents",

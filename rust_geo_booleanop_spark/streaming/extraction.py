@@ -25,11 +25,13 @@ EVENTS_DDL = (
 )
 
 
-def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_documents(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """Streaming source over parquet file drops of base documents."""
     return (
         spark.readStream.schema(DOCUMENTS_DDL)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -92,6 +94,35 @@ def stream_exact_dedup(
     else:
         deduped = keyed.dropDuplicates(["dup_key"])
     return deduped.drop("dup_key")
+
+
+def run_exact_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+):
+    """Run the streaming exact dedup to completion over available file
+    drops (AvailableNow), appending kept rows to `output_dir` with
+    checkpointed offsets + dedup state. With max_files_per_trigger=1 and
+    a multi-file drop the seen-key state provably spans micro-batches: a
+    duplicate arriving in a later batch is suppressed by state, not by
+    within-batch grouping. Kept-row COUNT is batch-split-independent
+    (first-arrival choice varies, membership of the key set does not)."""
+    deduped = stream_exact_dedup(
+        stream_documents(spark, input_dir, max_files_per_trigger)
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
 
 
 def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
