@@ -5915,6 +5915,517 @@ def _r38_salted_join_revenue(spark, sf_dir):
     )
 
 
+def _r6_boxes(spark, sf_dir):
+    """Variable-size event-derived boxes (integer arithmetic on both
+    engines, g13 pattern): centers on the 997x983 grid, widths/heights
+    stepped by event_id residues so strict containment actually occurs."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 800)
+    return e.select(
+        F.col("event_id").alias("box_id"),
+        (F.col("event_id") % 997).cast("double").alias("xmin"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("ymin"),
+        ((F.col("event_id") % 997) + 10.0 + (F.col("event_id") % 7) * 15.0).alias(
+            "xmax"
+        ),
+        (
+            ((F.col("event_id") * 31) % 983)
+            + 10.0
+            + ((F.col("event_id") * 13) % 5) * 20.0
+        ).alias("ymax"),
+    )
+
+
+_R6_BOXES_SQL = """
+    SELECT event_id AS box_id,
+           CAST(event_id % 997 AS DOUBLE) AS xmin,
+           CAST((event_id * 31) % 983 AS DOUBLE) AS ymin,
+           CAST(event_id % 997 AS DOUBLE) + 10.0
+               + CAST(event_id % 7 AS DOUBLE) * 15.0 AS xmax,
+           CAST((event_id * 31) % 983 AS DOUBLE) + 10.0
+               + CAST((event_id * 13) % 5 AS DOUBLE) * 20.0 AS ymax
+    FROM events WHERE event_id < 800
+"""
+
+
+def _g34_bbox_containment_join(spark, sf_dir):
+    """Strict bbox containment theta-join (parent fully covers child,
+    identity pairs excluded): the candidate-refinement shape of a
+    bbox-hierarchy builder. Variable-size boxes from integer arithmetic,
+    so the oracle builds the identical relation."""
+    boxes = _r6_boxes(spark, sf_dir)
+    a = boxes.select(*[F.col(c).alias(f"a_{c}") for c in boxes.columns])
+    b = boxes.select(*[F.col(c).alias(f"b_{c}") for c in boxes.columns])
+    return a.join(
+        b,
+        (F.col("a_box_id") != F.col("b_box_id"))
+        & (F.col("a_xmin") <= F.col("b_xmin"))
+        & (F.col("a_xmax") >= F.col("b_xmax"))
+        & (F.col("a_ymin") <= F.col("b_ymin"))
+        & (F.col("a_ymax") >= F.col("b_ymax")),
+    ).select(
+        F.col("a_box_id").alias("parent_id"), F.col("b_box_id").alias("child_id")
+    )
+
+
+def _g35_bbox_zone_hierarchy(spark, sf_dir):
+    """Two-level bbox hierarchy: boxes fully inside one 200-unit zone
+    nest under it; boxes crossing a zone boundary escalate to the root
+    (zone = -1) — the classic loose-quadtree level assignment, all
+    integer comparisons. Output: per level-key, members + the count of
+    contained boxes' total area as exact ints."""
+    boxes = _r6_boxes(spark, sf_dir)
+    zx = F.floor(F.col("xmin") / _ZONE_W)
+    zy = F.floor(F.col("ymin") / _ZONE_W)
+    fits = (F.col("xmax") <= (zx + 1) * _ZONE_W) & (
+        F.col("ymax") <= (zy + 1) * _ZONE_W
+    ) & (zx < 5) & (zy < 5)
+    zone = F.when(fits, (zx * 5 + zy).cast("long")).otherwise(F.lit(-1))
+    area = (
+        (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+    ).cast("long")
+    return (
+        boxes.select(zone.alias("zone_key"), area.alias("a"))
+        .groupBy("zone_key")
+        .agg(F.count(F.lit(1)).alias("n_boxes"), F.sum("a").alias("area_sum"))
+    )
+
+
+def _g37_cell_neighbor_occupancy(spark, sf_dir):
+    """Occupied-cell 8-neighborhood audit over the 50-unit point grid
+    (g26's cells): for each occupied cell, how many of its 8 neighbors
+    are also occupied — the adjacency degree the hotspot clustering
+    (g26) traverses, computed relationally (offset explode + equi-join,
+    never a theta join)."""
+    cells = (
+        _points(spark, sf_dir)
+        .select(
+            F.expr("CAST(x AS BIGINT) DIV 50").alias("gx"),
+            F.expr("CAST(y AS BIGINT) DIV 50").alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx long, dy long",
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        "gx", "gy", (F.col("gx") + F.col("dx")).alias("nx"),
+        (F.col("gy") + F.col("dy")).alias("ny"),
+    )
+    occ = cells.select(F.col("gx").alias("nx"), F.col("gy").alias("ny"))
+    hits = probes.join(occ, on=["nx", "ny"]).groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+    return (
+        cells.join(hits, on=["gx", "gy"], how="left")
+        .select(
+            "gx",
+            "gy",
+            "n_points",
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+        )
+    )
+
+
+def _g38_neighbor_degree_histogram(spark, sf_dir):
+    """Degree histogram of the occupied-cell adjacency graph (g37's
+    relation aggregated): how connected is the occupancy pattern — the
+    summary a clustering pre-pass uses to pick density thresholds."""
+    return (
+        _g37_cell_neighbor_occupancy(spark, sf_dir)
+        .groupBy("n_neighbors")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+def _g40_zone_coverage_by_type(spark, sf_dir):
+    """Per event-type spatial coverage: distinct 200-unit zones touched
+    out of the 25-zone frame, with the coverage share as ONE double
+    division of exact ints."""
+    e = _t(spark, sf_dir, "events")
+    zone = (
+        F.expr("(event_id % 997) DIV 200") * 5 + F.expr("((event_id * 31) % 983) DIV 200")
+    )
+    per = e.select("event_type", zone.alias("zone")).groupBy("event_type").agg(
+        F.countDistinct("zone").alias("n_zones")
+    )
+    return per.select(
+        "event_type",
+        "n_zones",
+        (F.col("n_zones").cast("double") / F.lit(25.0)).alias("coverage_share"),
+    )
+
+
+def _g41_nn_distance_histogram(spark, sf_dir):
+    """Histogram of exact nearest-neighbor squared distances over the
+    sampled query points (g25's relation grouped by the exact integer
+    dist2 — the lattice corpus holds only a handful of distinct NN
+    spacings, so the exact value IS the right bucket): the
+    Clark-Evans-style spacing profile. Spark runs the PRODUCTION
+    cell-bucketed kNN; the oracle is the quadratic definition — all
+    integer-valued doubles, so groups are exact."""
+    from rust_geo_booleanop_spark.operators import knn_join_bucketed
+
+    points = _points(spark, sf_dir).select("point_id", "x", "y")
+    queries = points.filter(F.col("point_id") % 20 == 0).select(
+        F.col("point_id").alias("query_id"),
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+    )
+    knn = knn_join_bucketed(points, queries, k=2)
+    nonself = knn.filter(F.col("point_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("point_id"))
+    nn = (
+        nonself.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("dist").cast("long").alias("d2"))
+    )
+    return nn.groupBy("d2").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def _g43_trajectory_sq_length(spark, sf_dir):
+    """Per-user trajectory summary under EXACT arithmetic: hop count,
+    total and max squared hop length as BIGINT (integer-valued hop
+    coordinates, (a-b)*(a-b) forms) — the order-invariant aggregate of
+    g27's hop relation, safe to sum distributed (int64, not FP)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_id") % 997).cast("double").alias("x"),
+        ((F.col("event_id") * 31) % 983).cast("double").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    hops = (
+        e.withColumn("_px", F.lag("x").over(w))
+        .withColumn("_py", F.lag("y").over(w))
+        .filter(F.col("_px").isNotNull())
+    )
+    d2 = (
+        (F.col("x") - F.col("_px")) * (F.col("x") - F.col("_px"))
+        + (F.col("y") - F.col("_py")) * (F.col("y") - F.col("_py"))
+    ).cast("long")
+    return hops.select("user_id", d2.alias("d2")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.sum("d2").alias("sq_length_sum"),
+        F.max("d2").alias("sq_length_max"),
+    )
+
+
+def _ws_tokens(col):
+    """Whitespace tokens of trimmed text (t07/t20 convention): empty
+    string => zero tokens; parity with DuckDB
+    list_filter(string_split_regex(TRIM(..), '\\s+'), x -> x != '')."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"), lambda x: x != ""
+    )
+
+
+# the shared DuckDB tokenizer CTE fragment for the round-6 text oracles
+_R6_TOK = r"list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'), x -> x != '')"
+_R6_TOK_LOWER = (
+    r"list_filter(string_split_regex(LOWER(TRIM(COALESCE(text, ''))), '\s+'),"
+    r" x -> x != '')"
+)
+
+
+def _t38_pii_sql() -> str:
+    """t38 oracle, GENERATED from the t08 scrub patterns so both sides
+    share one regex definition (the t05/s02 generated-oracle pattern)."""
+    from rust_geo_booleanop_spark.operators.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    return f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                               '{EMAIL_PATTERN}')) AS BIGINT) AS ne,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                               '{PHONE_PATTERN}')) AS BIGINT) AS np
+            FROM documents)
+        SELECT source,
+               CAST(SUM(ne) AS BIGINT) AS n_emails,
+               CAST(SUM(np) AS BIGINT) AS n_phones,
+               CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_pii,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per GROUP BY source
+    """
+
+
+def _t27_composition_drift(spark, sf_dir):
+    """Per-source corpus composition across crawl snapshots: warc_ts is
+    doc_id seconds past the 2024-01-01 epoch (sources/documents.py), so
+    snapshot = doc_id DIV 600 is the exact 10-minute crawl window. Doc
+    counts and token sums are int64; each source's share of its snapshot
+    is ONE double division against the broadcast per-snapshot totals (no
+    window) — the mixture-drift monitor a training-data pipeline runs
+    per crawl."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.expr("doc_id DIV 600").alias("snapshot"),
+            F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "snapshot")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("token_sum"))
+    )
+    totals = per.groupBy("snapshot").agg(F.sum("n_docs").alias("snap_docs"))
+    return per.join(F.broadcast(totals), on="snapshot").select(
+        "source",
+        "snapshot",
+        "n_docs",
+        "token_sum",
+        (F.col("n_docs").cast("double") / F.col("snap_docs").cast("double")).alias(
+            "snap_share"
+        ),
+    )
+
+
+def _t28_quality_calibration(spark, sf_dir):
+    """Quality-score calibration: decile buckets of the t04 composite
+    score (identical FP expression both engines — t04 is hash-green —
+    so floor(quality*10) lands in the same bucket bit-for-bit) crossed
+    with the exact-dup rate per bucket. The diagnostic that tells you
+    whether the quality filter actually separates boilerplate: low
+    deciles should carry the duplicate mass."""
+    from rust_geo_booleanop_spark.operators import quality_score
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    q = quality_score(_t(spark, sf_dir, "documents"))
+    bucket = F.least(F.floor(F.col("quality") * 10).cast("long"), F.lit(9))
+    per = q.select(
+        bucket.alias("q_bucket"), normalized_text_key("text").alias("k")
+    ).groupBy("q_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("k").alias("n_unique"),
+    )
+    return per.select(
+        "q_bucket",
+        "n_docs",
+        "n_unique",
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def _t29_sentence_stats(spark, sf_dir):
+    """Per-lang sentence segmentation profile: sentences split on
+    [.!?]+ runs (identical Java/RE2 class semantics), trimmed-non-empty;
+    int64 sums and one final division for tokens-per-sentence."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"[.!?]+"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    per = d.select(
+        "lang",
+        F.size(sents).cast("long").alias("n_sent"),
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tok"),
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sent").alias("sent_sum"),
+        F.sum("n_tok").alias("token_sum"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "sent_sum",
+        "token_sum",
+        F.when(
+            F.col("sent_sum") > 0,
+            F.col("token_sum").cast("double") / F.col("sent_sum").cast("double"),
+        ).alias("tokens_per_sentence"),
+    )
+
+
+def _t30_token_topk_per_lang(spark, sf_dir):
+    """Top-5 tokens per lang under the (count DESC, token ASC) total
+    order — the per-stratum vocab cut (t20's global cut, grouped)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "tok", "n", "rnk")
+    )
+
+
+def _t31_prefix_dup_groups(spark, sf_dir):
+    """Shared-prefix grouping: docs keyed by their first 4 lowered
+    whitespace tokens — the cheap boilerplate-header detector (templated
+    pages share openings long before they share full text). Groups with
+    >= 2 docs, deterministic representative (min doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(_ws_tokens(F.lower(F.col("text"))), 1, 4), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _t32_char_class_profile(spark, sf_dir):
+    """Per-lang character-class composition (letters/digits/whitespace/
+    other) via the t04-proven LENGTH-difference idiom — all int64."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    total = F.length(t).cast("long")
+    letters = (total - F.length(F.regexp_replace(t, "[A-Za-z]", ""))).cast("long")
+    digits = (total - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
+    spaces = (total - F.length(F.regexp_replace(t, r"\s", ""))).cast("long")
+    return (
+        d.select(
+            "lang",
+            total.alias("c"),
+            letters.alias("l"),
+            digits.alias("dg"),
+            spaces.alias("sp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.sum("l").alias("n_letters"),
+            F.sum("dg").alias("n_digits"),
+            F.sum("sp").alias("n_spaces"),
+            (F.sum("c") - F.sum("l") - F.sum("dg") - F.sum("sp")).alias("n_other"),
+        )
+    )
+
+
+def _t33_length_quartiles_by_source(spark, sf_dir):
+    """Exact per-source token-length quartiles via the h11 pure-integer
+    rank selection (rank = GREATEST(1, (pct*n + 99) DIV 100)) — no
+    quantile builtin on either engine, so interpolation conventions
+    cannot diverge."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        "doc_id",
+        F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = lens.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    pcts = spark.createDataFrame([(25,), (50,), (75,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.expr("(pct * n + 99) DIV 100"))
+        )
+        .select("source", "pct", F.col("n_tokens").alias("value"), F.col("n").alias("n_rows"))
+    )
+
+
+def _t34_line_stats(spark, sf_dir):
+    """Per-doc line profile: total/distinct trimmed-non-empty lines and
+    the max within-doc line frequency — the d06 boilerplate signal at
+    document granularity, all int64."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), r"\n"),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    ex = d.select("doc_id", F.explode(lines).alias("line"))
+    per_line = ex.groupBy("doc_id", "line").agg(F.count(F.lit(1)).alias("c"))
+    return per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_distinct_lines"),
+        F.max("c").alias("max_line_freq"),
+    )
+
+
+def _t35_ttr_buckets(spark, sf_dir):
+    """Type-token-ratio histogram in EXACT integer arithmetic: bucket =
+    (10 * n_distinct) DIV n_tokens (0..10) — no FP boundary can move a
+    doc across buckets. The lexical-diversity profile quality filters
+    threshold on."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.lower(F.col("text")))
+    per = d.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+    bucket = F.expr("(10 * n_dist) DIV n_tok")
+    return per.select(bucket.alias("ttr_bucket")).groupBy("ttr_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _t36_crosslang_dup_leakage(spark, sf_dir):
+    """Cross-lang duplicate leakage: normalized-text keys by how many
+    distinct langs they appear in — dedup pipelines that shard by lang
+    silently miss every n_langs >= 2 class. Histogram is int-exact."""
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per_key = d.select(
+        normalized_text_key("text").alias("k"), "lang"
+    ).groupBy("k").agg(F.countDistinct("lang").alias("n_langs"))
+    return per_key.groupBy("n_langs").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def _t37_shingle_df_histogram(spark, sf_dir):
+    """Document-frequency histogram of d03's 3-gram shingles (same
+    whitespace tokenization + whole-sequence fallback + per-doc
+    distinct), CASE-bucketed (1, 2-3, 4-7, 8+) — the boilerplate-mass
+    profile that justifies the max_df valve."""
+    from rust_geo_booleanop_spark.operators.dedup import ngram_shingle_col
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(ngram_shingle_col("text", 3)).alias("shingle")
+    )
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") <= 3, "2-3")
+        .when(F.col("df") <= 7, "4-7")
+        .otherwise("8+")
+    )
+    return dfs.select(bucket.alias("df_bucket")).groupBy("df_bucket").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+
+
+def _t38_pii_density_by_source(spark, sf_dir):
+    """PII match density per source using the t08 scrub patterns
+    (operators/text.py EMAIL_PATTERN/PHONE_PATTERN — Java/RE2-identical
+    by construction, proven by t08's byte-level scrub parity): match
+    counts per source plus docs containing any PII, all int64."""
+    from rust_geo_booleanop_spark.operators.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_em = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0)).cast("long")
+    n_ph = F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), 0)).cast("long")
+    per = d.select("source", n_em.alias("ne"), n_ph.alias("np"))
+    return per.groupBy("source").agg(
+        F.sum("ne").alias("n_emails"),
+        F.sum("np").alias("n_phones"),
+        F.sum(
+            F.when((F.col("ne") > 0) | (F.col("np") > 0), 1).otherwise(0)
+        ).cast("long").alias("n_docs_with_pii"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 # --- Round-6 staging area (graded by scripts/check_oracles.py and
 # scripts/explain_plans.py, invisible to the driver until promoted).
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -5922,6 +6433,25 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st02_stream_exact_dedup": _st02_stream_exact_dedup,
     "g33_salted_boolean_pipeline": _g33_salted_boolean_pipeline,
     "r38_salted_join_revenue": _r38_salted_join_revenue,
+    "g34_bbox_containment_join": _g34_bbox_containment_join,
+    "g35_bbox_zone_hierarchy": _g35_bbox_zone_hierarchy,
+    "g37_cell_neighbor_occupancy": _g37_cell_neighbor_occupancy,
+    "g38_neighbor_degree_histogram": _g38_neighbor_degree_histogram,
+    "g40_zone_coverage_by_type": _g40_zone_coverage_by_type,
+    "g41_nn_distance_histogram": _g41_nn_distance_histogram,
+    "g43_trajectory_sq_length": _g43_trajectory_sq_length,
+    "t27_composition_drift": _t27_composition_drift,
+    "t28_quality_calibration": _t28_quality_calibration,
+    "t29_sentence_stats": _t29_sentence_stats,
+    "t30_token_topk_per_lang": _t30_token_topk_per_lang,
+    "t31_prefix_dup_groups": _t31_prefix_dup_groups,
+    "t32_char_class_profile": _t32_char_class_profile,
+    "t33_length_quartiles_by_source": _t33_length_quartiles_by_source,
+    "t34_line_stats": _t34_line_stats,
+    "t35_ttr_buckets": _t35_ttr_buckets,
+    "t36_crosslang_dup_leakage": _t36_crosslang_dup_leakage,
+    "t37_shingle_df_histogram": _t37_shingle_df_histogram,
+    "t38_pii_density_by_source": _t38_pii_density_by_source,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -5971,4 +6501,307 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_nationkey
     """,
+    # g34: identical integer-derived box relation, identical strict
+    # containment predicate (theta join is the definition here).
+    "g34_bbox_containment_join": f"""
+        WITH boxes AS ({_R6_BOXES_SQL})
+        SELECT a.box_id AS parent_id, b.box_id AS child_id
+        FROM boxes a JOIN boxes b
+          ON a.box_id != b.box_id
+         AND a.xmin <= b.xmin AND a.xmax >= b.xmax
+         AND a.ymin <= b.ymin AND a.ymax >= b.ymax
+    """,
+    # g35: loose-quadtree level assignment — integer floor/compare only;
+    # SUM over BIGINT is HUGEINT in duckdb, hence the CAST.
+    "g35_bbox_zone_hierarchy": f"""
+        WITH boxes AS ({_R6_BOXES_SQL}),
+        z AS (
+            SELECT box_id,
+                   CAST(FLOOR(xmin / 200.0) AS BIGINT) AS zx,
+                   CAST(FLOOR(ymin / 200.0) AS BIGINT) AS zy,
+                   xmin, ymin, xmax, ymax
+            FROM boxes)
+        SELECT CASE WHEN xmax <= (zx + 1) * 200.0 AND ymax <= (zy + 1) * 200.0
+                         AND zx < 5 AND zy < 5
+                    THEN zx * 5 + zy ELSE -1 END AS zone_key,
+               CAST(COUNT(*) AS BIGINT) AS n_boxes,
+               CAST(SUM(CAST((xmax - xmin) * (ymax - ymin) AS BIGINT)) AS BIGINT)
+                   AS area_sum
+        FROM z GROUP BY 1
+    """,
+    # g37/g38: occupied 50-cell grid + 8-offset equi-join; all integer.
+    "g37_cell_neighbor_occupancy": """
+        WITH cells AS (
+            SELECT CAST(event_id % 997 AS BIGINT) // 50 AS gx,
+                   CAST((event_id * 31) % 983 AS BIGINT) // 50 AS gy,
+                   CAST(COUNT(*) AS BIGINT) AS n_points
+            FROM events GROUP BY 1, 2),
+        offs AS (
+            SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                       (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        hits AS (
+            SELECT c.gx, c.gy, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+            FROM cells c JOIN offs o ON TRUE
+            JOIN cells n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+            GROUP BY c.gx, c.gy)
+        SELECT c.gx, c.gy, c.n_points,
+               COALESCE(h.n_neighbors, 0) AS n_neighbors
+        FROM cells c LEFT JOIN hits h ON h.gx = c.gx AND h.gy = c.gy
+    """,
+    "g38_neighbor_degree_histogram": """
+        WITH cells AS (
+            SELECT CAST(event_id % 997 AS BIGINT) // 50 AS gx,
+                   CAST((event_id * 31) % 983 AS BIGINT) // 50 AS gy
+            FROM events GROUP BY 1, 2),
+        offs AS (
+            SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                                       (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        deg AS (
+            SELECT c.gx, c.gy, CAST(COUNT(n.gx) AS BIGINT) AS n_neighbors
+            FROM cells c JOIN offs o ON TRUE
+            LEFT JOIN cells n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+            GROUP BY c.gx, c.gy)
+        SELECT n_neighbors, CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM deg GROUP BY n_neighbors
+    """,
+    # g40: one double division of exact ints; zone expr shared with g31.
+    "g40_zone_coverage_by_type": """
+        WITH per AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT (event_id % 997) // 200 * 5
+                              + ((event_id * 31) % 983) // 200) AS BIGINT)
+                       AS n_zones
+            FROM events GROUP BY event_type)
+        SELECT event_type, n_zones,
+               CAST(n_zones AS DOUBLE) / 25.0 AS coverage_share
+        FROM per
+    """,
+    # g41: the quadratic NN definition (g25's arg-min struct shape),
+    # bucketed by integer division of the exact squared distance.
+    "g41_nn_distance_histogram": """
+        WITH p AS (
+            SELECT event_id AS point_id,
+                   CAST(event_id % 997 AS DOUBLE) AS x,
+                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
+            FROM events),
+        q AS (SELECT * FROM p WHERE point_id % 20 = 0),
+        d AS (
+            SELECT q.point_id AS query_id,
+                   CAST(MIN((p.x - q.x) * (p.x - q.x)
+                            + (p.y - q.y) * (p.y - q.y)) AS BIGINT) AS d2
+            FROM q JOIN p ON p.point_id != q.point_id
+            GROUP BY q.point_id)
+        SELECT d2, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM d GROUP BY 1
+    """,
+    # g43: lag over the same (ts, event_id) total order; int64 hop
+    # distances so the distributed sum is exact (HUGEINT -> CAST).
+    "g43_trajectory_sq_length": """
+        WITH pts AS (
+            SELECT user_id, ts, event_id,
+                   CAST(event_id % 997 AS DOUBLE) AS x,
+                   CAST((event_id * 31) % 983 AS DOUBLE) AS y
+            FROM events),
+        hops AS (
+            SELECT user_id,
+                   LAG(x) OVER w AS px, LAG(y) OVER w AS py, x, y
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        d AS (
+            SELECT user_id,
+                   CAST((x - px) * (x - px) + (y - py) * (y - py) AS BIGINT) AS d2
+            FROM hops WHERE px IS NOT NULL)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hops,
+               CAST(SUM(d2) AS BIGINT) AS sq_length_sum,
+               CAST(MAX(d2) AS BIGINT) AS sq_length_max
+        FROM d GROUP BY user_id
+    """,
+    # t27: snapshot = doc_id DIV 600 (warc_ts is doc_id seconds past the
+    # epoch); int64 counts/sums, one double division vs snapshot totals.
+    "t27_composition_drift": f"""
+        WITH per AS (
+            SELECT source, doc_id // 600 AS snapshot,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_R6_TOK})) AS BIGINT) AS token_sum
+            FROM documents GROUP BY 1, 2),
+        tot AS (
+            SELECT snapshot, CAST(SUM(n_docs) AS BIGINT) AS snap_docs
+            FROM per GROUP BY snapshot)
+        SELECT source, per.snapshot, n_docs, token_sum,
+               CAST(n_docs AS DOUBLE) / CAST(snap_docs AS DOUBLE) AS snap_share
+        FROM per JOIN tot ON per.snapshot = tot.snapshot
+    """,
+    # t28: the t04 quality expression VERBATIM (hash-green parity), so
+    # floor(quality*10) buckets identically; dup rate per bucket.
+    "t28_quality_calibration": r"""
+        WITH q AS (
+            SELECT doc_id, text,
+                   (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+                    + CASE WHEN space_ratio >= 0.05 AND space_ratio <= 0.3
+                           THEN 1.0 ELSE 0.5 END
+                    + (1.0 - LEAST(digit_ratio * 4.0, 1.0))) / 3.0 AS quality
+            FROM (
+                SELECT doc_id, text,
+                       (LENGTH(text) - LENGTH(regexp_replace(text, '\s', '', 'g')))
+                           / (CASE WHEN LENGTH(text) > 0
+                                   THEN CAST(LENGTH(text) AS DOUBLE)
+                                   ELSE 1.0 END) AS space_ratio,
+                       (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                           / (CASE WHEN LENGTH(text) > 0
+                                   THEN CAST(LENGTH(text) AS DOUBLE)
+                                   ELSE 1.0 END) AS digit_ratio
+                FROM documents)),
+        per AS (
+            SELECT LEAST(CAST(FLOOR(quality * 10) AS BIGINT), 9) AS q_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT
+                        LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))))
+                     AS BIGINT) AS n_unique
+            FROM q GROUP BY 1)
+        SELECT q_bucket, n_docs, n_unique,
+               CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS dup_rate
+        FROM per
+    """,
+    # t29: [.!?]+ sentence split (identical Java/RE2 class), trimmed
+    # non-empty; int64 sums, one guarded division.
+    "t29_sentence_stats": f"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(len(list_filter(list_transform(
+                        string_split_regex(COALESCE(text, ''), '[.!?]+'),
+                        x -> TRIM(x)), x -> x != '')) AS BIGINT) AS n_sent,
+                   CAST(len({_R6_TOK}) AS BIGINT) AS n_tok
+            FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_sent) AS BIGINT) AS sent_sum,
+               CAST(SUM(n_tok) AS BIGINT) AS token_sum,
+               CASE WHEN SUM(n_sent) > 0
+                    THEN CAST(SUM(n_tok) AS DOUBLE) / CAST(SUM(n_sent) AS DOUBLE)
+               END AS tokens_per_sentence
+        FROM per GROUP BY lang
+    """,
+    # t30: per-lang vocab cut under the (count DESC, token ASC) total
+    # order (t20's global pattern, grouped).
+    "t30_token_topk_per_lang": f"""
+        WITH tok AS (
+            SELECT lang, UNNEST({_R6_TOK_LOWER}) AS tok FROM documents),
+        c AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2),
+        r AS (
+            SELECT lang, tok, n,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, tok ASC) AS BIGINT)
+                       AS rnk
+            FROM c)
+        SELECT lang, tok, n, rnk FROM r WHERE rnk <= 5
+    """,
+    # t31: first-4-token prefix groups (duckdb 1-based inclusive slice
+    # [1:4] == Spark slice(.., 1, 4), r37-proven).
+    "t31_prefix_dup_groups": f"""
+        WITH p AS (
+            SELECT doc_id,
+                   array_to_string(({_R6_TOK_LOWER})[1:4], ' ') AS prefix
+            FROM documents)
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        FROM p GROUP BY prefix HAVING COUNT(*) >= 2
+    """,
+    # t32: LENGTH-difference char classes (t04 idiom; 'g' flag required).
+    "t32_char_class_profile": r"""
+        WITH per AS (
+            SELECT lang,
+                   CAST(LENGTH(COALESCE(text, '')) AS BIGINT) AS c,
+                   CAST(LENGTH(COALESCE(text, ''))
+                        - LENGTH(regexp_replace(COALESCE(text, ''),
+                                                '[A-Za-z]', '', 'g')) AS BIGINT) AS l,
+                   CAST(LENGTH(COALESCE(text, ''))
+                        - LENGTH(regexp_replace(COALESCE(text, ''),
+                                                '[0-9]', '', 'g')) AS BIGINT) AS dg,
+                   CAST(LENGTH(COALESCE(text, ''))
+                        - LENGTH(regexp_replace(COALESCE(text, ''),
+                                                '\s', '', 'g')) AS BIGINT) AS sp
+            FROM documents)
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT) AS n_chars,
+               CAST(SUM(l) AS BIGINT) AS n_letters,
+               CAST(SUM(dg) AS BIGINT) AS n_digits,
+               CAST(SUM(sp) AS BIGINT) AS n_spaces,
+               CAST(SUM(c) - SUM(l) - SUM(dg) - SUM(sp) AS BIGINT) AS n_other
+        FROM per GROUP BY lang
+    """,
+    # t33: h11's pure-integer rank selection per source.
+    "t33_length_quartiles_by_source": f"""
+        WITH lens AS (
+            SELECT source, doc_id,
+                   CAST(len({_R6_TOK}) AS BIGINT) AS n_tokens
+            FROM documents),
+        ranked AS (
+            SELECT source, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM lens)
+        SELECT source, p.pct AS pct, n_tokens AS value,
+               CAST(n AS BIGINT) AS n_rows
+        FROM ranked, (SELECT UNNEST([25, 50, 75]) AS pct) p
+        WHERE rn = GREATEST(1, (p.pct * n + 99) // 100)
+    """,
+    # t34: trimmed-non-empty line frequencies per doc (d06 tokenizer).
+    "t34_line_stats": r"""
+        WITH lines AS (
+            SELECT doc_id,
+                   UNNEST(list_filter(list_transform(
+                       string_split_regex(COALESCE(text, ''), '\n'),
+                       x -> TRIM(x)), x -> x != '')) AS line
+            FROM documents),
+        per AS (
+            SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lines GROUP BY 1, 2)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+               CAST(MAX(c) AS BIGINT) AS max_line_freq
+        FROM per GROUP BY doc_id
+    """,
+    # t35: integer-exact TTR buckets — (10*d) // n, no FP boundary.
+    "t35_ttr_buckets": f"""
+        WITH per AS (
+            SELECT CAST(len({_R6_TOK_LOWER}) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct({_R6_TOK_LOWER})) AS BIGINT) AS n_dist
+            FROM documents)
+        SELECT (10 * n_dist) // n_tok AS ttr_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM per WHERE n_tok > 0 GROUP BY 1
+    """,
+    # t36: normalized-key lang spread histogram.
+    "t36_crosslang_dup_leakage": r"""
+        WITH per AS (
+            SELECT LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        SELECT n_langs, CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per GROUP BY n_langs
+    """,
+    # t37: d03's exact shingle CTE (whole-seq fallback + per-doc
+    # DISTINCT), df bucketed by fixed CASE arms.
+    "t37_shingle_df_histogram": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(TRIM(text)), '\s+') AS t
+            FROM documents),
+        sh_all AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                         i -> array_to_string(t[i:i+2], ' ')))
+                       AS shingle
+            FROM toks),
+        dfs AS (
+            SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+            FROM sh_all GROUP BY shingle)
+        SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 3 THEN '2-3'
+                    WHEN df <= 7 THEN '4-7' ELSE '8+' END AS df_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM dfs GROUP BY 1
+    """,
+    "t38_pii_density_by_source": _t38_pii_sql(),
 }
