@@ -1827,6 +1827,80 @@ _D10_SQL = """
             WHERE levenshtein(na.ntext, nb.ntext) <= 6
 """
 
+# d05's synthetic-url + normalization CTE, shared by the d05 oracle and
+# the staged d16 per-source url-dup-rate oracle (one normalization
+# definition, the _D03_SQL sharing pattern).
+_D05_NORM_CTE = """
+            WITH u AS (
+                SELECT doc_id, source,
+                       'HTTPS://WWW.' || source || '.Example.COM/page/'
+                       || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&ref='
+                       || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source, url,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*'))
+                                   || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', ''),
+                                 '&(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
+                               '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*&', '?'),
+                             '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*$', ''),
+                           '[?&]+$', ''),
+                         '/+$', '') AS url_norm
+                FROM u
+            )
+"""
+
+# d12 containment relation, shared by the d12 oracle and the staged
+# d15 containment-degree oracle (one window/df definition).
+_D12_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), w AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(t[st:st+7], ' ')) AS wkey
+                FROM (SELECT doc_id, t,
+                             unnest(range(1, len(t) - 8 + 2)) AS st
+                      FROM toks WHERE len(t) >= 8)
+            ), dfk AS (
+                SELECT wkey, CAST(COUNT(*) AS BIGINT) AS df
+                FROM w GROUP BY 1
+            ), bw AS (
+                -- ONE consistent df-bounded window space: boilerplate
+                -- (df > 64) is excluded from numerators AND denominators
+                SELECT w.doc_id, w.wkey
+                FROM w JOIN dfk USING (wkey) WHERE dfk.df <= 64
+            ), counts AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win
+                FROM bw GROUP BY 1
+            ), keys AS (
+                SELECT wkey FROM dfk WHERE df > 1 AND df <= 64
+            ), shared AS (
+                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                       CAST(COUNT(*) AS BIGINT) AS shared_windows
+                FROM bw a JOIN keys USING (wkey) JOIN bw b USING (wkey)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT s.doc_id_a, s.doc_id_b, s.shared_windows,
+                   ca.n_win AS n_windows_a, cb.n_win AS n_windows_b,
+                   CAST(s.shared_windows AS DOUBLE)
+                       / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE)
+                       AS containment
+            FROM shared s
+            JOIN counts ca ON ca.doc_id = s.doc_id_a
+            JOIN counts cb ON cb.doc_id = s.doc_id_b
+            WHERE CAST(s.shared_windows AS DOUBLE)
+                      / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE) >= 0.8
+        """
+
 _D03_SQL = """
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(TRIM(text)), '\\s+') AS t FROM documents
@@ -2689,49 +2763,7 @@ def oracle_sql() -> dict[str, str]:
         # the window, bounded to [2, 64] like the operator), shared
         # counts over expanded pairs, containment = shared / least(n_a,
         # n_b) — one double division, bit-equal both engines
-        "d12_containment_pairs": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(TRIM(text)), '\\s+'),
-                                   x -> x != '') AS t
-                FROM documents
-            ), w AS (
-                SELECT DISTINCT doc_id,
-                       md5(array_to_string(t[st:st+7], ' ')) AS wkey
-                FROM (SELECT doc_id, t,
-                             unnest(range(1, len(t) - 8 + 2)) AS st
-                      FROM toks WHERE len(t) >= 8)
-            ), dfk AS (
-                SELECT wkey, CAST(COUNT(*) AS BIGINT) AS df
-                FROM w GROUP BY 1
-            ), bw AS (
-                -- ONE consistent df-bounded window space: boilerplate
-                -- (df > 64) is excluded from numerators AND denominators
-                SELECT w.doc_id, w.wkey
-                FROM w JOIN dfk USING (wkey) WHERE dfk.df <= 64
-            ), counts AS (
-                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_win
-                FROM bw GROUP BY 1
-            ), keys AS (
-                SELECT wkey FROM dfk WHERE df > 1 AND df <= 64
-            ), shared AS (
-                SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-                       CAST(COUNT(*) AS BIGINT) AS shared_windows
-                FROM bw a JOIN keys USING (wkey) JOIN bw b USING (wkey)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT s.doc_id_a, s.doc_id_b, s.shared_windows,
-                   ca.n_win AS n_windows_a, cb.n_win AS n_windows_b,
-                   CAST(s.shared_windows AS DOUBLE)
-                       / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE)
-                       AS containment
-            FROM shared s
-            JOIN counts ca ON ca.doc_id = s.doc_id_a
-            JOIN counts cb ON cb.doc_id = s.doc_id_b
-            WHERE CAST(s.shared_windows AS DOUBLE)
-                      / CAST(LEAST(ca.n_win, cb.n_win) AS DOUBLE) >= 0.8
-        """,
+        "d12_containment_pairs": _D12_SQL,
         # h06: identical tokenization; EXACT power-of-2 bucketing via the
         # base-2 string length (DuckDB bin == Spark conv base 2 for
         # positive counts), shiftleft min_count; SUMs cast to BIGINT
@@ -3427,29 +3459,8 @@ def oracle_sql() -> dict[str, str]:
         # same order as operators/text.py::normalize_url_col (patterns are
         # Java-regex/RE2-identical; DuckDB regexp_replace needs 'g' for the
         # global non-first-tracking-param pass)
-        "d05_url_dedup": """
-            WITH u AS (
-                SELECT doc_id,
-                       'HTTPS://WWW.' || source || '.Example.COM/page/'
-                       || CAST(doc_id % 7 AS VARCHAR) || '/?utm_source=feed&ref='
-                       || CAST(doc_id AS VARCHAR) AS url
-                FROM documents
-            ), n AS (
-                SELECT doc_id,
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(
-                             regexp_replace(
-                               regexp_replace(
-                                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*'))
-                                   || regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*', ''),
-                                 '&(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*', '', 'g'),
-                               '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*&', '?'),
-                             '\\?(utm_[a-z0-9]+|ref|fbclid|gclid)=[^&]*$', ''),
-                           '[?&]+$', ''),
-                         '/+$', '') AS url_norm
-                FROM u
-            )
+        "d05_url_dedup": f"""
+            {_D05_NORM_CTE}
             SELECT url_norm, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
             FROM n GROUP BY 1
         """,
@@ -6426,6 +6437,500 @@ def _t38_pii_density_by_source(spark, sf_dir):
     )
 
 
+def _h21_activity_span(spark, sf_dir):
+    """Per-user lifetime summary: event count, active-day count, and the
+    first->last span in whole seconds (unix_timestamp truncation ==
+    DuckDB date_diff('second', ..) boundary count) — all int64."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "span_sec"
+        ),
+    )
+
+
+def _h22_gap_histogram(spark, sf_dir):
+    """Inter-event gap histogram: per-user consecutive gaps under the
+    (ts, event_id) total order, in whole seconds, CASE-bucketed
+    (<1m / <1h / <1d / >=1d) — the burstiness profile sessionization
+    thresholds come from."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            (F.unix_timestamp("ts") - F.unix_timestamp("_prev")).alias("gap_sec")
+        )
+    )
+    bucket = (
+        F.when(F.col("gap_sec") < 60, "lt_1m")
+        .when(F.col("gap_sec") < 3600, "lt_1h")
+        .when(F.col("gap_sec") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return gaps.select(bucket.alias("gap_bucket")).groupBy("gap_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )
+
+
+def _h23_hourly_profile(spark, sf_dir):
+    """Per-type hour-of-day load profile (0-23), int counts."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def _h24_type_diversity(spark, sf_dir):
+    """User behavioral diversity: distinct event types per user,
+    histogrammed — the engagement-breadth distribution."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types")
+    )
+    return per.groupBy("n_types").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def _h25_daily_new_users(spark, sf_dir):
+    """Daily actives, new users, and the cumulative distinct-user curve.
+    The cumulative count is a prefix sum over the BOUNDED per-day
+    new-user relation computed with a broadcast theta join (h16's
+    no-window pattern) — never a window over users."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("d"), "user_id")
+    active = days.groupBy("d").agg(F.countDistinct("user_id").alias("n_active"))
+    first = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    new = first.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    prior = new.select(F.col("d").alias("pd"), F.col("n_new").alias("pn"))
+    cum = (
+        new.join(F.broadcast(prior), F.col("pd") <= F.col("d"))
+        .groupBy("d", "n_new")
+        .agg(F.sum("pn").alias("cum_users"))
+    )
+    return active.join(
+        cum.select("d", "n_new", "cum_users"), on="d", how="left"
+    ).select(
+        "d",
+        "n_active",
+        F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        "cum_users",
+    )
+
+
+def _h26_top2_share(spark, sf_dir):
+    """Traffic concentration: the combined share of each event type's two
+    heaviest users ((count DESC, user ASC) total order), one double
+    division of exact ints."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    top2 = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("top2_events"))
+    )
+    totals = per.groupBy("event_type").agg(F.sum("n").alias("n_events"))
+    return totals.join(top2, on="event_type").select(
+        "event_type",
+        "n_events",
+        "top2_events",
+        (F.col("top2_events").cast("double") / F.col("n_events").cast("double")).alias(
+            "top2_share"
+        ),
+    )
+
+
+def _h27_value_extremes(spark, sf_dir):
+    """Per-type exact min/max value WITH the achieving event id — the
+    lexicographic struct-MIN/MAX arg-extreme idiom (g25's pattern: a
+    streaming parallel aggregate, no window), ties resolved on
+    event_id."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mn = F.min(F.struct(F.col("value"), F.col("event_id")))
+    mx = F.max(F.struct(F.col("value"), F.col("event_id")))
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        mn.getField("value").alias("min_value"),
+        mn.getField("event_id").alias("min_event_id"),
+        mx.getField("value").alias("max_value"),
+        mx.getField("event_id").alias("max_event_id"),
+    )
+
+
+def _h28_props_histogram(spark, sf_dir):
+    """JSON payload profile: props.k (r12's extraction, proven parity)
+    bucketed by DIV 10 per event type — all integer."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", F.expr("k DIV 10").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _r39_star_join_rollup(spark, sf_dir):
+    """Four-table star join (orders -> customer -> nation -> region) with
+    broadcast dimensions and decimal-exact revenue per region."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice", "total_revenue"),
+    )
+
+
+def _r40_universal_quantifier(spark, sf_dir):
+    """Universal quantification: customers with >= 1 order and NO order
+    under 50.0 — the NOT EXISTS / anti-join composition."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    low = o.filter(F.col("o_totalprice") < 50.0).select("o_custkey").distinct()
+    any_ = o.select("o_custkey").distinct()
+    return (
+        c.join(any_, c["c_custkey"] == any_["o_custkey"], "leftsemi")
+        .join(low, c["c_custkey"] == low["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _r41_order_ship_lag(spark, sf_dir):
+    """Order-to-ship lag distribution per order priority: whole-day lag
+    (datediff == DuckDB date_diff('day')) CASE-bucketed, int counts."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, "lt_30d")
+        .when(lag < 60, "lt_60d")
+        .when(lag < 90, "lt_90d")
+        .otherwise("ge_90d")
+    )
+    return j.select("o_orderpriority", bucket.alias("lag_bucket")).groupBy(
+        "o_orderpriority", "lag_bucket"
+    ).agg(F.count(F.lit(1)).alias("n_items"))
+
+
+def _r42_conditional_agg(spark, sf_dir):
+    """Filtered/conditional aggregates per return flag: count_if and
+    CASE-gated decimal sums — the dashboard-aggregate shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = F.col("l_quantity") >= 30.0
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(big, 1).otherwise(0)).alias("n_big"),
+        F.sum(
+            F.when(big, F.col("l_extendedprice").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("big_price_sum"),
+        F.max(F.when(big, F.col("l_quantity"))).alias("max_big_qty"),
+    )
+
+
+def _r43_grouped_concat(spark, sf_dir):
+    """Deterministic grouped string aggregation: the 3 lexicographically
+    first customer names per nation, sorted then joined (collect order
+    is nondeterministic; the sort makes the result total)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("c_name")), 1, 3), ","
+        ).alias("first3_names"),
+    )
+
+
+def _s14_nn_degree_sql() -> str:
+    """s14 oracle: GENERATED from the s09 signature layout
+    (_s09_sig_sql) — do not hand-edit the emitted SQL."""
+    lo_expr = _s09_sig_sql(0, 32)
+    hi_expr = _s09_sig_sql(32, 64)
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, {lo_expr} AS sig_lo, {hi_expr} AS sig_hi
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+            FROM sig WHERE vec_id % 5 = 0),
+        scored AS (
+            SELECT q.query_id, sig.vec_id,
+                   CAST(bit_count(xor(sig.sig_lo, q.q_lo))
+                        + bit_count(xor(sig.sig_hi, q.q_hi)) AS INTEGER)
+                       AS hamming
+            FROM sig, q WHERE sig.vec_id != q.query_id),
+        nn AS (
+            SELECT vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY hamming ASC, vec_id ASC) AS rn
+                FROM scored)
+            WHERE rn = 1),
+        deg AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM nn GROUP BY vec_id)
+        SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_targets
+        FROM deg GROUP BY in_degree
+    """
+
+
+def _s17_purity_sql() -> str:
+    """s17 oracle: GENERATED from the s02 hyperplane constants
+    (_lsh_bucket_exprs) — do not hand-edit the emitted SQL."""
+    dot_exprs, bucket = _lsh_bucket_exprs(64, 8, 7)
+    return f"""
+        WITH dots AS (
+            SELECT vec_id, label, {', '.join(dot_exprs)} FROM embeddings),
+        per AS (
+            SELECT CAST({bucket} AS BIGINT) AS lsh_bucket, label,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM dots GROUP BY 1, 2),
+        major AS (
+            SELECT lsh_bucket, label AS majority_label, n AS majority_count
+            FROM (SELECT lsh_bucket, label, n,
+                         ROW_NUMBER() OVER (PARTITION BY lsh_bucket
+                                            ORDER BY n DESC, label ASC) AS rn
+                  FROM per)
+            WHERE rn = 1),
+        tot AS (
+            SELECT lsh_bucket, CAST(SUM(n) AS BIGINT) AS bucket_size
+            FROM per GROUP BY lsh_bucket)
+        SELECT tot.lsh_bucket, bucket_size, majority_label, majority_count
+        FROM tot JOIN major ON tot.lsh_bucket = major.lsh_bucket
+    """
+
+
+def _s16_sign_sql() -> str:
+    """s16 oracle: per-dimension strict `> 0` sign counts (the s09
+    quantizer's bit convention), index via a range cross join."""
+    return """
+        SELECT i.dim,
+               CAST(SUM(CASE WHEN embedding[i.dim] > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_positive,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM embeddings, (SELECT UNNEST(range(1, 65)) AS dim) i
+        GROUP BY i.dim
+    """
+
+
+def _g42_range_sql() -> str:
+    """g42 oracle: GENERATED from functions/cells.py MORTON_ROUNDS
+    (morton_sql) — do not hand-edit the emitted SQL."""
+    from rust_geo_booleanop_spark.functions import morton_sql
+
+    m = morton_sql(
+        "CAST(event_id % 997 AS BIGINT)", "CAST((event_id * 31) % 983 AS BIGINT)"
+    )
+    return f"""
+        WITH m AS (SELECT event_type, {m} AS morton FROM events)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(MIN(morton) AS BIGINT) AS min_morton,
+               CAST(MAX(morton) AS BIGINT) AS max_morton
+        FROM m WHERE morton >= 200000 AND morton < 600000
+        GROUP BY event_type
+    """
+
+
+def _s14_hamming_nn_degree(spark, sf_dir):
+    """Reverse-NN in-degree over the binary-quantized signature space
+    (g28's hub statistic under Hamming distance): every 5th vector finds
+    its non-self NN through the PRODUCTION hamming_topk (k=2 always
+    contains the true non-self NN — self sits at hamming 0), then the
+    chosen-target in-degrees are histogrammed. Exact integers
+    end-to-end; oracle generated from the same s09 bit layout."""
+    from rust_geo_booleanop_spark.operators import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = hamming_topk(emb, queries, k=2, dim=64)
+    nonself = topk.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    nn = (
+        nonself.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id")
+    )
+    deg = nn.groupBy("vec_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    return deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_targets"))
+
+
+def _s15_lsh_bucket_size_histogram(spark, sf_dir):
+    """LSH bucket-size histogram (s02's bucket relation aggregated): the
+    load-balance profile that predicts bucketed-join skew — exact ints
+    atop the hyperplane-constant bucket ids."""
+    from rust_geo_booleanop_spark.operators import with_lsh_bucket
+
+    emb = with_lsh_bucket(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=8)
+    sizes = emb.groupBy("lsh_bucket").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sizes.groupBy("bucket_size").agg(F.count(F.lit(1)).alias("n_buckets"))
+
+
+def _s16_dim_sign_profile(spark, sf_dir):
+    """Per-dimension sign balance of the embedding corpus: how many
+    vectors are strictly positive in each of the 64 dims (the s09
+    quantizer's bit convention) — the bit-balance audit that tells you
+    whether binary quantization wastes bits on skewed dimensions. Pure
+    posexplode + int counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    return (
+        ex.groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum(F.when(F.col("x") > 0, 1).otherwise(0)).alias("n_positive"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+def _s17_bucket_label_purity(spark, sf_dir):
+    """Per-LSH-bucket label purity: bucket size, majority label under
+    the (count DESC, label ASC) total order, and its count — the
+    clustering-quality readout for hyperplane LSH, all integer."""
+    from rust_geo_booleanop_spark.operators import with_lsh_bucket
+
+    emb = with_lsh_bucket(_t(spark, sf_dir, "embeddings"), dim=64, n_planes=8)
+    per = emb.groupBy("lsh_bucket", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lsh_bucket").orderBy(F.desc("n"), F.asc("label"))
+    major = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "lsh_bucket",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_count"),
+        )
+    )
+    totals = per.groupBy("lsh_bucket").agg(F.sum("n").alias("bucket_size"))
+    return totals.join(major, on="lsh_bucket")
+
+
+def _d14_dup_class_histogram(spark, sf_dir):
+    """Exact-dup class-size histogram over normalized text keys: how
+    much of the corpus sits in 1/2/3/..-copy classes — the headline
+    dedup-savings distribution, all integer."""
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    per = d.select(normalized_text_key("text").alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return per.groupBy("class_size").agg(F.count(F.lit(1)).alias("n_classes"))
+
+
+def _d15_containment_degree(spark, sf_dir):
+    """Quote-graph degree histogram: d12's containment pairs as an
+    undirected graph, per-doc partner counts histogrammed — how
+    entangled the quotation structure is (hubs = heavily-quoted
+    sources). Oracle wraps the SAME _D12_SQL pair relation."""
+    from rust_geo_booleanop_spark.operators import containment_pairs
+
+    pairs = containment_pairs(
+        _t(spark, sf_dir, "documents"), window=8, threshold=0.8, max_df=64
+    )
+    ends = pairs.select(F.col("doc_id_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_id_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _d16_url_dup_rate_by_source(spark, sf_dir):
+    """Per-source URL duplication after canonicalization (d05's messy
+    synthetic urls + the SAME normalization rules, shared via
+    _D05_NORM_CTE): url count, distinct canonical urls, dup rate as one
+    division."""
+    from rust_geo_booleanop_spark.operators.text import normalize_url_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM/page/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/?utm_source=feed&ref="),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    per = d.withColumn("url_norm", normalize_url_col("url")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url_norm").alias("n_canonical"),
+    )
+    return per.select(
+        "source",
+        "n_urls",
+        "n_canonical",
+        (
+            (F.col("n_urls") - F.col("n_canonical")).cast("double")
+            / F.col("n_urls").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+def _d17_dup_savings_by_source(spark, sf_dir):
+    """Exact-dedup storage savings per source: total chars minus the
+    representative (min doc_id per class) chars = bytes a dedup pass
+    deletes — all int64, the capacity-planning number."""
+    from rust_geo_booleanop_spark.operators.dedup import normalized_text_key
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    keyed = d.select(
+        "source", "doc_id", "n_chars", normalized_text_key("text").alias("k")
+    )
+    w = Window.partitionBy("source", "k").orderBy(F.asc("doc_id"))
+    marked = keyed.withColumn("rn", F.row_number().over(w))
+    return marked.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "kept_chars"
+        ),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "saved_chars"
+        ),
+    )
+
+
+def _g42_morton_range_count(spark, sf_dir):
+    """Z-range pruning probe: points whose morton key falls in a fixed
+    z-range (the predicate a Z-ORDER-clustered scan pushes down),
+    counted per event type — pure shift/AND/OR codegen, oracle
+    generated from the same MORTON_ROUNDS table."""
+    from rust_geo_booleanop_spark.functions import morton_expr
+
+    e = _t(spark, sf_dir, "events")
+    m = morton_expr(F.col("event_id") % 997, (F.col("event_id") * 31) % 983)
+    return (
+        e.select("event_type", m.alias("morton"))
+        .filter((F.col("morton") >= 200_000) & (F.col("morton") < 600_000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("morton").alias("min_morton"),
+            F.max("morton").alias("max_morton"),
+        )
+    )
+
+
 # --- Round-6 staging area (graded by scripts/check_oracles.py and
 # scripts/explain_plans.py, invisible to the driver until promoted).
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6452,6 +6957,28 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t36_crosslang_dup_leakage": _t36_crosslang_dup_leakage,
     "t37_shingle_df_histogram": _t37_shingle_df_histogram,
     "t38_pii_density_by_source": _t38_pii_density_by_source,
+    "h21_activity_span": _h21_activity_span,
+    "h22_gap_histogram": _h22_gap_histogram,
+    "h23_hourly_profile": _h23_hourly_profile,
+    "h24_type_diversity": _h24_type_diversity,
+    "h25_daily_new_users": _h25_daily_new_users,
+    "h26_top2_share": _h26_top2_share,
+    "h27_value_extremes": _h27_value_extremes,
+    "h28_props_histogram": _h28_props_histogram,
+    "r39_star_join_rollup": _r39_star_join_rollup,
+    "r40_universal_quantifier": _r40_universal_quantifier,
+    "r41_order_ship_lag": _r41_order_ship_lag,
+    "r42_conditional_agg": _r42_conditional_agg,
+    "r43_grouped_concat": _r43_grouped_concat,
+    "s14_hamming_nn_degree": _s14_hamming_nn_degree,
+    "s15_lsh_bucket_size_histogram": _s15_lsh_bucket_size_histogram,
+    "s16_dim_sign_profile": _s16_dim_sign_profile,
+    "s17_bucket_label_purity": _s17_bucket_label_purity,
+    "d14_dup_class_histogram": _d14_dup_class_histogram,
+    "d15_containment_degree": _d15_containment_degree,
+    "d16_url_dup_rate_by_source": _d16_url_dup_rate_by_source,
+    "d17_dup_savings_by_source": _d17_dup_savings_by_source,
+    "g42_morton_range_count": _g42_morton_range_count,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -6804,4 +7331,206 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM dfs GROUP BY 1
     """,
     "t38_pii_density_by_source": _t38_pii_sql(),
+    # h21: date_diff('second') boundary count == unix_timestamp diff.
+    "h21_activity_span": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS span_sec
+        FROM events GROUP BY user_id
+    """,
+    # h22: same (ts, event_id) lag order; whole-second gaps, fixed CASE.
+    "h22_gap_histogram": """
+        WITH g AS (
+            SELECT date_diff('second', LAG(ts) OVER w, ts) AS gap_sec
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT CASE WHEN gap_sec < 60 THEN 'lt_1m'
+                    WHEN gap_sec < 3600 THEN 'lt_1h'
+                    WHEN gap_sec < 86400 THEN 'lt_1d'
+                    ELSE 'ge_1d' END AS gap_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM g WHERE gap_sec IS NOT NULL GROUP BY 1
+    """,
+    "h23_hourly_profile": """
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "h24_type_diversity": """
+        WITH per AS (
+            SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+            FROM events GROUP BY user_id)
+        SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per GROUP BY n_types
+    """,
+    # h25: prefix sum over the bounded per-day new-user relation via a
+    # theta join (the h16 no-window pattern on both sides).
+    "h25_daily_new_users": """
+        WITH days AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        active AS (
+            SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM days GROUP BY d),
+        first AS (SELECT user_id, MIN(d) AS fd FROM days GROUP BY user_id),
+        nw AS (SELECT fd AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+               FROM first GROUP BY fd),
+        cum AS (
+            SELECT a.d, a.n_new, CAST(SUM(b.n_new) AS BIGINT) AS cum_users
+            FROM nw a JOIN nw b ON b.d <= a.d GROUP BY a.d, a.n_new)
+        SELECT active.d, n_active,
+               COALESCE(cum.n_new, 0) AS n_new, cum.cum_users
+        FROM active LEFT JOIN cum ON active.d = cum.d
+    """,
+    "h26_top2_share": """
+        WITH per AS (
+            SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        t2 AS (
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS top2_events
+            FROM (SELECT event_type, n,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, user_id ASC) AS rn
+                  FROM per)
+            WHERE rn <= 2 GROUP BY event_type),
+        tot AS (
+            SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events
+            FROM per GROUP BY event_type)
+        SELECT tot.event_type, n_events, top2_events,
+               CAST(top2_events AS DOUBLE) / CAST(n_events AS DOUBLE)
+                   AS top2_share
+        FROM tot JOIN t2 ON tot.event_type = t2.event_type
+    """,
+    # h27: lexicographic struct-MIN/MAX arg-extremes (g25 idiom).
+    "h27_value_extremes": """
+        WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+        agg AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(struct_pack(value := value, event_id := event_id)) AS mn,
+                   MAX(struct_pack(value := value, event_id := event_id)) AS mx
+            FROM e GROUP BY event_type)
+        SELECT event_type, n_events,
+               mn.value AS min_value, mn.event_id AS min_event_id,
+               mx.value AS max_value, mx.event_id AS max_event_id
+        FROM agg
+    """,
+    "h28_props_histogram": """
+        WITH k AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+        SELECT event_type, k // 10 AS k_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM k WHERE k IS NOT NULL GROUP BY 1, 2
+    """,
+    "r39_star_join_rollup": """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "r40_universal_quantifier": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice < 50.0)
+    """,
+    "r41_order_ship_lag": """
+        WITH j AS (
+            SELECT o_orderpriority,
+                   date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS lag
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT o_orderpriority,
+               CASE WHEN lag < 30 THEN 'lt_30d'
+                    WHEN lag < 60 THEN 'lt_60d'
+                    WHEN lag < 90 THEN 'lt_90d'
+                    ELSE 'ge_90d' END AS lag_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM j GROUP BY 1, 2
+    """,
+    "r42_conditional_agg": """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_big,
+               CAST(SUM(CASE WHEN l_quantity >= 30.0
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS big_price_sum,
+               MAX(CASE WHEN l_quantity >= 30.0 THEN l_quantity END)
+                   AS max_big_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "r43_grouped_concat": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               array_to_string(list_sort(list(c_name))[1:3], ',')
+                   AS first3_names
+        FROM customer GROUP BY c_nationkey
+    """,
+    "s14_hamming_nn_degree": _s14_nn_degree_sql(),
+    # s15: bucket sizes of the s02 relation, re-aggregated.
+    "s15_lsh_bucket_size_histogram": f"""
+        WITH b AS ({_lsh_bucket_sql()})
+        SELECT CAST(n_vectors AS BIGINT) AS bucket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY 1
+    """,
+    "s16_dim_sign_profile": _s16_sign_sql(),
+    "s17_bucket_label_purity": _s17_purity_sql(),
+    "d14_dup_class_histogram": r"""
+        WITH per AS (
+            SELECT LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS class_size
+            FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes
+        FROM per GROUP BY class_size
+    """,
+    # d15: the SAME _D12_SQL pair relation, degree-aggregated.
+    "d15_containment_degree": f"""
+        WITH pairs AS ({_D12_SQL}),
+        ends AS (
+            SELECT doc_id_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT doc_id_b AS doc_id FROM pairs),
+        deg AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM ends GROUP BY doc_id)
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM deg GROUP BY degree
+    """,
+    # d16: the SAME _D05_NORM_CTE normalization, per-source dup rate.
+    "d16_url_dup_rate_by_source": f"""
+        {_D05_NORM_CTE},
+        per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_canonical
+            FROM n GROUP BY source)
+        SELECT source, n_urls, n_canonical,
+               CAST(n_urls - n_canonical AS DOUBLE) / CAST(n_urls AS DOUBLE)
+                   AS dup_rate
+        FROM per
+    """,
+    "d17_dup_savings_by_source": r"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   LOWER(TRIM(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+            FROM documents WHERE text IS NOT NULL),
+        r AS (
+            SELECT source, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source, k
+                                      ORDER BY doc_id ASC) AS rn
+            FROM keyed)
+        SELECT source,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS kept_chars,
+               CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS saved_chars
+        FROM r GROUP BY source
+    """,
+    "g42_morton_range_count": _g42_range_sql(),
 }
