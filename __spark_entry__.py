@@ -6931,6 +6931,117 @@ def _g42_morton_range_count(spark, sf_dir):
     )
 
 
+def _g36_ring_winding_audit(spark, sf_dir):
+    """Ring-winding audit over kernel output
+    (operators/measures.py::ring_windings): per (op, orientation,
+    is_hole) ring counts across the corpus — quantifying the output
+    contract that the kernel does NOT normalize hole orientation
+    (reference connect_edges.rs:288: contours may mix winding rules), so
+    holes are identified structurally, never by sign. Oracle: committed
+    fixture from the PURE-PYTHON kernel + the FP-lockstep CPython twin
+    winding_audit_python (scripts/gen_geo_oracle_fixtures.py g36),
+    joined against the live documents view."""
+    from rust_geo_booleanop_spark.operators import boolean_pipeline, extract_geometries
+    from rust_geo_booleanop_spark.operators.measures import ring_windings
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    geoms = extract_geometries(build_documents(spark, sf_dir))
+    results = boolean_pipeline(geoms).filter(F.col("status") == "ok")
+    rings = ring_windings(
+        results.select("case_id", "op", "result_json"), geom_col="result_json"
+    )
+    return rings.groupBy("op", "orientation", "is_hole").agg(
+        F.count(F.lit(1)).alias("n_rings")
+    )
+
+
+def _m09_audio_zc_histogram(spark, sf_dir):
+    """Zero-crossing-rate histogram over all audio frames (the cheap
+    voiced/unvoiced profile): n_zc DIV 100 buckets, exact ints through
+    the real WAV decode. Oracle: the m06 per-frame fixture bucketed in
+    SQL."""
+    from rust_geo_booleanop_spark.operators import audio_energy, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    frames = audio_energy(media, frame_ms=100, max_frames=8)
+    return frames.groupBy(F.expr("n_zc DIV 100").alias("zc_bucket")).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+
+
+def _m10_image_brightness_histogram(spark, sf_dir):
+    """Mean-brightness histogram over decoded images: integer mean =
+    pixel_sum DIV n_pixels (0-255), DIV 32 buckets (0-7) — the exposure
+    profile a vision-data curation pass filters on. Oracle: the m07
+    per-image fixture bucketed in SQL."""
+    from rust_geo_booleanop_spark.operators import image_stats, synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(spark, build_documents(spark, sf_dir))
+    stats = image_stats(media)
+    bucket = F.expr("(pixel_sum DIV n_pixels) DIV 32")
+    return (
+        stats.filter(F.col("n_pixels") > 0)
+        .groupBy(bucket.alias("brightness_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+def _m11_media_size_stats(spark, sf_dir):
+    """Per-kind media payload inventory: container byte sizes (real
+    PNG/WAV/MPNG bytes, F.length on the binary column) and duration
+    metadata — the storage-planning numbers of a multimodal corpus.
+    Oracle: the m11 fixture of the operator's own container bytes."""
+    from rust_geo_booleanop_spark.operators import synth_media
+    from rust_geo_booleanop_spark.sources import build_documents
+
+    media = synth_media(
+        spark, build_documents(spark, sf_dir), kinds=("image", "audio", "video")
+    )
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("media")).alias("total_bytes"),
+        F.min(F.length("media")).alias("min_bytes"),
+        F.max(F.length("media")).alias("max_bytes"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+    )
+
+
+def _st03_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator through the driver gate:
+    gap-based sessionization via applyInPandasWithState
+    (streaming/sessions.py) — per-user open-session state, closed
+    sessions appended to a checkpointed parquet sink. With NoTimeout +
+    AvailableNow only CLOSED sessions emit (each user's final session
+    stays in state by design), so the oracle is the batch gap rule
+    (exact integer microseconds, the r16 sessionize semantics) minus
+    each user's last session. Single-drop input keeps batching
+    deterministic; emitted rows are re-created driver-side (bounded by
+    session count) so the scratch dir can be removed."""
+    import shutil
+    import tempfile
+
+    from rust_geo_booleanop_spark.streaming import run_session_stream
+
+    base = tempfile.mkdtemp(prefix="st03_")
+    try:
+        in_dir, out_dir, ck = f"{base}/in", f"{base}/out", f"{base}/ck"
+        _t(spark, sf_dir, "events").coalesce(1).write.parquet(in_dir)
+        run_session_stream(spark, in_dir, out_dir, ck, gap_seconds=1800)
+        schema = (
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long"
+        )
+        try:
+            rows = spark.read.schema(schema).parquet(out_dir).collect()
+        except Exception:
+            rows = []
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # --- Round-6 staging area (graded by scripts/check_oracles.py and
 # scripts/explain_plans.py, invisible to the driver until promoted).
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6979,6 +7090,11 @@ STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d16_url_dup_rate_by_source": _d16_url_dup_rate_by_source,
     "d17_dup_savings_by_source": _d17_dup_savings_by_source,
     "g42_morton_range_count": _g42_morton_range_count,
+    "g36_ring_winding_audit": _g36_ring_winding_audit,
+    "m09_audio_zc_histogram": _m09_audio_zc_histogram,
+    "m10_image_brightness_histogram": _m10_image_brightness_histogram,
+    "m11_media_size_stats": _m11_media_size_stats,
+    "st03_stream_sessionize": _st03_stream_sessionize,
 }
 
 STAGED_ORACLE_SQL: dict[str, str] = {
@@ -7533,4 +7649,75 @@ STAGED_ORACLE_SQL: dict[str, str] = {
         FROM r GROUP BY source
     """,
     "g42_morton_range_count": _g42_range_sql(),
+    # g36: python-kernel + CPython-winding-twin fixture, live-case join.
+    "g36_ring_winding_audit": """
+        WITH cases AS (SELECT DISTINCT doc_id // 2 AS case_id FROM documents)
+        SELECT f.op, f.orientation, f.is_hole,
+               CAST(SUM(f.n_rings) AS BIGINT) AS n_rings
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/g36_winding_sf01.parquet') f
+        JOIN cases USING (case_id)
+        GROUP BY 1, 2, 3
+    """,
+    # m09: the m06 per-frame fixture, bucketed in SQL.
+    "m09_audio_zc_histogram": f"""
+        WITH {_URLS_CTE}
+        SELECT f.n_zc // 100 AS zc_bucket, CAST(COUNT(*) AS BIGINT) AS n_frames
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m06_audio_energy_sf01.parquet') f
+        JOIN urls USING (url)
+        GROUP BY 1
+    """,
+    # m10: the m07 per-image fixture, integer-mean bucketed in SQL.
+    "m10_image_brightness_histogram": f"""
+        WITH {_URLS_CTE}
+        SELECT (f.pixel_sum // f.n_pixels) // 32 AS brightness_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_images
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m07_image_stats_sf01.parquet') f
+        JOIN urls USING (url)
+        WHERE f.n_pixels > 0
+        GROUP BY 1
+    """,
+    # m11: the operator-bytes fixture aggregated per kind.
+    "m11_media_size_stats": f"""
+        WITH {_URLS_CTE}
+        SELECT f.kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+               CAST(MIN(f.n_bytes) AS BIGINT) AS min_bytes,
+               CAST(MAX(f.n_bytes) AS BIGINT) AS max_bytes,
+               CAST(SUM(f.duration_ms) AS BIGINT) AS total_duration_ms
+        FROM read_parquet('/root/repo/tests/oracle_fixtures/m11_media_sizes_sf01.parquet') f
+        JOIN urls USING (url)
+        GROUP BY f.kind
+    """,
+    # st03: the batch gap rule (exact integer microseconds, r16
+    # semantics) minus each user's LAST session (it stays open in
+    # streaming state and never emits under NoTimeout).
+    "st03_stream_sessionize": """
+        WITH o AS (
+            SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+                   LAG(epoch_us(ts)) OVER w AS prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        f AS (
+            SELECT user_id, ts, event_id, tus,
+                   CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM o),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(ns) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+            FROM f),
+        sess AS (
+            SELECT user_id, sid, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid),
+        closed AS (
+            SELECT * FROM sess
+            WHERE sid < (SELECT MAX(s2.sid) FROM sess s2
+                         WHERE s2.user_id = sess.user_id))
+        SELECT user_id, session_start, session_end, n_events FROM closed
+    """,
 }

@@ -431,6 +431,51 @@ def measures_python(geom_json: str):
     }
 
 
+def ring_windings(geoms: DataFrame, geom_col: str = "geom_json") -> DataFrame:
+    """Per-ring winding audit, pure JVM: posexplode polygons and rings,
+    orientation = sign of the ring's shoelace left fold (+1 CCW, -1 CW,
+    0 degenerate), is_hole = STRUCTURAL ring index > 0 (never winding —
+    the kernel's output contract guarantees [exterior, holes...] nesting
+    but NOT hole orientation; reference connect_edges.rs:288). The g36
+    audit quantifies exactly that non-guarantee. FP lockstep twin:
+    `winding_audit_python` below — edit both together."""
+    c = F.from_json(F.col(geom_col), MULTIPOLYGON_SCHEMA)["coordinates"]
+    base = [F.col(col) for col in geoms.columns]
+    polys = geoms.select(*base, F.posexplode(c).alias("poly_idx", "_poly"))
+    rings = polys.select(
+        *base, "poly_idx", F.posexplode("_poly").alias("ring_idx", "_ring")
+    )
+    sl = _ring_shoelace(F.col("_ring"))
+    orientation = (
+        F.when(sl > 0.0, 1).when(sl < 0.0, -1).otherwise(0).cast("int")
+    )
+    return rings.select(
+        *base,
+        F.col("poly_idx").cast("int").alias("poly_idx"),
+        F.col("ring_idx").cast("int").alias("ring_idx"),
+        orientation.alias("orientation"),
+        (F.col("ring_idx") > 0).alias("is_hole"),
+    )
+
+
+def winding_audit_python(geom_json: str):
+    """CPython twin of `ring_windings` with the identical shoelace fold
+    order (lockstep rule: any edit to the JVM fold must change this
+    too). Returns [(poly_idx, ring_idx, orientation, is_hole), ...]."""
+    coords = json.loads(geom_json)["coordinates"]
+    out = []
+    for pi, poly in enumerate(coords):
+        for ri, ring in enumerate(poly):
+            ring_acc = 0.0
+            for i in range(len(ring) - 1):
+                ring_acc = ring_acc + (
+                    ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+                )
+            orientation = 1 if ring_acc > 0.0 else (-1 if ring_acc < 0.0 else 0)
+            out.append((pi, ri, orientation, ri > 0))
+    return out
+
+
 def area_python(geom_json: str) -> float:
     """CPython twin of geometry_measures' `area` column ONLY, with the
     identical left-fold FP operation order — but safe on EMPTY

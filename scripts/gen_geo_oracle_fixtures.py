@@ -324,6 +324,38 @@ def g09_expected_rows():
     return rows
 
 
+def g36_winding_rows(case_ids):
+    """Expected per-(case, op) ring-winding counts computed with the
+    PURE-PYTHON kernel pair runner and the CPython winding twin
+    (operators/measures.py::winding_audit_python — FP-order lockstep
+    with the `ring_windings` JVM fold; any edit to either must rerun
+    this). Rows: (case_id, op, orientation, is_hole, n_rings); non-ok
+    statuses are skipped (no geometry), matching the query's status
+    filter."""
+    from collections import Counter
+
+    from rust_geo_booleanop_spark.kernel.geojson import serialize_multipolygon
+    from rust_geo_booleanop_spark.kernel.pairs import pair_boolean_ops_python
+    from rust_geo_booleanop_spark.operators.measures import winding_audit_python
+    from rust_geo_booleanop_spark.sources.corpus import case_geometry
+
+    counts: Counter = Counter()
+    for case_id in case_ids:
+        subject, clipping = case_geometry(case_id)
+        s_json = serialize_multipolygon(subject)
+        c_json = serialize_multipolygon(clipping)
+        for op, result_json, _n, _x0, _y0, _x1, _y1, status in (
+            pair_boolean_ops_python(s_json, c_json, OPS)
+        ):
+            if status != "ok":
+                continue
+            for _pi, _ri, orientation, is_hole in winding_audit_python(result_json):
+                counts[(case_id, op, orientation, is_hole)] += 1
+    return [
+        (c, o, orient, hole, n) for (c, o, orient, hole), n in sorted(counts.items())
+    ]
+
+
 def main():
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -355,6 +387,26 @@ def main():
         _write_g20(pa, pq)
     if want("g21"):
         _write_g21(pa, pq)
+    if want("g36"):
+        _write_g36(pa, pq)
+
+
+def _write_g36(pa, pq):
+    g36 = g36_winding_rows(range(N_CASES))
+    pq.write_table(
+        pa.table(
+            {
+                "case_id": pa.array([r[0] for r in g36], pa.int64()),
+                "op": pa.array([r[1] for r in g36], pa.string()),
+                "orientation": pa.array([r[2] for r in g36], pa.int32()),
+                "is_hole": pa.array([r[3] for r in g36], pa.bool_()),
+                "n_rings": pa.array([r[4] for r in g36], pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "g36_winding_sf01.parquet"),
+        compression="zstd",
+    )
+    print(f"g36: {len(g36)} rows (python-kernel winding twin)")
 
 
 def _write_geo(pa, pq):

@@ -94,7 +94,18 @@ def media_fixture_frames(doc_ids):
             (hashlib.md5(b).hexdigest() for b in th["thumb"]),
         )
     )
-    return m01, m02, m03, m04, m06, m07, m08
+
+    # m11: payload container sizes + duration metadata per (url, kind)
+    # over the 3-kind table (image/audio/video)
+    m11 = list(
+        zip(
+            media3["url"],
+            media3["kind"],
+            (len(b) for b in media3["media"]),
+            media3["duration_ms"],
+        )
+    )
+    return m01, m02, m03, m04, m06, m07, m08, m11
 
 
 N_GROUPS = 200  # m05's dedup-group key space: doc_id % 200
@@ -125,7 +136,7 @@ def main():
     import pyarrow.parquet as pq
 
     os.makedirs(FIXDIR, exist_ok=True)
-    m01, m02, m03, m04, m06, m07, m08 = media_fixture_frames(range(N_DOCS))
+    m01, m02, m03, m04, m06, m07, m08, m11 = media_fixture_frames(range(N_DOCS))
     m05 = m05_fixture_rows()
 
     pq.write_table(
@@ -203,6 +214,20 @@ def main():
             }
         ),
         os.path.join(FIXDIR, "m08_video_frame_stats_sf01.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in m11], pa.string()),
+                "kind": pa.array([r[1] for r in m11], pa.string()),
+                "n_bytes": pa.array([int(r[2]) for r in m11], pa.int64()),
+                "duration_ms": pa.array(
+                    [None if r[3] != r[3] else int(r[3]) for r in m11], pa.int32()
+                ),
+            }
+        ),
+        os.path.join(FIXDIR, "m11_media_sizes_sf01.parquet"),
         compression="zstd",
     )
     pq.write_table(

@@ -214,6 +214,24 @@ class TestGeoFixturesFresh:
         assert sum(r[2] - r[3] for r in rows) > 0
 
 
+def test_g36_sample_fresh():
+    """g36's winding fixture: regenerate the sample slice with the
+    pure-python kernel + the CPython winding twin and require equality —
+    pins the FP-lockstep rule between measures.ring_windings (JVM) and
+    winding_audit_python."""
+    from scripts.gen_geo_oracle_fixtures import g36_winding_rows
+
+    sample = sorted(set(SAMPLE_CASES))
+    committed = sorted(
+        (r for r in _fix("g36_winding_sf01") if r[0] in set(sample)), key=_key
+    )
+    assert committed == sorted(
+        ((c, o, int(orient), bool(h), int(n)) for c, o, orient, h, n in
+         g36_winding_rows(sample)),
+        key=_key,
+    )
+
+
 def test_g11_fresh_flat_fold():
     """g11's fixture regenerates from the pure-python FLAT sorted fold —
     an independent fold structure from the operator's salted buckets."""
@@ -308,6 +326,19 @@ class TestMediaFixturesFresh:
         committed = sorted(r for r in _fix("m04_thumbs_sf01") if r[0] in urls)
         assert committed == sorted(
             (u, int(w), int(h), md5) for u, w, h, md5 in regenerated[3]
+        )
+
+    def test_m11_sample_fresh(self, regenerated):
+        urls = self._sample_urls()
+        committed = sorted(
+            (r for r in _fix("m11_media_sizes_sf01") if r[0] in urls), key=_key
+        )
+        assert committed == sorted(
+            (
+                (u, k, int(n), None if d != d else int(d))
+                for u, k, n, d in regenerated[7]
+            ),
+            key=_key,
         )
 
     def test_m05_full_fresh(self):
