@@ -74,6 +74,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # parse_multipolygon + multipolygon_bbox otherwise — same values.
     bbox_fn = resolve_bbox_fn()
     for pdf in batches:
+        n_dirty = 0
         out = {
             "url": [],
             "case_id": [],
@@ -114,6 +115,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     continue
                 xmin, ymin, xmax, ymax = bbox_fn(geom_json)
             except _DIRTY_GEOMETRY_ERRORS:
+                n_dirty += 1
                 continue
             # JSON number tokens admit Infinity and a MultiPolygon
             # admits empty coordinates (bbox = inverted infinities).
@@ -139,6 +141,20 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["ymax"].append(ymax)
             out["text"].append(text)
             out["lang"].append(lang)
+        # Observability valve (round-5 advice): _DIRTY_GEOMETRY_ERRORS is
+        # deliberately broad, so a genuine bbox_fn regression would
+        # otherwise drop every page SILENTLY. One executor-log line per
+        # majority-dirty batch (never per row) makes a 100%-skip
+        # pathology visible without failing the job.
+        if len(pdf) >= 16 and n_dirty * 2 >= len(pdf):
+            import sys
+
+            print(
+                f"extract_geometries: {n_dirty}/{len(pdf)} pages skipped as "
+                "dirty in one batch - a near-100% skip rate usually means a "
+                "bbox parser regression, not a dirty corpus",
+                file=sys.stderr,
+            )
         yield pd.DataFrame(out)
 
 

@@ -395,6 +395,8 @@ def sample_audio_frames_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -
         except MediaDecodeError:
             continue  # corrupt payload: skip the row, never the job
         frame_len = int(int(sr) * frame_ms / 1000)
+        if frame_len <= 0:
+            continue  # corrupt metadata (sr <= 0): same skip-the-row contract
         n_frames = min(max_frames, max(1, len(samples) // frame_len))
         for fi in range(n_frames):
             frame = samples[fi * frame_len : (fi + 1) * frame_len]
@@ -438,6 +440,8 @@ def audio_energy_pdf(pdf: pd.DataFrame, frame_ms: int, max_frames: int) -> pd.Da
         except MediaDecodeError:
             continue  # corrupt payload: skip the row, never the job
         frame_len = int(int(sr) * frame_ms / 1000)
+        if frame_len <= 0:
+            continue  # corrupt metadata (sr <= 0): same skip-the-row contract
         n_frames = min(max_frames, max(1, len(samples) // frame_len))
         for fi in range(n_frames):
             frame = samples[fi * frame_len : (fi + 1) * frame_len].astype(np.int64)

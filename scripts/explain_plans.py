@@ -73,7 +73,7 @@ def main():
         ("t11_quality_filter", "Gopher quality filter: repetition-stats shuffle + per-row codegen HOF rules"),
         ("t12_stratified_sample", "deterministic stratified sampling: md5-prefix threshold as a pure codegen filter - no shuffle, no UDF"),
         ("g15_tile_pyramid", "tile pyramid rollup: in-row JVM parent array -> ONE explode + hash-agg for all levels"),
-        ("d07_incremental_dedup", "bloom incremental dedup: shuffle-free partial bitmaps OR-folded, broadcast word-array probe with O(1) element_at (no Python stage), anti-join verify only on bloom-positives"),
+        ("d07_incremental_dedup", "bloom incremental dedup: partial bitmaps OR-reduced in a two-level executor tree fold (driver receives ONE row), broadcast word-array probe with O(1) element_at (no Python stage), anti-join verify only on bloom-positives"),
         ("g16_geometry_measures", "geometry measures: nested HOF shoelace folds entirely in codegen - no shuffle, no Python past extraction"),
         ("t13_tfidf_topterms", "tf-idf top terms: ONE tokenizing scan -> tf hash-agg -> df window over terms -> broadcast corpus count -> per-doc top-k window"),
         ("t14_chunking", "training-window chunking: pure per-row codegen (split -> start sequence -> posexplode -> slice/join) - ZERO shuffles"),
@@ -110,7 +110,7 @@ def main():
         ("g26_grid_clusters", "grid hotspot clustering: 8-way offset explode + ONE equi-join on the packed cell key (the focal_sum shape, never a coordinate theta-join) feeding the d04 min-label rounds"),
         ("h13_funnel", "conversion funnel: per-step filtered map-side-partial MIN aggregates + user-key equi-joins - no window over user history"),
         ("r32_latest_per_key", "latest-per-key compaction: rank-1 window planned as WindowGroupLimit - map-side per-partition top-1 BEFORE the exchange"),
-        ("h16_gini", "Gini concentration: tie-grouped rank-sum identity - prefix window over DISTINCT count values only, never a per-user ranking"),
+        ("h16_gini", "Gini concentration: tie-grouped rank-sum identity - prefix sum via broadcast theta self-join over DISTINCT count values (round 5: zero WindowExec anywhere), never a per-user ranking"),
         ("t25_dup_ngram_stats", "duplicated-ngram coverage: in-row transform(sequence) grams -> (doc, gram) map-side-partial hash agg -> per-doc rollup"),
         ("s12_knn_label_purity", "kNN label purity: broadcast queries, exact cosine window top-k, label equi-join + broadcast query-label join, one agg"),
         ("h20_weighted_median", "weighted median: cumulative and total windows share ONE exchange on the group key; pure-int64 crossing-row filter, no second pass"),
@@ -118,6 +118,15 @@ def main():
         ("t26_word_length_profile", "word-length profile: explode -> (lang, len) map-side-partial hash agg + planned two-level distinct; share window rides the AGGREGATED frame, not tokens"),
         ("s13_hamming_histogram", "Hamming histogram: signature sign-bit folds in codegen, broadcast sampled side, XOR+POPCNT scoring map-side, <=65-row hash agg"),
         ("r37_array_functions", "array HOF battery: every column a JVM codegen higher-order function over the in-row token array - ZERO shuffles, scan parallelism end-to-end"),
+        ("g33_salted_boolean_pipeline", "salted flagship: hot-case fanout equi-join pair formation (threshold=0 forces the salted path everywhere) - no collect_list aggregation state, kernel over the streamed join"),
+        ("r38_salted_join_revenue", "explicit skew salting: broadcast hot-key list, probe-side salt fanout + build-side replicate, equi-join on (key, salt) - hot keys split across factor reducers"),
+        ("g36_ring_winding_audit", "ring winding audit: posexplode polygons/rings + shoelace HOF sign folds in codegen after the kernel stage, one tiny hash agg"),
+        ("g37_cell_neighbor_occupancy", "neighbor occupancy: 8-offset broadcast cross join + packed-cell EQUI-join (never a coordinate theta join), left join back for zero-degree cells"),
+        ("h25_daily_new_users", "cumulative distinct users: per-day aggregates + broadcast theta-join prefix sum over the BOUNDED day relation - no window over users"),
+        ("t27_composition_drift", "composition drift: one tokenizing scan -> (source, snapshot) map-side-partial agg -> broadcast snapshot totals join - no window"),
+        ("t37_shingle_df_histogram", "shingle document frequencies: d03's JVM HOF shingles -> df hash agg -> fixed CASE buckets -> 4-row rollup"),
+        ("s14_hamming_nn_degree", "hamming reverse-NN degree: codegen sign-bit signatures, broadcast sampled queries, XOR+POPCNT scoring, window top-2, two tiny hash aggs"),
+        ("d17_dup_savings_by_source", "dedup savings: ONE shuffle on (source, key) shared by the representative window, int64 conditional sums"),
     ]
 
     out = ["# PLANS — physical plans of headline queries\n"]

@@ -408,6 +408,35 @@ def test_audio_energy_zero_crossing_definition():
     assert out["n_zc"].tolist() == [2]
 
 
+def test_zero_sample_rate_row_is_skipped_not_fatal():
+    """Corrupt METADATA (sample_rate <= 0) must follow the same
+    skip-the-row contract as a corrupt payload: frame_len would be 0 and
+    `len(samples) // frame_len` used to ZeroDivisionError the whole task
+    (round-5 advice fix); the good row still comes through."""
+    import numpy as np
+    import pandas as pd
+
+    from rust_geo_booleanop_spark.functions.codecs import encode_wav_pcm16
+    from rust_geo_booleanop_spark.operators.multimodal import (
+        audio_energy_pdf,
+        sample_audio_frames_pdf,
+    )
+
+    samples = np.array([1, 0, -1, -2, 3, 0], dtype=np.int16)
+    good = encode_wav_pcm16(samples, 60)
+    pdf = pd.DataFrame(
+        {
+            "url": ["bad", "good"],
+            "media": [good, good],
+            "sample_rate": [0, 60],
+            "duration_ms": [100, 100],
+        }
+    )
+    for fn in (audio_energy_pdf, sample_audio_frames_pdf):
+        out = fn(pdf, frame_ms=100, max_frames=1)
+        assert out["url"].tolist() == ["good"], fn.__name__
+
+
 def test_image_stats_matches_decoded_twin(spark):
     """image_stats' integer folds recomputed from decode_png_gray8 directly."""
     import numpy as np
