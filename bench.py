@@ -283,6 +283,14 @@ def main():
         "word_length_profile": 0.5,
         "hamming_histogram": 2.4,
         "array_functions": 0.4,
+        # round-5 staged additions (calm run bench_r5 close; bands ~2x
+        # the observed calm wall)
+        "salted_flagship": 6.0,
+        "winding_audit": 5.0,
+        "composition_drift": 0.6,
+        "dup_savings": 0.5,
+        "hamming_nn_degree": 5.0,
+        "cell_neighbors": 0.6,
     }
     if replicate == 8:
         op_calm_max["flagship_boolean_tiling"] = 7.0  # native kernel, r3
@@ -807,6 +815,36 @@ def main():
         )
         .agg(F.sum("total_chars"))
         .collect(),
+    )
+
+    # --- round-5 staged additions (round-6 contract; the callables come
+    # from the contract module so bench and gate share ONE definition —
+    # the dict union keeps the lookup working after the round-6
+    # promotion empties STAGED_QUERIES) ---
+    contract_qs = {**entrymod.queries(), **entrymod.STAGED_QUERIES}
+    timed(
+        "salted_flagship",
+        lambda: contract_qs["g33_salted_boolean_pipeline"](spark, sf_dir).count(),
+    )
+    timed(
+        "winding_audit",
+        lambda: contract_qs["g36_ring_winding_audit"](spark, sf_dir).count(),
+    )
+    timed(
+        "composition_drift",
+        lambda: contract_qs["t27_composition_drift"](spark, sf_dir).count(),
+    )
+    timed(
+        "dup_savings",
+        lambda: contract_qs["d17_dup_savings_by_source"](spark, sf_dir).count(),
+    )
+    timed(
+        "hamming_nn_degree",
+        lambda: contract_qs["s14_hamming_nn_degree"](spark, sf_dir).count(),
+    )
+    timed(
+        "cell_neighbors",
+        lambda: contract_qs["g37_cell_neighbor_occupancy"](spark, sf_dir).count(),
     )
 
     flagship_sec = timings["flagship_boolean_tiling"]
