@@ -273,3 +273,35 @@ def test_token_freq_score_plan_reuses_tfd(spark):
     assert final.count("ReusedExchange") >= 1
     text_scans = len(re.findall(r"ReadSchema: struct<[^>]*text", final))
     assert text_scans <= 2, final
+
+
+def test_run_generated_dataset_cli(tmp_path):
+    """The generated-dataset runner (scripts/run_generated_dataset.py,
+    the run_generated_dataset.rs twin) writes a parseable 3-feature
+    compact FeatureCollection whose result feature matches a direct
+    kernel call on the same generated pair."""
+    import json
+    import subprocess
+    import sys
+
+    from rust_geo_booleanop_spark.kernel import boolean_op
+    from rust_geo_booleanop_spark.kernel.bench_cases import (
+        generate_random_triangles_polygons,
+    )
+    from rust_geo_booleanop_spark.kernel.geojson import geometry_to_multipolygon
+
+    out = tmp_path / "rt.geojson"
+    r = subprocess.run(
+        [sys.executable, "scripts/run_generated_dataset.py",
+         "random_triangles", "--op", "xor", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    fc = json.loads(out.read_text())
+    feats = fc["features"]
+    assert len(feats) == 3
+    assert feats[2]["properties"] == {"operation": "xor"}
+    a, b = generate_random_triangles_polygons()
+    expect = boolean_op(a, b, "xor")
+    got = geometry_to_multipolygon(feats[2]["geometry"])
+    assert got == expect
